@@ -1,0 +1,93 @@
+"""Benchmark: STFT+FIR chain throughput on one chip (the BASELINE.json
+north-star metric).
+
+Workload: 255-tap FIR low-pass ('same', overlap-add) + 512-pt Hann STFT at
+hop 128 + power spectrogram over a multi-channel f32 stream — the
+guides/filtering.livemd chain at production batch size.
+
+Prints ONE JSON line: {"metric", "value" (Msamples/s/chip), "unit",
+"vs_baseline"}. The reference publishes no perf numbers (BASELINE.md), so
+vs_baseline is the fraction of the HBM speed-of-light bound: the chain must
+move >= 24 B per input sample (read x 4, write filtered 4, write f32 power
+spectrum 512*4/128 = 16), so SoL = HBM_BW / 24 samples/s.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CHANNELS = 16
+SECONDS = 10
+RATE = 48000
+STEPS = 20
+
+HBM_BYTES_PER_S = {
+    # per-chip HBM bandwidth
+    "v5 lite": 819e9, "v5e": 819e9, "v5litepod": 819e9,
+    "v4": 1228e9, "v5p": 2765e9, "v6e": 1640e9,
+}
+MIN_BYTES_PER_SAMPLE = 24.0
+
+
+def detect_hbm_bw():
+    kind = jax.devices()[0].device_kind.lower()
+    for key, bw in HBM_BYTES_PER_S.items():
+        if key in kind:
+            return bw
+    return 819e9  # default to v5e
+
+
+def main():
+    from nx_signal_tpu.models.pipeline import stft_fir_chain
+    from nx_signal_tpu.ops.filters import firwin
+    from nx_signal_tpu.ops.windows import hann
+
+    n = CHANNELS * SECONDS * RATE
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(CHANNELS, SECONDS * RATE)),
+        dtype=jnp.float32,
+    )
+    taps = firwin(255, [2000.0], sampling_rate=float(RATE))
+    window = hann(512)
+
+    @jax.jit
+    def step(x):
+        return stft_fir_chain(
+            x, taps, window,
+            fft_length=512, overlap_length=384, sampling_rate=float(RATE),
+        )
+
+    out = step(x)
+    jax.block_until_ready(out)  # compile + warm up
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = step(x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / STEPS
+
+    msamples_per_s = n / dt / 1e6
+    sol = detect_hbm_bw() / MIN_BYTES_PER_SAMPLE / 1e6  # Msamples/s
+    print(
+        json.dumps(
+            {
+                "metric": "stft_fir_chain_throughput",
+                "value": round(msamples_per_s, 1),
+                "unit": "Msamples/s/chip",
+                "vs_baseline": round(msamples_per_s / sol, 4),
+            }
+        )
+    )
+    print(
+        f"chain: {CHANNELS}ch x {SECONDS}s @ {RATE} Hz, {dt * 1e3:.2f} ms/step, "
+        f"SoL(HBM) ~ {sol:.0f} Msamples/s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

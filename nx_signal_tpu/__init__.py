@@ -1,0 +1,44 @@
+"""nx_signal_tpu — a TPU-native digital-signal-processing framework.
+
+Built from scratch on JAX/XLA/Pallas with the full capability surface of the
+nx_signal reference library (scipy.signal-equivalent semantics): windowed
+STFT/ISTFT with deterministic overlap-add, window families, FIR design and
+application (direct / FFT / overlap-add / overlap-save convolution), mel
+spectrograms, waveform generators, median/Wiener filters, peak finding, and
+Lambert W — plus multi-chip channel and time-block sharding with ppermute
+halo exchange (bit-comparable to single-device runs), which the reference
+does not have.
+
+Layering (see SURVEY.md §7):
+  ops/       scipy-semantics primitives (windows, waveforms, convolution,
+             filters, peak finding, lambert_w, fft helpers)
+  spectral/  composite STFT pipeline (framing, stft/istft, mel)
+  kernels/   Pallas TPU kernels for the hot paths
+  parallel/  mesh + sharding + halo exchange + streaming
+  models/    end-to-end pipelines (spectrogram, filter chains)
+"""
+
+from nx_signal_tpu.ops import convolution, filters, peak_finding, transforms, waveforms, windows
+from nx_signal_tpu.spectral.framing import as_windowed, overlap_and_add
+from nx_signal_tpu.spectral.mel import mel_filters, stft_to_mel
+from nx_signal_tpu.spectral.stft import STFTResult, fft_frequencies, istft, stft
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "windows",
+    "waveforms",
+    "transforms",
+    "convolution",
+    "filters",
+    "peak_finding",
+    "as_windowed",
+    "overlap_and_add",
+    "stft",
+    "istft",
+    "STFTResult",
+    "fft_frequencies",
+    "mel_filters",
+    "stft_to_mel",
+    "__version__",
+]

@@ -1,0 +1,121 @@
+"""End-to-end DSP pipelines — the framework's "model" layer.
+
+These compose the op/spectral layers into the workloads the reference ships
+as Livebook guides (guides/filtering.livemd, guides/spectrogram.livemd) and
+the benchmark configs (BASELINE.json): FIR filtering chains, spectrograms,
+and log-mel front ends. Each pipeline is a pytree-friendly callable whose
+__call__ is pure and jittable; construction (filter design, window build)
+happens once at Python level.
+"""
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nx_signal_tpu.ops.convolution import oaconvolve
+from nx_signal_tpu.ops.filters import firwin
+from nx_signal_tpu.ops.windows import hann
+from nx_signal_tpu.spectral.mel import mel_filters
+from nx_signal_tpu.spectral.stft import stft
+from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
+
+__all__ = ["SpectrogramPipeline", "LogMelFrontend", "FIRFilterChain", "stft_fir_chain"]
+
+
+@dataclass(frozen=True)
+class SpectrogramPipeline:
+    """Hann-window STFT -> dBFS spectrogram, the guides/spectrogram.livemd
+    workload (reference: spectrogram.livemd:79-91 — fft_length 1024, Hann,
+    dBFS = 20 log10(|S| / max|S|))."""
+
+    frame_length: int = 1024
+    overlap_length: int = None
+    fft_length: int = 1024
+    sampling_rate: float = 16000.0
+
+    def __call__(self, x):
+        w = hann(self.frame_length)
+        z, times, freqs = stft(
+            x, w,
+            sampling_rate=self.sampling_rate,
+            fft_length=self.fft_length,
+            overlap_length=self.overlap_length,
+            scaling="spectrum",
+        )
+        mag = jnp.abs(z)
+        db = 20.0 * jnp.log10(mag / jnp.max(mag) + 1e-12)
+        return db, times, freqs
+
+
+@dataclass(frozen=True)
+class LogMelFrontend:
+    """Whisper-style log-mel front end: STFT -> |z|^2 -> mel matmul -> log10
+    with dynamic-range floor (reference: nx_signal.ex:486-513). The mel
+    projection is precomputed and applied as a single MXU matmul."""
+
+    frame_length: int = 400
+    hop_length: int = 160
+    fft_length: int = 512
+    mel_bins: int = 80
+    sampling_rate: float = 16000.0
+
+    def __call__(self, x):
+        w = hann(self.frame_length)
+        z, _, _ = stft(
+            x, w,
+            sampling_rate=self.sampling_rate,
+            fft_length=self.fft_length,
+            overlap_length=self.frame_length - self.hop_length,
+            window_padding="reflect",
+        )
+        filters = mel_filters(self.fft_length, self.mel_bins, self.sampling_rate)
+        freq_size = self.fft_length // 2
+        power = jnp.abs(z).astype(DEFAULT_FLOAT) ** 2
+        mel = jnp.matmul(power[..., :freq_size], filters[:, :freq_size].T)
+        log_spec = jnp.log10(jnp.clip(mel, 1e-10, None))
+        log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - 8.0)
+        return (log_spec + 4.0) / 4.0
+
+
+@dataclass(frozen=True)
+class FIRFilterChain:
+    """firwin design + overlap-add application — the guides/filtering.livemd
+    chain (reference: filtering.livemd:58,126-128)."""
+
+    num_taps: int = 255
+    cutoff: tuple = (2000.0,)
+    sampling_rate: float = 48000.0
+    window: str = "hann"
+
+    @property
+    def taps(self):
+        return firwin(
+            self.num_taps, list(self.cutoff),
+            window=self.window, sampling_rate=self.sampling_rate,
+        )
+
+    def __call__(self, x):
+        taps = self.taps
+        if x.ndim > 1:
+            taps = taps.reshape((1,) * (x.ndim - 1) + (-1,))
+        return oaconvolve(x, taps, mode="same")
+
+
+def stft_fir_chain(x, taps, window, *, fft_length: int, overlap_length: int,
+                   sampling_rate: float = 16000.0):
+    """The north-star benchmark chain (BASELINE.json): FIR low-pass then
+    Hann STFT -> power spectrogram, returning (filtered, power). Jittable;
+    batched over leading channel axes."""
+    taps_b = taps.reshape((1,) * (x.ndim - 1) + (-1,)) if x.ndim > 1 else taps
+    y = oaconvolve(x, taps_b, mode="same")
+    z, _, _ = stft(
+        y, window,
+        sampling_rate=sampling_rate,
+        fft_length=fft_length,
+        overlap_length=overlap_length,
+    )
+    power = jnp.abs(z) ** 2
+    return y, power

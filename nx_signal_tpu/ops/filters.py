@@ -1,0 +1,148 @@
+"""Filters and FIR filter design.
+
+Reference semantics: lib/nx_signal/filters.ex — `median/2` (:17-55),
+`wiener/2` (:81-110, :281-303), `firwin/3` (:147-279).
+
+`firwin` is design-time math on tiny tensors (scipy.signal.firwin parity is
+what matters; reference tests pin scipy values at atol 1e-5). `median` and
+`wiener` are sliding-window ops; `wiener` rides the MXU via direct
+correlation with a ones kernel.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from nx_signal_tpu.ops.convolution import correlate
+from nx_signal_tpu.ops.waveforms import sinc
+from nx_signal_tpu.ops.windows import get_window
+from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
+
+__all__ = ["median", "wiener", "firwin"]
+
+
+def median(t, *, kernel_shape):
+    """N-D sliding median filter, float32 output.
+
+    Window semantics follow the reference exactly (filters.ex:17-55): the
+    window is ANCHORED at each element and extends forward, with the start
+    clamped so the window fits (Nx.slice clamping) — windows near the
+    trailing edge shift back. This differs from scipy.ndimage's centered
+    median; it is the reference's pinned behavior (filters_test.exs:6-12).
+    """
+    t = jnp.asarray(t)
+    if isinstance(kernel_shape, int):
+        kernel_shape = (kernel_shape,)
+    if t.ndim != len(kernel_shape):
+        raise ValueError("kernel shape must be of the same rank as the tensor")
+    rank = t.ndim
+    win = t
+    for d in range(rank):
+        dim, k = t.shape[d], kernel_shape[d]
+        starts = jnp.clip(jnp.arange(dim), 0, dim - k)
+        idx = starts[:, None] + jnp.arange(k)[None, :]
+        win = jnp.take(win, idx, axis=d)  # axis d -> (dim, k); k lands at d+1
+        win = jnp.moveaxis(win, d + 1, -1)
+    return jnp.median(
+        win.astype(DEFAULT_FLOAT), axis=tuple(range(rank, 2 * rank))
+    ).astype(DEFAULT_FLOAT)
+
+
+def wiener(t, *, kernel_size=3, noise=None):
+    """N-D adaptive Wiener filter, scipy.signal.wiener semantics (reference:
+    filters.ex:81-110, :281-303): local mean/variance from correlation with a
+    ones kernel in 'same' mode; noise defaults to the mean local variance;
+    output select(l_var < noise, l_mean, l_mean + (t - l_mean)(1 - noise/l_var)).
+
+    Accumulates in float64 when x64 is enabled (the reference computes in f64,
+    filters.ex:107-109); on TPU (no f64) it runs in float32 — document'd
+    precision difference, wiener is not in the hot chain.
+    """
+    t = jnp.asarray(t)
+    rank = t.ndim
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size,) * rank
+    if len(kernel_size) != rank:
+        raise ValueError("kernel_size must be an integer or a tuple matching the tensor rank")
+    acc_dtype = jnp.float64 if jax.config.jax_enable_x64 else DEFAULT_FLOAT
+    size = math.prod(kernel_size)
+    kernel = jnp.ones(kernel_size, dtype=acc_dtype)
+
+    x = t.astype(acc_dtype)
+    l_mean = correlate(x, kernel, mode="same") / size
+    l_var = correlate(x**2, kernel, mode="same") / size - l_mean**2
+
+    noise_t = jnp.mean(l_var) if noise is None else jnp.asarray(noise, dtype=acc_dtype)
+
+    res = (x - l_mean) * (1.0 - noise_t / l_var)
+    out = jnp.where(l_var < noise_t, l_mean, res + l_mean)
+    return out.astype(t.dtype)
+
+
+def firwin(num_taps: int, cutoff, *, window="hamming", pass_zero: bool = True,
+           scale: bool = True, sampling_rate: float = 2.0, dtype=DEFAULT_FLOAT):
+    """FIR filter design by the window method (scipy.signal.firwin semantics;
+    reference: filters.ex:147-279).
+
+    Linear-phase: Type I for odd `num_taps`, Type II for even — Type II has a
+    forced zero at Nyquist, so filters with gain there require odd taps.
+    Cutoffs are in the units of `sampling_rate` (default 2.0 => already
+    normalized to [0, 1] with 1 = Nyquist), strictly inside (0, Nyquist).
+    """
+    if isinstance(cutoff, (int, float)):
+        cutoff = [cutoff]
+    cutoff = list(cutoff)
+    if not cutoff:
+        raise ValueError(f"cutoff must be a non-empty list of frequencies, got: {cutoff}")
+    nyq = sampling_rate / 2.0
+    cutoffs = sorted(c / nyq for c in cutoff)
+
+    if cutoffs[0] <= 0.0:
+        raise ValueError(
+            "cutoff must be strictly between 0 and Nyquist (exclusive), got: "
+            f"{cutoffs[0] * nyq}"
+        )
+    if cutoffs[-1] >= 1.0:
+        raise ValueError(
+            "cutoff must be strictly between 0 and Nyquist (exclusive), got: "
+            f"{cutoffs[-1] * nyq}"
+        )
+
+    even_n_cuts = len(cutoffs) % 2 == 0
+    nyquist_gain = (pass_zero and even_n_cuts) or (not pass_zero and not even_n_cuts)
+    if nyquist_gain and num_taps % 2 == 0:
+        raise ValueError(
+            "a filter with non-zero gain at Nyquist (e.g. highpass) requires "
+            f"an odd number of taps, got: {num_taps}"
+        )
+
+    m = (num_taps - 1) / 2.0
+    alpha = jnp.arange(num_taps, dtype=dtype) - m
+
+    # Ideal response: sum over selected passband pairs from [0 | cutoffs | 1]
+    # of b*sinc(b*alpha) - a*sinc(a*alpha) (reference: filters.ex:195-227).
+    bands = [0.0] + cutoffs + [1.0]
+    pairs = list(zip(bands[:-1], bands[1:]))
+    selected = [p for i, p in enumerate(pairs) if (i % 2 == 0) == pass_zero]
+
+    h = jnp.zeros((num_taps,), dtype=dtype)
+    for a, b in selected:
+        h = h + b * sinc(b * alpha) - a * sinc(a * alpha)
+
+    w = get_window(window, num_taps, periodic=False, dtype=dtype)
+    h = h * w
+
+    if scale:
+        # Normalize the response to exactly 1 at DC (pass_zero), Nyquist
+        # (single-cutoff highpass), or the first passband center (reference:
+        # filters.ex:229-252).
+        if pass_zero:
+            scale_freq = 0.0
+        elif len(cutoffs) == 1:
+            scale_freq = 1.0
+        else:
+            scale_freq = (cutoffs[0] + cutoffs[1]) / 2.0
+        factor = jnp.abs(jnp.dot(h, jnp.cos(alpha * (math.pi * scale_freq))))
+        h = h / factor
+    return h

@@ -1,0 +1,269 @@
+"""Sharded DSP ops: time-block + channel parallelism with ppermute halos.
+
+Greenfield components (SURVEY.md §2.9 — the reference is single-device).
+All entry points are shard_map programs over a ('channel', 'block') mesh
+(see parallel/mesh.py):
+
+* channel axis — embarrassing data parallelism over leading batch axes;
+* block axis — contiguous time blocks per device; the only communication is
+  neighbor halo exchange via jax.lax.ppermute (non-cyclic permutations, so
+  edge devices receive zeros — exactly the zero-padding semantics of the
+  single-device ops).
+
+Bit-comparability design: every output sample is produced by the same
+primitive op on the same input values as the single-device path —
+  * FIR 'same': each output sample is an independent K-tap dot; devices
+    compute it from [left halo | block | right halo] with the identical conv
+    primitive => bitwise equal.
+  * STFT: frames never straddle device math — a frame belongs to the device
+    where it starts and is completed by the right halo => bitwise equal.
+  * ISTFT/overlap-add: the deterministic left-fold (spectral/framing.py)
+    sums contributions in increasing frame order per sample; the left
+    neighbor's tail partial SEEDS the accumulator, preserving the exact
+    global association (((tail)+f_m)+f_{m+1})... => bitwise equal.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from nx_signal_tpu.ops.convolution import convolve
+from nx_signal_tpu.spectral.framing import _ola_fold, as_windowed
+from nx_signal_tpu.spectral.stft import STFTResult, _apply_scaling, _resolve_fft_length, fft_frequencies
+from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
+from nx_signal_tpu.parallel.mesh import BLOCK_AXIS, CHANNEL_AXIS
+
+__all__ = ["sharded_convolve_same", "sharded_stft", "sharded_istft"]
+
+
+def _shift_from_left(x, n_block):
+    """Each device receives its LEFT neighbor's trailing slice; device 0
+    receives zeros (non-cyclic ppermute zero-fills uncovered outputs)."""
+    return lax.ppermute(x, BLOCK_AXIS, [(j, j + 1) for j in range(n_block - 1)])
+
+
+def _shift_from_right(x, n_block):
+    """Each device receives its RIGHT neighbor's leading slice; the last
+    device receives zeros."""
+    return lax.ppermute(x, BLOCK_AXIS, [(j + 1, j) for j in range(n_block - 1)])
+
+
+def _norm_2d(x):
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        return x[None, :], True
+    if x.ndim == 2:
+        return x, False
+    raise ValueError(f"expected a 1-D or 2-D (channels, time) signal, got rank {x.ndim}")
+
+
+def _check_divisible(name, value, divisor):
+    if value % divisor != 0:
+        raise ValueError(f"{name} ({value}) must be divisible by {divisor}")
+
+
+def sharded_convolve_same(x, taps, *, mesh, method="direct"):
+    """'same'-mode FIR application, sharded over channels and time blocks.
+
+    Overlap-save style: each device fetches (K-1)-sample halos — the left
+    halo of (K-1) - (K-1)//2 samples and right halo of (K-1)//2 samples,
+    matching the single-device 'same' padding split (ops/convolution.py) —
+    then runs a local 'valid' convolution. No cross-device accumulation at
+    all, so with method='direct' the result is bitwise identical to the
+    single-device `convolve(x, taps, mode='same')`.
+    """
+    x, squeeze = _norm_2d(x)
+    taps = jnp.asarray(taps)
+    (k,) = taps.shape
+    n_channel, n_block = mesh.shape[CHANNEL_AXIS], mesh.shape[BLOCK_AXIS]
+    _check_divisible("channels", x.shape[0], n_channel)
+    length = x.shape[1]
+    # Auto-pad to an even block split; the zeros match 'same' edge padding,
+    # and the padded outputs are sliced away (bitwise-preserving).
+    block_len = -(-length // n_block)
+    if block_len * n_block != length:
+        x = jnp.pad(x, [(0, 0), (0, block_len * n_block - length)])
+    pad_right = (k - 1) // 2
+    pad_left = (k - 1) - pad_right
+    if max(pad_left, pad_right) > block_len:
+        raise ValueError(
+            f"filter halo ({k - 1}) exceeds the per-device block ({block_len}); "
+            "use fewer blocks or a shorter filter"
+        )
+    kernel2d = taps[None, :]
+
+    def local(x_blk):
+        parts = []
+        if pad_left:
+            parts.append(_shift_from_left(x_blk[:, -pad_left:], n_block))
+        parts.append(x_blk)
+        if pad_right:
+            parts.append(_shift_from_right(x_blk[:, :pad_right], n_block))
+        ext = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+        return convolve(ext, kernel2d, mode="valid", method=method)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(CHANNEL_AXIS, BLOCK_AXIS),
+        out_specs=P(CHANNEL_AXIS, BLOCK_AXIS),
+    )
+    out = fn(x)[:, :length]
+    return out[0] if squeeze else out
+
+
+def _stft_frame_geometry(length, frame_length, stride, n_block):
+    """Pick the padded per-device block (a multiple of stride) for an even
+    frame split; padding is zeros whose frames are sliced away afterwards."""
+    block_len = -(-length // (n_block * stride)) * stride
+    padded_len = block_len * n_block
+    halo = frame_length - stride
+    if halo > block_len:
+        raise ValueError(
+            f"frame halo ({halo}) exceeds the per-device block ({block_len}); "
+            "use fewer blocks or a larger hop"
+        )
+    frames_per_block = block_len // stride
+    num_frames = (length - frame_length) // stride + 1
+    return block_len, padded_len, frames_per_block, num_frames, halo
+
+
+def sharded_stft(x, window, *, mesh, sampling_rate=100, fft_length="power_of_two",
+                 overlap_length=None, scaling=None):
+    """Block+channel-sharded STFT ('valid' padding), bitwise-comparable to
+    the single-device `stft`.
+
+    Each device owns the frames that START in its block; the trailing
+    frame_length - stride samples arrive as a right-neighbor halo, so every
+    frame is windowed and FFT'd wholly on one device. Devices compute
+    block_len//stride frame slots; slots past the true frame count (tail of
+    the last device) are sliced away from the global result.
+    """
+    x, squeeze = _norm_2d(x)
+    window = jnp.asarray(window)
+    (frame_length,) = window.shape
+    if overlap_length is None:
+        overlap_length = frame_length // 2
+    stride = frame_length - overlap_length
+    n_fft = _resolve_fft_length(frame_length, fft_length)
+    n_channel, n_block = mesh.shape[CHANNEL_AXIS], mesh.shape[BLOCK_AXIS]
+    _check_divisible("channels", x.shape[0], n_channel)
+    _, padded_len, _, num_frames, halo = _stft_frame_geometry(
+        x.shape[1], frame_length, stride, n_block
+    )
+    if padded_len != x.shape[1]:
+        x = jnp.pad(x, [(0, 0), (0, padded_len - x.shape[1])])
+
+    def local(x_blk):
+        if halo:
+            ext = jnp.concatenate(
+                [x_blk, _shift_from_right(x_blk[:, :halo], n_block)], axis=-1
+            )
+        else:
+            ext = x_blk
+        frames = as_windowed(ext, window_length=frame_length, stride=stride)
+        return jnp.fft.fft(frames * window, n=n_fft, axis=-1)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(CHANNEL_AXIS, BLOCK_AXIS),
+        out_specs=P(CHANNEL_AXIS, BLOCK_AXIS, None),
+    )
+    z = fn(x)[:, :num_frames, :]
+    z = _apply_scaling(z, window, scaling, sampling_rate, inverse=False)
+    if squeeze:
+        z = z[0]
+    frequencies = fft_frequencies(sampling_rate, fft_length=n_fft)
+    time_step = frame_length / (2.0 * sampling_rate)
+    times = jnp.linspace(time_step, time_step * num_frames, num_frames,
+                         dtype=DEFAULT_FLOAT)
+    return STFTResult(z, times, frequencies)
+
+
+def sharded_istft(z, window, *, mesh, fft_length=None, overlap_length=None,
+                  scaling=None, sampling_rate=1000):
+    """Block+channel-sharded inverse STFT, bitwise-comparable to the
+    single-device `istft`.
+
+    Frames are sharded over the block axis. Each device IFFTs and windows
+    its frames, runs the deterministic local overlap-add, and sends the
+    `overlap` samples that reach past its output range to the right
+    neighbor. The neighbor SEEDS its accumulator with that tail, preserving
+    the exact global left-fold association per sample (see module
+    docstring). The final tail (past the last device's range) is emitted by
+    the last device and appended. Requires num_frames divisible by the
+    block-axis size and overlap <= per-device sample range.
+    """
+    z = jnp.asarray(z)
+    squeeze = z.ndim == 2
+    if squeeze:
+        z = z[None]
+    if z.ndim != 3:
+        raise ValueError(f"expected (..., frames, fft) spectrum of rank 2 or 3, got {z.ndim}")
+    window = jnp.asarray(window)
+    n_fft = _resolve_fft_length(z.shape[-1], fft_length)
+    if overlap_length is None:
+        overlap_length = window.shape[-1] // 2
+    n_channel, n_block = mesh.shape[CHANNEL_AXIS], mesh.shape[BLOCK_AXIS]
+    _check_divisible("channels", z.shape[0], n_channel)
+    num_frames = z.shape[1]
+    # Auto-pad to an even frame split: padded frames are zero spectra (zero
+    # contributions) and their window-envelope terms are masked out below,
+    # so results stay bitwise-comparable to the single-device fold.
+    frames_per_block = -(-num_frames // n_block)
+    if frames_per_block * n_block != num_frames:
+        z = jnp.pad(z, [(0, 0), (0, frames_per_block * n_block - num_frames), (0, 0)])
+    if overlap_length >= n_fft:
+        raise ValueError(
+            f"overlap_length must be a number less than the window size {n_fft}, "
+            f"got: {overlap_length}"
+        )
+    stride = n_fft - overlap_length
+    own = frames_per_block * stride  # per-device output range
+    if overlap_length > own:
+        raise ValueError(
+            f"overlap ({overlap_length}) exceeds the per-device sample range ({own})"
+        )
+    out_length = num_frames * stride + overlap_length
+
+    envelope = jnp.broadcast_to(
+        jnp.abs(window).astype(DEFAULT_FLOAT) ** 2, (frames_per_block, n_fft)
+    )
+
+    def local(z_blk):
+        frames = jnp.fft.ifft(z_blk, n=n_fft, axis=-1)
+        frames = _apply_scaling(frames, window, scaling, sampling_rate, inverse=True)
+        frames = frames * window
+        # Mask the envelope of frames past the true frame count (auto-pad).
+        idx = lax.axis_index(BLOCK_AXIS)
+        global_m = idx * frames_per_block + jnp.arange(frames_per_block)
+        valid = (global_m < num_frames).astype(DEFAULT_FLOAT)[:, None]
+        local_len = own + overlap_length
+
+        def folded(fr):
+            # phase 1: pure local fold; its tail seeds the right neighbor
+            partial = _ola_fold(fr, stride, local_len)
+            tail = partial[..., own:]
+            seeded = _shift_from_left(tail, n_block)
+            pad = [(0, 0)] * (fr.ndim - 2) + [(0, own)]
+            init = jnp.pad(seeded, pad)
+            # phase 2: refold with the neighbor tail seeding the accumulator
+            return _ola_fold(fr, stride, local_len, init=init)
+
+        num = folded(frames)
+        env_frames = jnp.broadcast_to(envelope * valid, frames.shape[:-2] + envelope.shape)
+        env = folded(env_frames)
+        env = jnp.where(env > 1e-10, env, jnp.ones((), dtype=env.dtype))
+        out = num / env
+        is_last = (idx == n_block - 1).astype(out.dtype)
+        tail_out = lax.psum(out[..., own:] * is_last, BLOCK_AXIS)
+        return out[..., :own], tail_out
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(CHANNEL_AXIS, BLOCK_AXIS, None),
+        out_specs=(P(CHANNEL_AXIS, BLOCK_AXIS), P(CHANNEL_AXIS)),
+    )
+    main, tail = fn(z)
+    out = jnp.concatenate([main, tail], axis=-1)[..., :out_length]
+    return out[0] if squeeze else out

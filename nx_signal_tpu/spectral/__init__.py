@@ -1,0 +1,14 @@
+from nx_signal_tpu.spectral.framing import as_windowed, overlap_and_add
+from nx_signal_tpu.spectral.mel import mel_filters, stft_to_mel
+from nx_signal_tpu.spectral.stft import STFTResult, fft_frequencies, istft, stft
+
+__all__ = [
+    "as_windowed",
+    "overlap_and_add",
+    "mel_filters",
+    "stft_to_mel",
+    "STFTResult",
+    "fft_frequencies",
+    "istft",
+    "stft",
+]

@@ -1,0 +1,141 @@
+"""Short-Time Fourier Transform pipeline: stft / istft / fft_frequencies.
+
+Reference semantics: lib/nx_signal.ex `stft/3` (:68-130), `istft/3`
+(:582-638), `fft_frequencies/2` (:154-166).
+
+TPU-first notes: framing is the gather-free slice/reshape decomposition
+(see spectral/framing.py), the window multiply fuses into it, and the batched
+FFT runs as one XLA FFT op over all frames. Extra leading batch axes
+(channels) are supported everywhere — they become the data-parallel sharding
+axis in nx_signal_tpu.parallel.
+"""
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from nx_signal_tpu.spectral.framing import _ola_fold, as_windowed
+from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
+from nx_signal_tpu.utils.shapes import next_power_of_two
+
+__all__ = ["stft", "istft", "fft_frequencies", "STFTResult"]
+
+
+class STFTResult(NamedTuple):
+    """STFT output: complex spectrum [..., frames, frequencies], frame times
+    in seconds, and FFT bin frequencies in Hz."""
+
+    z: jnp.ndarray
+    times: jnp.ndarray
+    frequencies: jnp.ndarray
+
+
+def fft_frequencies(sampling_rate, *, fft_length: int, dtype=DEFAULT_FLOAT,
+                    endpoint: bool = False):
+    """FFT bin frequencies in Hz: linspace(0, Fs, fft_length, endpoint=False)
+    — full bin range, not the rfft half (reference: nx_signal.ex:154-166)."""
+    return jnp.linspace(0.0, sampling_rate, fft_length, endpoint=endpoint, dtype=dtype)
+
+
+def _resolve_fft_length(frame_length: int, fft_length) -> int:
+    if fft_length is None or fft_length == "power_of_two":
+        return next_power_of_two(frame_length)
+    return int(fft_length)
+
+
+def _apply_scaling(z, window, scaling, sampling_rate, inverse: bool):
+    """:spectrum divides by sum(w); :psd by sqrt(Fs * sum(w^2)) (reference:
+    nx_signal.ex:114-127; istft multiplies back, :611-625)."""
+    if scaling is None:
+        return z
+    window = window.astype(DEFAULT_FLOAT) if jnp.issubdtype(window.dtype, jnp.integer) else window
+    if scaling == "spectrum":
+        factor = jnp.sum(window)
+    elif scaling == "psd":
+        if sampling_rate is None:
+            raise ValueError("sampling_rate is mandatory if scaling is 'psd'")
+        factor = jnp.sqrt(sampling_rate * jnp.sum(window**2))
+    else:
+        raise ValueError(
+            f"invalid scaling, expected one of 'spectrum', 'psd' or None, got: {scaling}"
+        )
+    return z * factor if inverse else z / factor
+
+
+def stft(data, window, *, sampling_rate=100, fft_length="power_of_two",
+         overlap_length=None, window_padding="valid", scaling=None):
+    """Short-Time Fourier Transform.
+
+    Frames the (..., L) signal with hop = frame_length - overlap_length,
+    multiplies by `window`, and FFTs each frame (reference pipeline:
+    nx_signal.ex:94-102). Returns `STFTResult(z, times, frequencies)` with
+    z complex of shape (..., frames, fft_length); frame times are window
+    midpoints time_step*(1..M) with time_step = frame_length/(2 Fs)
+    (reference: nx_signal.ex:108-111).
+
+    Options mirror the reference defaults (nx_signal.ex:71-83): sampling_rate
+    100, fft_length 'power_of_two' (next power of two >= frame_length),
+    overlap_length frame_length//2, window_padding 'valid',
+    scaling in {None, 'spectrum', 'psd'}.
+    """
+    window = jnp.asarray(window)
+    (frame_length,) = window.shape
+    if overlap_length is None:
+        overlap_length = frame_length // 2
+    if sampling_rate is None:
+        raise ValueError("missing sampling_rate option")
+    n_fft = _resolve_fft_length(frame_length, fft_length)
+    stride = frame_length - overlap_length
+
+    frames = as_windowed(
+        data, window_length=frame_length, stride=stride, padding=window_padding
+    )
+    spectrum = jnp.fft.fft(frames * window, n=n_fft, axis=-1)
+    num_frames = spectrum.shape[-2]
+
+    frequencies = fft_frequencies(sampling_rate, fft_length=n_fft)
+    time_step = frame_length / (2.0 * sampling_rate)
+    times = jnp.linspace(time_step, time_step * num_frames, num_frames,
+                         dtype=DEFAULT_FLOAT)
+    spectrum = _apply_scaling(spectrum, window, scaling, sampling_rate, inverse=False)
+    return STFTResult(spectrum, times, frequencies)
+
+
+def istft(z, window, *, fft_length=None, overlap_length=None, scaling=None,
+          sampling_rate=1000):
+    """Inverse STFT: per-frame IFFT, inverse scaling, window multiply,
+    deterministic overlap-add, and NOLA window-envelope normalization with a
+    1e-10 guard (reference: nx_signal.ex:582-638).
+
+    Returns the complex reconstruction (take `.real` for real signals, as the
+    reference's doctests do via as_type). Perfect reconstruction holds in the
+    overlapping interior for NOLA windows.
+    """
+    z = jnp.asarray(z)
+    window = jnp.asarray(window)
+    n_fft = _resolve_fft_length(z.shape[-1], fft_length)
+    if overlap_length is None:
+        overlap_length = window.shape[-1] // 2
+
+    frames = jnp.fft.ifft(z, n=n_fft, axis=-1)
+    frames = _apply_scaling(frames, window, scaling, sampling_rate, inverse=True)
+
+    frame_length = frames.shape[-1]
+    num_frames = frames.shape[-2]
+    if overlap_length >= frame_length:
+        raise ValueError(
+            f"overlap_length must be a number less than the window size {frame_length}, "
+            f"got: {overlap_length}"
+        )
+    stride = frame_length - overlap_length
+    out_length = num_frames * stride + overlap_length
+
+    result = _ola_fold(frames * window, stride, out_length)
+
+    envelope_frames = jnp.broadcast_to(
+        jnp.abs(window).astype(DEFAULT_FLOAT) ** 2, (num_frames, frame_length)
+    )
+    norm = _ola_fold(envelope_frames, stride, out_length)
+    norm = jnp.where(norm > 1e-10, norm, jnp.ones((), dtype=norm.dtype))
+    return result / norm

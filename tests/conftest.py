@@ -1,0 +1,39 @@
+"""Test configuration: run on a simulated 8-device CPU mesh with x64 enabled.
+
+Mirrors the survey's test strategy (SURVEY.md §4): scipy is the oracle; the
+virtual CPU mesh is how multi-chip sharding logic is validated without real
+multi-chip hardware; x64 keeps the reference's f64 pockets (wiener,
+lambert_w) exact. TPU-targeted benches run separately via bench.py.
+"""
+
+import os
+
+# The XLA flag must be set before the CPU backend initializes (backend init is
+# lazy, so setting it here works even if jax was already imported by a site
+# hook). The platform itself must go through jax.config — the environment may
+# pre-set JAX_PLATFORMS to a TPU plugin and pre-import jax, in which case the
+# env var is already consumed.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def assert_all_close(actual, expected, atol=1e-4, rtol=1e-4, err_msg=""):
+    """Default tolerance gate matching the reference's assert_all_close
+    (reference: test/support/nx_signal_case.ex:44-60)."""
+    np.testing.assert_allclose(
+        np.asarray(actual), np.asarray(expected), atol=atol, rtol=rtol, err_msg=err_msg
+    )

@@ -1,0 +1,143 @@
+"""Sharding-layer tests on the simulated 8-device CPU mesh.
+
+Bit-comparability contract (SURVEY.md north star): every path that does not
+cross an FFT is asserted BITWISE identical to the single-device op; FFT
+paths are asserted to 1e-6 relative because the CPU FFT (ducc) is not
+run-to-run bitwise deterministic (verified empirically — identical inputs
+give ulp-different outputs across calls); the deterministic framing/fold
+logic around it is exact.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from nx_signal_tpu.ops import windows
+from nx_signal_tpu.ops.convolution import convolve
+from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+from nx_signal_tpu.parallel.sharded import (
+    sharded_convolve_same,
+    sharded_istft,
+    sharded_stft,
+)
+from nx_signal_tpu.spectral import istft, stft
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+def rel_close(a, b, tol=1e-6):
+    a, b = np.asarray(a), np.asarray(b)
+    scale = np.abs(b).max()
+    np.testing.assert_allclose(a, b, atol=tol * max(scale, 1e-30), rtol=tol)
+
+
+@pytest.fixture(params=[(1, 8), (2, 4), (4, 2), (8, 1)])
+def mesh(request):
+    c, b = request.param
+    return make_dsp_mesh(c, b)
+
+
+class TestShardedFIR:
+    @pytest.mark.parametrize("length,k", [(4096, 255), (4096, 256), (1000, 31), (4099, 17)])
+    def test_bitwise_vs_single_device(self, mesh, length, k, rng):
+        c = mesh.shape["channel"]
+        x = rng.normal(size=(8, length)).astype(np.float32)
+        if 8 % c:
+            pytest.skip("channel split")
+        taps = rng.normal(size=k).astype(np.float32)
+        got = sharded_convolve_same(x, taps, mesh=mesh)
+        expected = convolve(x, taps[None, :], mode="same")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+    def test_1d_input(self, rng):
+        mesh = make_dsp_mesh(1, 8)
+        x = rng.normal(size=2048).astype(np.float32)
+        taps = rng.normal(size=33).astype(np.float32)
+        got = sharded_convolve_same(x, taps, mesh=mesh)
+        expected = convolve(x[None], taps[None, :], mode="same")[0]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+    def test_halo_too_large_raises(self, rng):
+        mesh = make_dsp_mesh(1, 8)
+        with pytest.raises(ValueError, match="halo .* exceeds"):
+            sharded_convolve_same(np.zeros(64, np.float32), np.zeros(33, np.float32),
+                                  mesh=mesh)
+
+
+class TestShardedSTFT:
+    @pytest.mark.parametrize("length,wl,overlap", [
+        (16000, 512, 384),   # flagship: 1 s @ 16 kHz, hop 128 (auto-pad path)
+        (16384, 512, 384),   # aligned
+        (8192, 256, 128),    # hop = half
+        (4096, 128, 0),      # no overlap
+    ])
+    def test_vs_single_device(self, mesh, length, wl, overlap, rng):
+        c = mesh.shape["channel"]
+        if 8 % c:
+            pytest.skip("channel split")
+        x = rng.normal(size=(8, length)).astype(np.float32)
+        w = windows.hann(wl)
+        zs, ts, fs_ = sharded_stft(x, w, mesh=mesh, sampling_rate=16000,
+                                   fft_length=wl, overlap_length=overlap)
+        z1, t1, f1 = stft(x, w, sampling_rate=16000, fft_length=wl,
+                          overlap_length=overlap)
+        assert zs.shape == z1.shape
+        rel_close(zs, z1)
+        np.testing.assert_array_equal(np.asarray(ts), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(fs_), np.asarray(f1))
+
+    def test_scaling(self, rng):
+        mesh = make_dsp_mesh(1, 8)
+        x = rng.normal(size=(1, 8192)).astype(np.float32)
+        w = windows.hann(256)
+        zs, _, _ = sharded_stft(x, w, mesh=mesh, sampling_rate=100,
+                                fft_length=256, scaling="spectrum")
+        z1, _, _ = stft(x, w, sampling_rate=100, fft_length=256, scaling="spectrum")
+        rel_close(zs, z1)
+
+
+class TestShardedISTFT:
+    @pytest.mark.parametrize("m,n_fft,overlap", [
+        (120, 512, 384),
+        (122, 512, 384),    # ragged frame count (auto-pad path)
+        (64, 256, 128),
+        (37, 128, 64),      # ragged
+    ])
+    def test_bitwise_vs_single_device(self, mesh, m, n_fft, overlap, rng):
+        c = mesh.shape["channel"]
+        if 8 % c:
+            pytest.skip("channel split")
+        z = (rng.normal(size=(8, m, n_fft)) + 1j * rng.normal(size=(8, m, n_fft))
+             ).astype(np.complex64)
+        w = windows.hann(n_fft)
+        got = sharded_istft(z, w, mesh=mesh, fft_length=n_fft, overlap_length=overlap)
+        expected = istft(z, w, fft_length=n_fft, overlap_length=overlap)
+        assert got.shape == expected.shape
+        # The overlap-add fold and halo seeding are exactly associative-
+        # matched; only the IFFT itself is (CPU-)nondeterministic.
+        rel_close(got, expected, tol=1e-6)
+
+    def test_roundtrip_through_sharded_pipeline(self, rng):
+        mesh = make_dsp_mesh(2, 4)
+        x = rng.normal(size=(2, 16384)).astype(np.float32)
+        w = windows.hann(512)
+        z, _, _ = sharded_stft(x, w, mesh=mesh, sampling_rate=16000,
+                               fft_length=512, overlap_length=384)
+        y = sharded_istft(z, w, mesh=mesh, fft_length=512, overlap_length=384,
+                          sampling_rate=16000)
+        y = np.real(np.asarray(y))
+        np.testing.assert_allclose(y[:, 512:-512], x[:, 512 : y.shape[1] - 512],
+                                   atol=1e-3)
+
+    @pytest.mark.parametrize("scaling", ["spectrum", "psd"])
+    def test_scaling(self, scaling, rng):
+        mesh = make_dsp_mesh(1, 8)
+        z = (rng.normal(size=(1, 64, 256)) + 1j * rng.normal(size=(1, 64, 256))
+             ).astype(np.complex64)
+        w = windows.hann(256)
+        got = sharded_istft(z, w, mesh=mesh, fft_length=256, scaling=scaling,
+                            sampling_rate=100)
+        expected = istft(z, w, fft_length=256, scaling=scaling, sampling_rate=100)
+        rel_close(got, expected)

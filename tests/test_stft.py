@@ -1,0 +1,131 @@
+"""STFT/ISTFT/mel tests — reference doctest golden vectors
+(lib/nx_signal.ex:44-65, :384-394, :465-483, :545-579) plus scipy
+round-trip checks."""
+
+import numpy as np
+import pytest
+
+from nx_signal_tpu.ops import windows
+from nx_signal_tpu.spectral import fft_frequencies, istft, mel_filters, stft, stft_to_mel
+from tests.conftest import assert_all_close
+
+
+class TestSTFT:
+    def test_reference_doctest(self):
+        # nx_signal.ex:46-65
+        z, t, f = stft(
+            np.arange(4), windows.rectangular(2),
+            overlap_length=1, fft_length=2, sampling_rate=400,
+        )
+        expected_z = [[1, -1], [3, -1], [5, -1]]
+        assert_all_close(z, expected_z, atol=1e-6)
+        assert_all_close(t, [0.0025, 0.005, 0.0075], atol=1e-7)
+        assert_all_close(f, [0.0, 200.0], atol=1e-4)
+
+    def test_matches_manual_numpy(self, rng):
+        x = rng.normal(size=1000).astype(np.float32)
+        w = np.asarray(windows.hann(128))
+        z, _, _ = stft(x, w, overlap_length=64, fft_length=128, sampling_rate=1000)
+        hop = 64
+        m = (1000 - 128) // hop + 1
+        expected = np.stack(
+            [np.fft.fft(x[i * hop : i * hop + 128] * w) for i in range(m)]
+        )
+        assert z.shape == (m, 128)
+        assert_all_close(z, expected, atol=1e-3)
+
+    def test_power_of_two_default(self):
+        z, _, f = stft(np.arange(100, dtype=np.float32), windows.hann(48), sampling_rate=100)
+        assert z.shape[-1] == 64  # next pow2 of 48
+        assert f.shape == (64,)
+
+    @pytest.mark.parametrize("scaling", ["spectrum", "psd"])
+    def test_scaling(self, scaling, rng):
+        x = rng.normal(size=256).astype(np.float32)
+        w = np.asarray(windows.hann(64))
+        z_none, _, _ = stft(x, w, fft_length=64, sampling_rate=100)
+        z_s, _, _ = stft(x, w, fft_length=64, sampling_rate=100, scaling=scaling)
+        factor = w.sum() if scaling == "spectrum" else np.sqrt(100 * (w**2).sum())
+        assert_all_close(z_s * factor, z_none, atol=1e-4)
+
+    def test_invalid_scaling(self):
+        with pytest.raises(ValueError, match="invalid scaling"):
+            stft(np.arange(16), windows.hann(4), scaling="bogus")
+
+    def test_batched_channels(self, rng):
+        x = rng.normal(size=(3, 256)).astype(np.float32)
+        w = np.asarray(windows.hann(64))
+        z, _, _ = stft(x, w, fft_length=64, sampling_rate=100)
+        z0, _, _ = stft(x[0], w, fft_length=64, sampling_rate=100)
+        assert z.shape == (3,) + z0.shape
+        assert_all_close(z[0], z0, atol=0)
+
+
+class TestISTFT:
+    def test_reference_roundtrip_doctest(self):
+        # nx_signal.ex:545-554: everything but the first sample reconstructs
+        t = np.array([10, 10, 1, 0, 10, 10, 2, 20])
+        w = np.asarray(windows.hann(4))
+        z, _, _ = stft(t, w, sampling_rate=1, fft_length=4)
+        result = istft(z, w, fft_length=4, sampling_rate=1)
+        expected = [0, 10, 1, 0, 10, 10, 2, 20]
+        np.testing.assert_array_equal(
+            np.round(np.real(np.asarray(result))).astype(int), expected
+        )
+
+    @pytest.mark.parametrize("scaling", [None, "spectrum", "psd"])
+    def test_roundtrip_scalings(self, scaling):
+        t = np.array([10, 10, 1, 0, 10, 10, 2, 20], dtype=np.float32)
+        w = np.asarray(windows.hann(4))
+        z, _, _ = stft(t, w, sampling_rate=1, fft_length=4, scaling=scaling)
+        result = istft(z, w, fft_length=4, sampling_rate=1, scaling=scaling)
+        assert_all_close(np.real(np.asarray(result))[1:], t[1:], atol=1e-4)
+
+    def test_long_roundtrip_interior(self, rng):
+        x = rng.normal(size=4096).astype(np.float32)
+        w = np.asarray(windows.hann(256))
+        z, _, _ = stft(x, w, fft_length=256, sampling_rate=16000)
+        y = np.real(np.asarray(istft(z, w, fft_length=256, sampling_rate=16000)))
+        # interior reconstructs; edges distorted by half a window
+        assert_all_close(y[128:-128], x[128 : len(y) - 128], atol=1e-3)
+
+
+class TestMel:
+    def test_mel_filters_reference_doctest(self):
+        # nx_signal.ex:384-394
+        got = mel_filters(10, 5, 8.0e3)
+        expected = np.array([
+            [0.0, 8.129208e-4, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            [0.0, 9.972017e-4, 2.1870289e-4, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 9.510892e-4, 4.1505092e-4, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 0.0, 4.035892e-4, 5.276656e-4, 2.574124e-4, 0.0, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 0.0, 0.0, 7.329034e-5, 2.3422057e-4, 3.8295105e-4, 2.871204e-4,
+             1.9128979e-4, 9.545916e-5],
+        ])
+        assert_all_close(got, expected, atol=1e-7)
+
+    def test_stft_to_mel_reference_doctest(self):
+        # nx_signal.ex:465-483
+        fft_length, sampling_rate = 16, 8.0e3
+        z, _, _ = stft(
+            np.arange(10), np.asarray(windows.hann(4)),
+            overlap_length=2, fft_length=fft_length, sampling_rate=sampling_rate,
+            window_padding="reflect",
+        )
+        assert z.shape == (6, 16)
+        got = stft_to_mel(z, sampling_rate, fft_length=fft_length, mel_bins=4)
+        expected = np.array([
+            [0.29005307, 0.17422175, 0.18422472, 0.09807998],
+            [0.6093881, 0.5647397, 0.43538243, 0.086352706],
+            [0.75841033, 0.70850146, 0.5636921, 0.17911881],
+            [0.8461772, 0.7952491, 0.64707625, 0.25204098],
+            [0.9085489, 0.85726047, 0.70786566, 0.30867678],
+            [0.9085489, 0.85726047, 0.70786566, 0.30867678],
+        ])
+        assert_all_close(got, expected, atol=1e-5)
+
+
+def test_fft_frequencies():
+    # nx_signal.ex:147-151
+    got = fft_frequencies(1.6e4, fft_length=10)
+    assert_all_close(got, np.arange(10) * 1.6e3, atol=1e-3)

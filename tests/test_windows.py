@@ -1,0 +1,71 @@
+"""Window tests: scipy.signal.windows is the oracle (reference pins f32
+doctest values; we compare against scipy at the reference's tolerances)."""
+
+import numpy as np
+import pytest
+import scipy.signal.windows as sw
+
+from nx_signal_tpu.ops import windows
+from tests.conftest import assert_all_close
+
+SIZES = [1, 2, 3, 4, 5, 8, 16, 17, 64, 512]
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_rectangular(n):
+    w = windows.rectangular(n)
+    assert w.shape == (n,)
+    np.testing.assert_array_equal(np.asarray(w), np.ones(n))
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_bartlett_periodic(n):
+    # The reference bartlett is the periodic triangular window: equal to the
+    # symmetric scipy bartlett of length n+1 with the last sample dropped.
+    w = windows.bartlett(n)
+    assert_all_close(w, sw.bartlett(n + 1)[:n], atol=1e-6)
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_triangular(n):
+    assert_all_close(windows.triangular(n), sw.triang(n), atol=1e-6)
+
+
+@pytest.mark.parametrize("n", SIZES)
+@pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.parametrize("name,scipy_fn", [
+    ("blackman", sw.blackman),
+    ("hamming", sw.hamming),
+    ("hann", sw.hann),
+])
+def test_cosine_windows(n, periodic, name, scipy_fn):
+    w = getattr(windows, name)(n, periodic=periodic)
+    expected = scipy_fn(n, sym=not periodic)
+    assert w.dtype == np.float32
+    assert_all_close(w, expected, atol=1e-6)
+
+
+@pytest.mark.parametrize("n", SIZES)
+@pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.parametrize("beta", [0.5, 6.0, 12.0, 14.0])
+def test_kaiser(n, periodic, beta):
+    w = windows.kaiser(n, beta=beta, periodic=periodic)
+    expected = sw.kaiser(n, beta, sym=not periodic)
+    assert_all_close(w, expected, atol=1e-5)
+
+
+def test_kaiser_reference_eps_parity():
+    # Reference doctest value with its eps floor (windows.ex:322-326).
+    w = windows.kaiser(4, beta=12.0, periodic=True, eps=1e-7)
+    assert_all_close(w, [5.277619e-5, 0.21566667, 1.0, 0.21566667], atol=1e-3)
+
+
+def test_get_window_dispatch():
+    assert_all_close(windows.get_window("hann", 8), sw.hann(8, sym=True), atol=1e-6)
+    assert_all_close(
+        windows.get_window(("kaiser", 8.6), 9), sw.kaiser(9, 8.6, sym=True), atol=1e-5
+    )
+    w = windows.get_window("rectangular", 4, dtype=np.float32)
+    np.testing.assert_array_equal(np.asarray(w), np.ones(4, np.float32))
+    with pytest.raises(ValueError, match="unknown window"):
+        windows.get_window("nope", 4)
