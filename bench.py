@@ -56,9 +56,12 @@ def main():
 
     @jax.jit
     def step(x):
+        # fastest measured config: overlap-add FIR + fused MXU framed-DFT
+        # (onesided) — see kernels/dft.py
         return stft_fir_chain(
             x, taps, window,
             fft_length=512, overlap_length=384, sampling_rate=float(RATE),
+            fir_method="oa", onesided=True,
         )
 
     out = step(x)

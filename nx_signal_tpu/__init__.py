@@ -18,7 +18,20 @@ Layering (see SURVEY.md §7):
   models/    end-to-end pipelines (spectrogram, filter chains)
 """
 
-from nx_signal_tpu.ops import convolution, filters, peak_finding, transforms, waveforms, windows
+from nx_signal_tpu.ops import (
+    convolution,
+    filters,
+    peak_finding,
+    resample,
+    transforms,
+    waveforms,
+    windows,
+)
+from nx_signal_tpu.ops.convolution import convolve, correlate, fftconvolve, oaconvolve
+from nx_signal_tpu.ops.filters import firwin, median, wiener
+from nx_signal_tpu.ops.lambert_w import lambert_w
+from nx_signal_tpu.ops.peak_finding import argrelextrema, argrelmax, argrelmin
+from nx_signal_tpu.ops.resample import pfb_analyze, resample_poly, upfirdn
 from nx_signal_tpu.spectral.framing import as_windowed, overlap_and_add
 from nx_signal_tpu.spectral.mel import mel_filters, stft_to_mel
 from nx_signal_tpu.spectral.stft import STFTResult, fft_frequencies, istft, stft
@@ -26,19 +39,19 @@ from nx_signal_tpu.spectral.stft import STFTResult, fft_frequencies, istft, stft
 __version__ = "0.1.0"
 
 __all__ = [
-    "windows",
-    "waveforms",
-    "transforms",
-    "convolution",
-    "filters",
-    "peak_finding",
-    "as_windowed",
-    "overlap_and_add",
-    "stft",
-    "istft",
-    "STFTResult",
-    "fft_frequencies",
-    "mel_filters",
-    "stft_to_mel",
+    # submodules
+    "windows", "waveforms", "transforms", "convolution", "filters",
+    "peak_finding", "resample",
+    # spectral pipeline
+    "stft", "istft", "STFTResult", "fft_frequencies", "as_windowed",
+    "overlap_and_add", "mel_filters", "stft_to_mel",
+    # convolution family
+    "convolve", "correlate", "fftconvolve", "oaconvolve",
+    # filters & design
+    "firwin", "median", "wiener",
+    # resampling
+    "upfirdn", "resample_poly", "pfb_analyze",
+    # peak finding & special
+    "argrelmin", "argrelmax", "argrelextrema", "lambert_w",
     "__version__",
 ]

@@ -1,0 +1,282 @@
+// Native audio IO for nx_signal_tpu: WAV (RIFF) reader/writer and a
+// lock-free SPSC ring buffer for streaming ingestion.
+//
+// The reference has no native layer (SURVEY.md §2: 100% Elixir); this is
+// the data-loader/runtime piece of the TPU framework, kept in C++ so long
+// streams decode (PCM -> planar f32) at memory bandwidth off the Python
+// GIL. Exposed through a plain C ABI consumed via ctypes
+// (nx_signal_tpu/io/wav.py).
+//
+// Supported formats: PCM u8 / s16 / s24 / s32 and IEEE float32, any
+// channel count, with chunked (seekable) block reads.
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+
+namespace {
+
+#pragma pack(push, 1)
+struct RiffHeader {
+  char riff[4];
+  uint32_t size;
+  char wave[4];
+};
+struct ChunkHeader {
+  char id[4];
+  uint32_t size;
+};
+struct FmtChunk {
+  uint16_t format;       // 1 = PCM, 3 = IEEE float, 0xFFFE = extensible
+  uint16_t channels;
+  uint32_t sample_rate;
+  uint32_t byte_rate;
+  uint16_t block_align;
+  uint16_t bits;
+};
+#pragma pack(pop)
+
+constexpr uint16_t kPcm = 1;
+constexpr uint16_t kFloat = 3;
+constexpr uint16_t kExtensible = 0xFFFE;
+
+struct WavReader {
+  FILE* file = nullptr;
+  FmtChunk fmt{};
+  uint16_t resolved_format = 0;
+  long data_offset = 0;
+  uint64_t data_bytes = 0;
+  uint64_t frames_total = 0;
+  uint64_t frames_read = 0;
+};
+
+bool id_is(const char id[4], const char* s) { return std::memcmp(id, s, 4) == 0; }
+
+// Decode interleaved raw frames into planar f32 [channels][stride]
+// (stride = the caller's row capacity; only the first `frames` columns of
+// each row are written).
+void decode_block(const WavReader* r, const uint8_t* raw, uint64_t frames,
+                  float* out, uint64_t stride) {
+  const uint32_t ch = r->fmt.channels;
+  const uint32_t bytes_per_sample = r->fmt.bits / 8;
+  for (uint64_t f = 0; f < frames; ++f) {
+    const uint8_t* p = raw + f * r->fmt.block_align;
+    for (uint32_t c = 0; c < ch; ++c) {
+      const uint8_t* s = p + c * bytes_per_sample;
+      float v = 0.0f;
+      if (r->resolved_format == kFloat && r->fmt.bits == 32) {
+        std::memcpy(&v, s, 4);
+      } else if (r->fmt.bits == 16) {
+        int16_t x;
+        std::memcpy(&x, s, 2);
+        v = static_cast<float>(x) / 32768.0f;
+      } else if (r->fmt.bits == 24) {
+        int32_t x = (s[0] << 8) | (s[1] << 16) | (static_cast<int32_t>(s[2]) << 24);
+        x >>= 8;  // sign-extend
+        v = static_cast<float>(x) / 8388608.0f;
+      } else if (r->fmt.bits == 32) {
+        int32_t x;
+        std::memcpy(&x, s, 4);
+        v = static_cast<float>(x) / 2147483648.0f;
+      } else if (r->fmt.bits == 8) {
+        v = (static_cast<float>(s[0]) - 128.0f) / 128.0f;
+      }
+      out[static_cast<uint64_t>(c) * stride + f] = v;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---- WAV reader ----
+
+void* wav_open(const char* path) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  RiffHeader rh;
+  if (std::fread(&rh, sizeof rh, 1, f) != 1 || !id_is(rh.riff, "RIFF") ||
+      !id_is(rh.wave, "WAVE")) {
+    std::fclose(f);
+    return nullptr;
+  }
+  auto* r = new WavReader();
+  r->file = f;
+  bool have_fmt = false;
+  ChunkHeader chdr;
+  while (std::fread(&chdr, sizeof chdr, 1, f) == 1) {
+    if (id_is(chdr.id, "fmt ")) {
+      uint32_t n = chdr.size < sizeof(FmtChunk) ? chdr.size : sizeof(FmtChunk);
+      if (std::fread(&r->fmt, n, 1, f) != 1) break;
+      if (chdr.size > n) std::fseek(f, chdr.size - n, SEEK_CUR);
+      r->resolved_format = r->fmt.format;
+      if (r->fmt.format == kExtensible) {
+        // sub-format GUID's first two bytes carry the real format tag; we
+        // already skipped the extension, so infer from bits: float iff 32-bit
+        // with byte_rate matching float32 — fall back to PCM.
+        r->resolved_format = kPcm;
+      }
+      have_fmt = true;
+    } else if (id_is(chdr.id, "data")) {
+      r->data_offset = std::ftell(f);
+      r->data_bytes = chdr.size;
+      std::fseek(f, (chdr.size + 1) & ~1u, SEEK_CUR);
+    } else {
+      std::fseek(f, (chdr.size + 1) & ~1u, SEEK_CUR);
+    }
+  }
+  if (!have_fmt || r->data_offset == 0 || r->fmt.block_align == 0 ||
+      (r->fmt.bits != 8 && r->fmt.bits != 16 && r->fmt.bits != 24 &&
+       r->fmt.bits != 32)) {
+    std::fclose(f);
+    delete r;
+    return nullptr;
+  }
+  r->frames_total = r->data_bytes / r->fmt.block_align;
+  std::fseek(f, r->data_offset, SEEK_SET);
+  return r;
+}
+
+int32_t wav_channels(void* h) { return static_cast<WavReader*>(h)->fmt.channels; }
+int32_t wav_sample_rate(void* h) { return static_cast<WavReader*>(h)->fmt.sample_rate; }
+int64_t wav_frames(void* h) { return static_cast<WavReader*>(h)->frames_total; }
+int32_t wav_bits(void* h) { return static_cast<WavReader*>(h)->fmt.bits; }
+
+// Read up to `frames` frames into planar f32 out[channels][frames].
+// Returns frames actually read (0 at EOF, -1 on error).
+int64_t wav_read(void* h, float* out, int64_t frames) {
+  auto* r = static_cast<WavReader*>(h);
+  uint64_t remaining = r->frames_total - r->frames_read;
+  uint64_t want = frames < 0 ? 0 : static_cast<uint64_t>(frames);
+  if (want > remaining) want = remaining;
+  if (want == 0) return 0;
+  uint64_t bytes = want * r->fmt.block_align;
+  uint8_t* raw = static_cast<uint8_t*>(std::malloc(bytes));
+  if (!raw) return -1;
+  uint64_t got = std::fread(raw, 1, bytes, r->file) / r->fmt.block_align;
+  decode_block(r, raw, got, out, static_cast<uint64_t>(frames));
+  std::free(raw);
+  r->frames_read += got;
+  return static_cast<int64_t>(got);
+}
+
+int64_t wav_seek(void* h, int64_t frame) {
+  auto* r = static_cast<WavReader*>(h);
+  if (frame < 0 || static_cast<uint64_t>(frame) > r->frames_total) return -1;
+  std::fseek(r->file, r->data_offset + frame * r->fmt.block_align, SEEK_SET);
+  r->frames_read = frame;
+  return frame;
+}
+
+void wav_close(void* h) {
+  auto* r = static_cast<WavReader*>(h);
+  if (r->file) std::fclose(r->file);
+  delete r;
+}
+
+// ---- WAV writer (PCM16 or float32) ----
+
+int32_t wav_write(const char* path, const float* planar, int32_t channels,
+                  int64_t frames, int32_t sample_rate, int32_t as_float) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  const uint16_t bits = as_float ? 32 : 16;
+  const uint16_t block = channels * bits / 8;
+  const uint32_t data_bytes = static_cast<uint32_t>(frames * block);
+  RiffHeader rh{{'R', 'I', 'F', 'F'}, 36 + data_bytes, {'W', 'A', 'V', 'E'}};
+  std::fwrite(&rh, sizeof rh, 1, f);
+  ChunkHeader fmt_h{{'f', 'm', 't', ' '}, 16};
+  std::fwrite(&fmt_h, sizeof fmt_h, 1, f);
+  FmtChunk fmt{static_cast<uint16_t>(as_float ? kFloat : kPcm),
+               static_cast<uint16_t>(channels),
+               static_cast<uint32_t>(sample_rate),
+               static_cast<uint32_t>(sample_rate * block),
+               block,
+               bits};
+  std::fwrite(&fmt, sizeof fmt, 1, f);
+  ChunkHeader data_h{{'d', 'a', 't', 'a'}, data_bytes};
+  std::fwrite(&data_h, sizeof data_h, 1, f);
+  for (int64_t fidx = 0; fidx < frames; ++fidx) {
+    for (int32_t c = 0; c < channels; ++c) {
+      float v = planar[static_cast<int64_t>(c) * frames + fidx];
+      if (as_float) {
+        std::fwrite(&v, 4, 1, f);
+      } else {
+        float clamped = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
+        float scaled = clamped * 32767.0f;
+        int32_t q = static_cast<int32_t>(scaled + (scaled >= 0 ? 0.5f : -0.5f));
+        int16_t s = static_cast<int16_t>(q);
+        std::fwrite(&s, 2, 1, f);
+      }
+    }
+  }
+  std::fclose(f);
+  return 0;
+}
+
+// ---- lock-free SPSC ring buffer (f32 samples) ----
+
+struct Ring {
+  float* buf;
+  uint64_t capacity;  // power of two
+  std::atomic<uint64_t> head{0};  // write index (producer)
+  std::atomic<uint64_t> tail{0};  // read index (consumer)
+};
+
+void* ring_create(uint64_t min_capacity) {
+  uint64_t cap = 1;
+  while (cap < min_capacity) cap <<= 1;
+  auto* r = new Ring();
+  r->buf = static_cast<float*>(std::malloc(cap * sizeof(float)));
+  if (!r->buf) {
+    delete r;
+    return nullptr;
+  }
+  r->capacity = cap;
+  return r;
+}
+
+uint64_t ring_capacity(void* h) { return static_cast<Ring*>(h)->capacity; }
+
+uint64_t ring_size(void* h) {
+  auto* r = static_cast<Ring*>(h);
+  return r->head.load(std::memory_order_acquire) -
+         r->tail.load(std::memory_order_acquire);
+}
+
+// Returns samples actually written (partial when full).
+uint64_t ring_push(void* h, const float* data, uint64_t n) {
+  auto* r = static_cast<Ring*>(h);
+  uint64_t head = r->head.load(std::memory_order_relaxed);
+  uint64_t tail = r->tail.load(std::memory_order_acquire);
+  uint64_t space = r->capacity - (head - tail);
+  if (n > space) n = space;
+  for (uint64_t i = 0; i < n; ++i)
+    r->buf[(head + i) & (r->capacity - 1)] = data[i];
+  r->head.store(head + n, std::memory_order_release);
+  return n;
+}
+
+// Returns samples actually read (partial when empty).
+uint64_t ring_pop(void* h, float* out, uint64_t n) {
+  auto* r = static_cast<Ring*>(h);
+  uint64_t tail = r->tail.load(std::memory_order_relaxed);
+  uint64_t head = r->head.load(std::memory_order_acquire);
+  uint64_t avail = head - tail;
+  if (n > avail) n = avail;
+  for (uint64_t i = 0; i < n; ++i)
+    out[i] = r->buf[(tail + i) & (r->capacity - 1)];
+  r->tail.store(tail + n, std::memory_order_release);
+  return n;
+}
+
+void ring_destroy(void* h) {
+  auto* r = static_cast<Ring*>(h);
+  std::free(r->buf);
+  delete r;
+}
+
+}  // extern "C"

@@ -1,0 +1,236 @@
+"""Audio IO: ctypes bindings over the native C++ loader (io/native/wav_io.cpp).
+
+The native library decodes PCM -> planar float32 off the GIL at memory
+bandwidth; it is compiled on first use with g++ (cached next to the source)
+— no pip/pybind11 dependency, plain C ABI + ctypes. A pure-Python fallback
+(stdlib `wave`) covers environments without a compiler.
+"""
+
+import ctypes
+import os
+import subprocess
+import tempfile
+import threading
+import warnings
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["read_wav", "write_wav", "stream_wav", "WavReader", "RingBuffer"]
+
+_NATIVE_DIR = Path(__file__).parent / "native"
+_SRC = _NATIVE_DIR / "wav_io.cpp"
+_LIB_PATH = _NATIVE_DIR / "libnxsignal_io.so"
+_lock = threading.Lock()
+_lib = None
+_native_failed = False
+
+
+def _build_native():
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        str(_SRC), "-o", str(_LIB_PATH),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _native_failed
+    with _lock:
+        if _lib is not None or _native_failed:
+            return _lib
+        try:
+            if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+                _build_native()
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except (OSError, subprocess.CalledProcessError) as e:  # pragma: no cover
+            warnings.warn(f"native wav_io unavailable ({e}); using Python fallback")
+            _native_failed = True
+            return None
+        lib.wav_open.restype = ctypes.c_void_p
+        lib.wav_open.argtypes = [ctypes.c_char_p]
+        lib.wav_channels.argtypes = [ctypes.c_void_p]
+        lib.wav_sample_rate.argtypes = [ctypes.c_void_p]
+        lib.wav_bits.argtypes = [ctypes.c_void_p]
+        lib.wav_frames.restype = ctypes.c_int64
+        lib.wav_frames.argtypes = [ctypes.c_void_p]
+        lib.wav_read.restype = ctypes.c_int64
+        lib.wav_read.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                                 ctypes.c_int64]
+        lib.wav_seek.restype = ctypes.c_int64
+        lib.wav_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.wav_close.argtypes = [ctypes.c_void_p]
+        lib.wav_write.restype = ctypes.c_int32
+        lib.wav_write.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.ring_create.restype = ctypes.c_void_p
+        lib.ring_create.argtypes = [ctypes.c_uint64]
+        for name in ("ring_capacity", "ring_size"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_uint64
+            fn.argtypes = [ctypes.c_void_p]
+        for name in ("ring_push", "ring_pop"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_uint64
+            fn.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                           ctypes.c_uint64]
+        lib.ring_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+class WavReader:
+    """Chunked WAV reader: planar float32 (channels, frames) blocks."""
+
+    def __init__(self, path):
+        self._lib = _load()
+        self._path = os.fspath(path)
+        if self._lib is not None:
+            self._h = self._lib.wav_open(self._path.encode())
+            if not self._h:
+                raise OSError(f"cannot open WAV file: {path}")
+            self.channels = self._lib.wav_channels(self._h)
+            self.sample_rate = self._lib.wav_sample_rate(self._h)
+            self.num_frames = self._lib.wav_frames(self._h)
+            self.bits = self._lib.wav_bits(self._h)
+        else:  # pure-Python fallback
+            import wave
+
+            self._wave = wave.open(self._path, "rb")
+            self.channels = self._wave.getnchannels()
+            self.sample_rate = self._wave.getframerate()
+            self.num_frames = self._wave.getnframes()
+            self.bits = self._wave.getsampwidth() * 8
+            self._h = None
+
+    def read(self, frames: int) -> np.ndarray:
+        """Read up to `frames` frames; (channels, n) float32, n==0 at EOF."""
+        if self._h is not None:
+            out = np.empty((self.channels, frames), dtype=np.float32)
+            got = self._lib.wav_read(
+                self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), frames
+            )
+            if got < 0:
+                raise OSError("wav read failed")
+            return out[:, :got]
+        raw = self._wave.readframes(frames)
+        width = self.bits // 8
+        if width == 2:
+            data = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif width == 4:
+            data = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+        elif width == 1:
+            data = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported sample width {width}")
+        return data.reshape(-1, self.channels).T.copy()
+
+    def seek(self, frame: int):
+        if self._h is not None:
+            if self._lib.wav_seek(self._h, frame) < 0:
+                raise ValueError(f"seek out of range: {frame}")
+        else:
+            self._wave.setpos(frame)
+
+    def close(self):
+        if self._h is not None:
+            self._lib.wav_close(self._h)
+            self._h = None
+        elif getattr(self, "_wave", None) is not None:
+            self._wave.close()
+            self._wave = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_wav(path):
+    """Read a whole WAV file -> ((channels, frames) float32, sample_rate)."""
+    with WavReader(path) as r:
+        data = r.read(r.num_frames)
+        return data, r.sample_rate
+
+
+def write_wav(path, data, sample_rate: int, *, float32: bool = False):
+    """Write planar (channels, frames) float32 data as PCM16 (default) or
+    IEEE float32 WAV."""
+    data = np.ascontiguousarray(np.atleast_2d(np.asarray(data, dtype=np.float32)))
+    lib = _load()
+    if lib is not None:
+        rc = lib.wav_write(
+            os.fspath(path).encode(),
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            data.shape[0], data.shape[1], int(sample_rate), int(float32),
+        )
+        if rc != 0:
+            raise OSError(f"cannot write WAV file: {path}")
+        return
+    import wave  # fallback: PCM16 only
+
+    with wave.open(os.fspath(path), "wb") as w:
+        w.setnchannels(data.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        pcm = (np.clip(data, -1.0, 1.0) * 32767.0).astype("<i2")
+        w.writeframes(pcm.T.tobytes())
+
+
+def stream_wav(path, chunk_frames: int):
+    """Generator of (channels, chunk_frames) float32 blocks (last may be
+    short) — feeds the streaming processors (parallel/streaming.py)."""
+    with WavReader(path) as r:
+        while True:
+            block = r.read(chunk_frames)
+            if block.shape[1] == 0:
+                return
+            yield block
+
+
+class RingBuffer:
+    """Lock-free SPSC float32 ring buffer (native). Producer thread pushes
+    decoded samples; the TPU feed thread pops fixed-size chunks."""
+
+    def __init__(self, min_capacity: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native ring buffer requires the compiled library")
+        self._lib = lib
+        self._h = lib.ring_create(min_capacity)
+        if not self._h:
+            raise MemoryError("ring_create failed")
+
+    @property
+    def capacity(self):
+        return self._lib.ring_capacity(self._h)
+
+    def __len__(self):
+        return self._lib.ring_size(self._h)
+
+    def push(self, data) -> int:
+        data = np.ascontiguousarray(data, dtype=np.float32).ravel()
+        return self._lib.ring_push(
+            self._h, data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), data.size
+        )
+
+    def pop(self, n: int) -> np.ndarray:
+        out = np.empty(n, dtype=np.float32)
+        got = self._lib.ring_pop(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n
+        )
+        return out[:got]
+
+    def close(self):
+        if self._h:
+            self._lib.ring_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

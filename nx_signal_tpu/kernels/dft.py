@@ -1,0 +1,108 @@
+"""Fused framing + window + DFT as MXU block-matmuls.
+
+The STFT hot path (SURVEY.md §3.1: the "fused window-multiply+frame"
+kernel). Instead of materializing the (frames, frame_length) matrix and
+calling the FFT (measured on v5e: 4.1 ms framing + 9.4 ms XLA rfft for
+16ch x 10s @ 48 kHz), the whole transform is expressed as
+
+    z = frames @ (diag(window) @ F)      F = DFT matrix [frame_length, bins]
+
+and `frames` is never built: framing decomposes into C = ceil(frame/hop)
+contiguous reshape-blocks of the signal (spectral/framing.py), so
+
+    z = sum_r  x_block_r  @  W[r*hop : r*hop + w_r, :]
+
+— C reshape+matmul+accumulate steps, zero gathers, zero materialization,
+all on the MXU (measured: DFT-matmul alone beats XLA's 512-pt FFT ~3x;
+fusing removes the framing pass entirely). O(N^2) vs O(N log N) only wins
+for small N — `good_matmul_fft_length` gates the dispatch; large FFTs stay
+on XLA's FFT.
+
+Real and imaginary parts ride one stacked [Wr | Wi] matrix so each block is
+a single f32 matmul with `precision` control (default HIGHEST: full-f32
+MXU passes; DEFAULT's bf16 passes are ~35% faster at ~1e-3 accuracy).
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+from nx_signal_tpu.spectral.framing import _frame_block_widths
+from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
+
+__all__ = ["framed_dft", "good_matmul_fft_length", "blocked_frame_matmul"]
+
+_MAX_MATMUL_FFT = 1024
+
+
+def good_matmul_fft_length(n_fft: int) -> bool:
+    """True when the O(N^2) MXU DFT beats XLA's FFT for this size."""
+    return n_fft <= _MAX_MATMUL_FFT
+
+
+def blocked_frame_matmul(x, weights, *, window_length: int, stride: int,
+                         num_frames: int, precision="highest"):
+    """Compute `as_windowed(x, window_length, stride)[:num_frames] @ weights`
+    WITHOUT materializing the frame matrix: the framing decomposes into
+    C = ceil(window/stride) contiguous reshape-blocks, each contributing a
+    plain (num_frames, w_r) @ (w_r, out) MXU matmul against the matching
+    row-slice of `weights` ((window_length, out)). Zero gathers; the signal
+    is read C times and that is the only data movement.
+    """
+    x = jnp.asarray(x)
+    weights = jnp.asarray(weights)
+    widths = _frame_block_widths(window_length, stride)
+    needed = (num_frames + len(widths) - 1) * stride
+    batch = x.shape[:-1]
+    if needed > x.shape[-1]:
+        x = jnp.pad(x, [(0, 0)] * len(batch) + [(0, needed - x.shape[-1])])
+    acc = None
+    for r, w_r in enumerate(widths):
+        block = x[..., r * stride : (r + num_frames) * stride]
+        block = block.reshape(*batch, num_frames, stride)
+        if w_r < stride:
+            block = block[..., :w_r]
+        part = jnp.matmul(
+            block, weights[r * stride : r * stride + w_r], precision=precision
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _dft_weights(window, frame_length: int, n_fft: int, onesided: bool, dtype):
+    """[Wr | Wi] stacked (frame_length, 2*bins): the window-scaled DFT
+    matrix restricted to the first frame_length input rows (zero-padding to
+    n_fft is implicit)."""
+    bins = n_fft // 2 + 1 if onesided else n_fft
+    k = np.arange(bins)[None, :]
+    n = np.arange(frame_length)[:, None]
+    angle = -2.0 * np.pi * n * k / n_fft
+    w = np.asarray(window, dtype=np.float64)[:, None]
+    wr = (w * np.cos(angle)).astype(dtype)
+    wi = (w * np.sin(angle)).astype(dtype)
+    return jnp.asarray(np.concatenate([wr, wi], axis=1))
+
+
+def framed_dft(x, window, *, stride: int, n_fft: int, onesided: bool = False,
+               precision="highest"):
+    """Windowed framed DFT of the (..., L) signal: returns complex
+    (..., M, bins) with M = (L - frame_length)//stride + 1 — equal (to f32
+    accuracy) to `fft(as_windowed(x, frame, stride) * window, n_fft)`.
+
+    The signal must already be padded (padding modes are handled by the
+    caller, spectral/stft.py).
+    """
+    x = jnp.asarray(x)
+    window = jnp.asarray(window)
+    frame_length = window.shape[-1]
+    num_frames = (x.shape[-1] - frame_length) // stride + 1
+    bins = n_fft // 2 + 1 if onesided else n_fft
+
+    weights = _dft_weights(window, frame_length, n_fft, onesided, DEFAULT_FLOAT)
+    acc = blocked_frame_matmul(
+        x.astype(DEFAULT_FLOAT), weights,
+        window_length=frame_length, stride=stride, num_frames=num_frames,
+        precision=precision,
+    )
+    return lax.complex(acc[..., :bins], acc[..., bins:])

@@ -105,17 +105,28 @@ class FIRFilterChain:
 
 
 def stft_fir_chain(x, taps, window, *, fft_length: int, overlap_length: int,
-                   sampling_rate: float = 16000.0):
+                   sampling_rate: float = 16000.0, fir_method: str = "direct",
+                   onesided: bool = True):
     """The north-star benchmark chain (BASELINE.json): FIR low-pass then
     Hann STFT -> power spectrogram, returning (filtered, power). Jittable;
-    batched over leading channel axes."""
+    batched over leading channel axes.
+
+    Defaults are the TPU-fast configuration: direct FIR (the Toeplitz-matmul
+    MXU path — measured faster than FFT overlap-add for couple-hundred-tap
+    filters on TPU) and a one-sided power spectrum (real input)."""
+    from nx_signal_tpu.ops.convolution import convolve
+
     taps_b = taps.reshape((1,) * (x.ndim - 1) + (-1,)) if x.ndim > 1 else taps
-    y = oaconvolve(x, taps_b, mode="same")
+    if fir_method == "oa":
+        y = oaconvolve(x, taps_b, mode="same")
+    else:
+        y = convolve(x, taps_b, mode="same", method=fir_method)
     z, _, _ = stft(
         y, window,
         sampling_rate=sampling_rate,
         fft_length=fft_length,
         overlap_length=overlap_length,
+        onesided=onesided,
     )
     power = jnp.abs(z) ** 2
     return y, power

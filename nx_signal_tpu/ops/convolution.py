@@ -13,7 +13,7 @@ TPU-first notes
   onto the MXU. Complex inputs are decomposed into real convolutions
   (TPU convs are real): (a+bi)*(c+di) = (ac - bd) + i(ad + bc).
 * FFT convolution pads each conv axis from the exact N+K-1 up to the next
-  5-smooth length (TPU FFTs want smooth sizes) and slices back — results are
+  power-of-two length (XLA's TPU FFT lowers other sizes to a dense O(N^2) DFT matmul) and slices back — results are
   identical, never circular. Real inputs take the rfft half-spectrum path:
   half the FFT flops and HBM traffic.
 * Overlap-add framing/summation reuses the deterministic fold from
@@ -26,13 +26,13 @@ import jax.numpy as jnp
 from jax import lax
 
 from nx_signal_tpu.ops.transforms import fft_nd, ifft_nd, irfft_nd, rfft_nd
-from nx_signal_tpu.spectral.framing import _ola_fold
+from nx_signal_tpu.spectral.framing import _ola_fold, as_windowed
 from nx_signal_tpu.utils.dtypes import (
     default_complex,
     is_complex_dtype,
     result_real_dtype,
 )
-from nx_signal_tpu.utils.shapes import next_fast_len
+from nx_signal_tpu.utils.shapes import fft_fast_length
 
 __all__ = ["convolve", "correlate", "fftconvolve", "oaconvolve"]
 
@@ -123,7 +123,83 @@ def _conv_real(volume, kernel, padding):
     return out.reshape(out.shape[2:])
 
 
-def _direct_convolve(in1, in2, mode):
+def _fir_block_size(k: int) -> int:
+    """Output-block width for the Toeplitz-matmul FIR path: >= K so the
+    flop waste factor (B+K-1)/B stays <= 2, MXU-aligned."""
+    return max(512, -(-k // 128) * 128)
+
+
+def fir_convolve_1d(x, taps, mode="full", *, origin: int = 0):
+    """1-D convolution over the last axis as a blocked Toeplitz matmul —
+    the MXU-native direct FIR path.
+
+    y_full[n] = sum_m taps[m] x[n-m] evaluated as (frames @ W): frames are
+    gather-free (B+K-1)-wide windows at stride B of the zero-padded signal,
+    W[t, j] = taps[j+K-1-t] banded Toeplitz. This replaces
+    lax.conv_general_dilated for long-1-D kernels, which XLA executes ~25x
+    slower than the MXU matmul on TPU (measured: 21 vs 500+ Msamples/s for
+    255 taps).
+
+    `origin` aligns the block grid to a global full-conv index: output
+    sample f lands in matmul column (f + origin) % B regardless of local
+    offsets, so sharded overlap-save calls (nx_signal_tpu.parallel) produce
+    bitwise-identical sums to the single-device call.
+    """
+    from nx_signal_tpu.kernels.dft import blocked_frame_matmul
+
+    x = jnp.asarray(x)
+    taps = jnp.asarray(taps).reshape(-1)
+    k = taps.shape[0]
+    length = x.shape[-1]
+    full_len = length + k - 1
+    block = _fir_block_size(k)
+    shift = origin % block
+
+    batch = x.shape[:-1]
+    num_frames = -(-(full_len + shift) // block)
+    total = num_frames * block + k - 1
+    xp = jnp.pad(
+        x, [(0, 0)] * len(batch) + [(k - 1 + shift, total - (k - 1 + shift) - length)]
+    )
+
+    t_idx = jnp.arange(block + k - 1)[:, None]
+    j_idx = jnp.arange(block)[None, :]
+    m = j_idx + (k - 1) - t_idx
+    weights = jnp.where(
+        (m >= 0) & (m < k), jnp.take(taps, jnp.clip(m, 0, k - 1)), jnp.zeros((), taps.dtype)
+    )
+    out_dtype = jnp.promote_types(x.dtype, taps.dtype)
+    y = blocked_frame_matmul(
+        xp.astype(out_dtype), weights.astype(out_dtype),
+        window_length=block + k - 1, stride=block, num_frames=num_frames,
+    )
+    y = y.reshape(*batch, num_frames * block)[..., shift : shift + full_len]
+
+    if mode == "full":
+        return y
+    if mode == "same":
+        start = (k - 1) // 2
+        return y[..., start : start + length]
+    if mode == "valid":
+        if length >= k:
+            return y[..., k - 1 : length]
+        return y[..., length - 1 : k]
+    raise ValueError(f"expected mode to be one of ['full', 'same', 'valid'], got: {mode}")
+
+
+def _is_1d_fir_case(in1, in2) -> bool:
+    """True when in2 is a 1-D-over-last-axis kernel (leading dims all 1):
+    leading axes convolve trivially (k=1 identity) and the last axis is a
+    plain FIR — the Toeplitz-matmul fast path applies."""
+    return (
+        in1.ndim >= 1
+        and all(d == 1 for d in in2.shape[:-1])
+        and in2.shape[-1] >= 2
+        and in1.shape[-1] >= 2
+    )
+
+
+def _direct_convolve(in1, in2, mode, use_matmul=True):
     in1, in2 = jnp.asarray(in1), jnp.asarray(in2)
     rank = _check_ranks(in1, in2)
     if rank == 0:
@@ -134,6 +210,9 @@ def _direct_convolve(in1, in2, mode):
 
     in1 = _float_cast(in1)
     in2 = _float_cast(in2)
+
+    if use_matmul and _is_1d_fir_case(in1, in2):
+        return fir_convolve_1d(in1, in2, mode)
 
     # Flip the kernel on every axis: conv primitives correlate (reference
     # flips with Nx.reverse, convolution.ex:137).
@@ -202,7 +281,7 @@ def fftconvolve(in1, in2, *, mode="full"):
     s1, s2 = in1.shape, in2.shape
     axes = [ax for ax in range(in1.ndim) if s1[ax] != 1 and s2[ax] != 1]
     exact = [s1[ax] + s2[ax] - 1 for ax in axes]
-    fast = [next_fast_len(n) for n in exact]
+    fast = [fft_fast_length(n) for n in exact]
 
     in1 = _float_cast(in1)
     in2 = _float_cast(in2)
@@ -236,13 +315,13 @@ def _oa_block_length(k: int) -> int:
     """Pick the overlap-add FFT block size: minimize FFT work per output
     sample over smooth candidate sizes (classic OA cost model)."""
     best, best_cost = None, None
-    n = next_fast_len(2 * k)
-    while n <= next_fast_len(64 * k):
+    n = fft_fast_length(2 * k)
+    while n <= fft_fast_length(64 * k):
         step = n - k + 1
         cost = n * math.log2(max(n, 2)) / step
         if best_cost is None or cost < best_cost:
             best, best_cost = n, cost
-        n = next_fast_len(n + 1)
+        n = fft_fast_length(n + 1)
     return best
 
 
@@ -252,7 +331,7 @@ def oaconvolve(in1, in2, *, mode="full", block_length=None):
     is commented out there).
 
     The signal (..., N) is cut into steps of B-K+1 samples, each block is
-    convolved with the (..., K) kernel via rfft of 5-smooth length B, and the
+    convolved with the (..., K) kernel via rfft of power-of-two length B, and the
     K-1 block tails are overlap-added with the deterministic fold from
     spectral/framing.py. Leading axes must broadcast. Output matches
     `fftconvolve` (same mode semantics) within float tolerance.

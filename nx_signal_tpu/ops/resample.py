@@ -1,0 +1,176 @@
+"""Polyphase resampling and filterbanks (scipy.signal.upfirdn /
+resample_poly semantics) — new components beyond the reference (BASELINE
+configs 4-5: 48 kHz -> 16 kHz resample, wideband polyphase channelizer).
+
+TPU-first design: no zero-stuffing ever happens. `upfirdn` is evaluated in
+polyphase form — for output residue class r (mod up), the needed input
+windows form a stride-`down` frame matrix (built with the gather-free
+slice/reshape framing) and the phase filter is applied as a single MXU
+matvec. The polyphase channelizer is frames-reshape + weighted sum + one
+batched FFT across channels.
+"""
+
+import math
+
+import jax.numpy as jnp
+
+from nx_signal_tpu.ops.filters import firwin
+from nx_signal_tpu.spectral.framing import as_windowed
+from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT, is_complex_dtype
+
+__all__ = ["upfirdn", "resample_poly", "pfb_analyze"]
+
+
+def _upfirdn_out_len(n_in: int, k: int, up: int, down: int) -> int:
+    return -(-((n_in - 1) * up + k) // down)
+
+
+def upfirdn(h, x, up: int = 1, down: int = 1):
+    """Upsample by `up` (conceptually zero-stuffing), FIR filter with `h`,
+    downsample by `down` — scipy.signal.upfirdn semantics over the last axis
+    of `x` (leading axes are batch).
+
+    Polyphase evaluation: out[n] = sum_t H[p_n, t] * x[q_n - t] with
+    p_n = (n*down) % up, q_n = (n*down) // up, H[p, t] = h[p + t*up].
+    Outputs are grouped by n mod up so each group is one strided-frame
+    matrix times a phase filter (MXU matvec); no stuffed zeros are ever
+    materialized or multiplied.
+    """
+    h = jnp.asarray(h)
+    x = jnp.asarray(x)
+    if h.ndim != 1:
+        raise ValueError(f"h must be 1-D, got rank {h.ndim}")
+    if up < 1 or down < 1:
+        raise ValueError(f"up and down must be >= 1, got: up={up}, down={down}")
+    k = h.shape[0]
+    n_in = x.shape[-1]
+    n_out = _upfirdn_out_len(n_in, k, up, down)
+    num_phases = -(-k // up)  # taps per phase (T)
+
+    dtype = jnp.promote_types(h.dtype, x.dtype)
+    if not (jnp.issubdtype(dtype, jnp.floating) or is_complex_dtype(dtype)):
+        dtype = DEFAULT_FLOAT
+    h = h.astype(dtype)
+    x = x.astype(dtype)
+
+    # Phase filter bank H[p, t] = h[p + t*up], reversed in t so a plain
+    # frame-window dot computes the correlation sum.
+    h_pad = jnp.pad(h, (0, num_phases * up - k))
+    bank = h_pad.reshape(num_phases, up).T[:, ::-1]  # (up, T), t reversed
+
+    # Left-pad T-1 zeros so window j of stride-down frames at offset o is
+    # exactly [x[q-T+1], ..., x[q]] for q = j*down + o.
+    t_taps = num_phases
+    batch = x.shape[:-1]
+    j_max = (n_out - 1) // up  # most frames any residue class needs
+    q_max = ((n_out - 1) * down) // up
+    pad_right = max(0, q_max + 1 - n_in)
+    xp = jnp.pad(x, [(0, 0)] * len(batch) + [(t_taps - 1, pad_right)])
+
+    outs = []
+    for r in range(min(up, n_out)):
+        p = (r * down) % up
+        offset = (r * down) // up
+        n_frames = (n_out - 1 - r) // up + 1  # outputs n = j*up + r < n_out
+        # frames[j] = xp[j*down + offset : ... + T] (original samples
+        # x[q-T+1 .. q], q = j*down + offset)
+        frames = as_windowed(
+            xp[..., offset:], window_length=t_taps, stride=down
+        )[..., :n_frames, :]
+        outs.append(frames @ bank[p])
+    if up == 1:
+        return outs[0]
+    # Interleave residue classes: out[j*up + r] = outs[r][j]
+    padded = [
+        jnp.pad(o, [(0, 0)] * len(batch) + [(0, j_max + 1 - o.shape[-1])])
+        for o in outs
+    ]
+    while len(padded) < up:
+        padded.append(jnp.zeros_like(padded[0]))
+    stacked = jnp.stack(padded, axis=-1)  # (..., J, up)
+    return stacked.reshape(*batch, (j_max + 1) * up)[..., :n_out]
+
+
+def resample_poly(x, up: int, down: int, *, window=("kaiser", 5.0), taps=None):
+    """Rational-rate polyphase resampling, scipy.signal.resample_poly
+    semantics over the last axis: gcd-reduce up/down, design an anti-alias
+    FIR (kaiser 5.0 by default, 10*max(up,down) half-length) scaled by
+    `up`, apply via `upfirdn`, and slice the centered n_in*up/down samples.
+    Pass `taps` to use a custom prototype filter instead.
+    """
+    x = jnp.asarray(x)
+    if up < 1 or down < 1:
+        raise ValueError(f"up and down must be >= 1, got: up={up}, down={down}")
+    g = math.gcd(int(up), int(down))
+    up, down = int(up) // g, int(down) // g
+    n_in = x.shape[-1]
+    n_out = -(-n_in * up // down)
+    if up == 1 and down == 1:
+        return x
+
+    if taps is None:
+        max_rate = max(up, down)
+        half_len = 10 * max_rate
+        h = firwin(2 * half_len + 1, [1.0 / max_rate], window=window)
+    else:
+        h = jnp.asarray(taps)
+        if h.shape[0] % 2 != 1:
+            raise ValueError("resample_poly prototype filter must have odd length")
+        half_len = (h.shape[0] - 1) // 2
+    h = h * up
+
+    # Zero-pad the filter front so its group delay lands on an output-grid
+    # sample, then drop the delay (scipy's alignment).
+    n_pre_pad = (down - half_len % down) % down
+    h = jnp.concatenate([jnp.zeros(n_pre_pad, h.dtype), h])
+    n_pre_remove = (half_len + n_pre_pad) // down
+
+    y = upfirdn(h, x, up, down)
+    return y[..., n_pre_remove : n_pre_remove + n_out]
+
+
+def pfb_analyze(x, n_channels: int, *, taps_per_channel: int = 8, window=("kaiser", 5.0),
+                taps=None, shift: bool = False):
+    """Critically-sampled polyphase analysis filterbank (DFT channelizer) —
+    the wideband-SDR front end (BASELINE config 5).
+
+    Splits the last axis of `x` into `n_channels` equal sub-bands, each
+    decimated by n_channels: frames of n_channels*taps_per_channel samples
+    at stride n_channels, weighted by the polyphase decomposition of the
+    prototype low-pass, summed over taps, then one batched FFT across the
+    channel axis. Returns (..., frames, channels) complex.
+
+    The prototype defaults to firwin(n_channels*taps_per_channel,
+    1/n_channels, kaiser 5.0); pass `taps` to override. `shift=True` applies
+    fftshift over the channel axis (center-DC ordering).
+    """
+    x = jnp.asarray(x)
+    m = n_channels
+    if taps is None:
+        proto = firwin(m * taps_per_channel, [1.0 / m], window=window)
+    else:
+        proto = jnp.asarray(taps)
+        if proto.shape[0] % m != 0:
+            raise ValueError(
+                f"prototype length ({proto.shape[0]}) must be a multiple of "
+                f"n_channels ({m})"
+            )
+        taps_per_channel = proto.shape[0] // m
+    # Polyphase weights: w[j, c] = proto[j*m + c]
+    weights = proto.reshape(taps_per_channel, m)
+
+    dtype = jnp.promote_types(x.dtype, proto.dtype)
+    if not (jnp.issubdtype(dtype, jnp.floating) or is_complex_dtype(dtype)):
+        dtype = DEFAULT_FLOAT
+    x = x.astype(dtype)
+
+    window_length = m * taps_per_channel
+    frames = as_windowed(x, window_length=window_length, stride=m)
+    batch_frames = frames.shape[:-1]
+    blocks = frames.reshape(*batch_frames, taps_per_channel, m)
+    # y[t, c] = sum_j w[j, c] * x[t*m + j*m + c]  (filter-and-decimate)
+    summed = jnp.einsum("...jc,jc->...c", blocks, weights.astype(dtype))
+    channels = jnp.fft.fft(summed, axis=-1)
+    if shift:
+        channels = jnp.fft.fftshift(channels, axes=-1)
+    return channels

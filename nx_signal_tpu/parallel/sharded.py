@@ -28,7 +28,14 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from nx_signal_tpu.ops.convolution import convolve
+from nx_signal_tpu.ops.convolution import (
+    _direct_convolve,
+    _fir_block_size,
+    _float_cast,
+    convolve,
+    fir_convolve_1d,
+)
+from nx_signal_tpu.kernels.dft import framed_dft, good_matmul_fft_length
 from nx_signal_tpu.spectral.framing import _ola_fold, as_windowed
 from nx_signal_tpu.spectral.stft import STFTResult, _apply_scaling, _resolve_fft_length, fft_frequencies
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
@@ -69,9 +76,12 @@ def sharded_convolve_same(x, taps, *, mesh, method="direct"):
     Overlap-save style: each device fetches (K-1)-sample halos — the left
     halo of (K-1) - (K-1)//2 samples and right halo of (K-1)//2 samples,
     matching the single-device 'same' padding split (ops/convolution.py) —
-    then runs a local 'valid' convolution. No cross-device accumulation at
-    all, so with method='direct' the result is bitwise identical to the
-    single-device `convolve(x, taps, mode='same')`.
+    then runs a local 'valid' convolution. There is no cross-device
+    accumulation at all, so results match the single-device
+    `convolve(x, taps, mode='same')` exactly up to the backend's matmul
+    determinism: method='direct' (Toeplitz-matmul MXU path, fastest) is
+    bitwise identical on TPU; method='conv' (lax.conv) is bitwise identical
+    everywhere but ~25x slower on TPU; method='fft' matches to FFT accuracy.
     """
     x, squeeze = _norm_2d(x)
     taps = jnp.asarray(taps)
@@ -80,8 +90,11 @@ def sharded_convolve_same(x, taps, *, mesh, method="direct"):
     _check_divisible("channels", x.shape[0], n_channel)
     length = x.shape[1]
     # Auto-pad to an even block split; the zeros match 'same' edge padding,
-    # and the padded outputs are sliced away (bitwise-preserving).
-    block_len = -(-length // n_block)
+    # and the padded outputs are sliced away (bitwise-preserving). The block
+    # is rounded to the FIR matmul block size so the Toeplitz block grid has
+    # the same global phase on every device (origin is static under SPMD).
+    grid = _fir_block_size(k) if method == "direct" else 1
+    block_len = -(-length // (n_block * grid)) * grid
     if block_len * n_block != length:
         x = jnp.pad(x, [(0, 0), (0, block_len * n_block - length)])
     pad_right = (k - 1) // 2
@@ -101,6 +114,19 @@ def sharded_convolve_same(x, taps, *, mesh, method="direct"):
         if pad_right:
             parts.append(_shift_from_right(x_blk[:, :pad_right], n_block))
         ext = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+        if method == "direct":
+            # origin: every device's ext starts pad_left samples before a
+            # multiple of the (grid-aligned) block boundary, so the Toeplitz
+            # grid has the same global phase as the single-device call.
+            # Bitwise-identical on TPU (fixed MXU reduction order); on CPU
+            # the GEMM reduction order varies with the batch extent, so only
+            # ulp-tight agreement holds there (method='conv' is bitwise
+            # everywhere, at lax.conv speed).
+            return fir_convolve_1d(
+                _float_cast(ext), _float_cast(taps), "valid", origin=-pad_left
+            )
+        if method == "conv":
+            return _direct_convolve(ext, kernel2d, "valid", use_matmul=False)
         return convolve(ext, kernel2d, mode="valid", method=method)
 
     fn = jax.shard_map(
@@ -129,7 +155,7 @@ def _stft_frame_geometry(length, frame_length, stride, n_block):
 
 
 def sharded_stft(x, window, *, mesh, sampling_rate=100, fft_length="power_of_two",
-                 overlap_length=None, scaling=None):
+                 overlap_length=None, scaling=None, onesided=False, method="auto"):
     """Block+channel-sharded STFT ('valid' padding), bitwise-comparable to
     the single-device `stft`.
 
@@ -154,6 +180,11 @@ def sharded_stft(x, window, *, mesh, sampling_rate=100, fft_length="power_of_two
     if padded_len != x.shape[1]:
         x = jnp.pad(x, [(0, 0), (0, padded_len - x.shape[1])])
 
+    real_input = not jnp.issubdtype(x.dtype, jnp.complexfloating)
+    use_matmul = method == "matmul" or (
+        method == "auto" and real_input and good_matmul_fft_length(n_fft)
+    )
+
     def local(x_blk):
         if halo:
             ext = jnp.concatenate(
@@ -161,8 +192,13 @@ def sharded_stft(x, window, *, mesh, sampling_rate=100, fft_length="power_of_two
             )
         else:
             ext = x_blk
+        if use_matmul:
+            return framed_dft(
+                ext, window, stride=stride, n_fft=n_fft, onesided=onesided
+            )
         frames = as_windowed(ext, window_length=frame_length, stride=stride)
-        return jnp.fft.fft(frames * window, n=n_fft, axis=-1)
+        fft = jnp.fft.rfft if onesided else jnp.fft.fft
+        return fft(frames * window, n=n_fft, axis=-1)
 
     fn = jax.shard_map(
         local, mesh=mesh,
@@ -174,6 +210,8 @@ def sharded_stft(x, window, *, mesh, sampling_rate=100, fft_length="power_of_two
     if squeeze:
         z = z[0]
     frequencies = fft_frequencies(sampling_rate, fft_length=n_fft)
+    if onesided:
+        frequencies = frequencies[: n_fft // 2 + 1]
     time_step = frame_length / (2.0 * sampling_rate)
     times = jnp.linspace(time_step, time_step * num_frames, num_frames,
                          dtype=DEFAULT_FLOAT)

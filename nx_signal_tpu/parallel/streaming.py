@@ -1,0 +1,132 @@
+"""Stateful block-streaming DSP for unbounded streams.
+
+The reference is stateless/batch-only; streaming is a greenfield component
+(SURVEY.md §5: "carry overlap-save filter state (last K-1 samples) as
+explicit carry"). Every processor here is a pure (state, chunk) -> (state,
+out) function pair, so it composes with jax.lax.scan for compiled multi-
+chunk runs and serializes trivially (the state is a pytree of arrays) for
+checkpoint/resume of long streaming jobs.
+
+Chunk lengths are static per jit-compilation (XLA static shapes); use a
+fixed chunk size and pad the final chunk.
+"""
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from nx_signal_tpu.ops.convolution import fir_convolve_1d, _float_cast
+from nx_signal_tpu.spectral.framing import _ola_fold, as_windowed
+from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
+
+__all__ = ["StreamingFIR", "StreamingSTFT", "StreamingISTFT"]
+
+
+@dataclass(frozen=True)
+class StreamingFIR:
+    """Causal overlap-save FIR: chunk outputs equal
+    convolve(stream, taps, mode='full')[:len(stream)] — the filter's group
+    delay is NOT compensated (that needs future samples). The carry is the
+    last K-1 input samples."""
+
+    taps: jnp.ndarray
+
+    def init_state(self, batch_shape=(), dtype=DEFAULT_FLOAT):
+        k = jnp.asarray(self.taps).shape[-1]
+        return jnp.zeros((*batch_shape, k - 1), dtype=dtype)
+
+    def process(self, state, chunk):
+        chunk = _float_cast(jnp.asarray(chunk))
+        taps = _float_cast(jnp.asarray(self.taps))
+        k = taps.shape[-1]
+        ext = jnp.concatenate([state.astype(chunk.dtype), chunk], axis=-1)
+        out = fir_convolve_1d(ext, taps, "valid")
+        new_state = ext[..., -(k - 1) :] if k > 1 else state
+        return new_state, out
+
+
+@dataclass(frozen=True)
+class StreamingSTFT:
+    """Streaming frame extraction + windowed FFT. The carry holds the
+    samples not yet consumed by a full frame (frame_length - hop overlap
+    context plus any sub-hop remainder), so concatenating the per-chunk
+    spectra equals the batch `stft(..., window_padding='valid')` frames."""
+
+    window: jnp.ndarray
+    hop: int
+    fft_length: int = None
+    onesided: bool = False
+
+    @property
+    def frame_length(self):
+        return jnp.asarray(self.window).shape[-1]
+
+    def init_state(self, batch_shape=(), dtype=DEFAULT_FLOAT):
+        return jnp.zeros((*batch_shape, self.frame_length - self.hop), dtype=dtype)
+
+    def process(self, state, chunk):
+        window = jnp.asarray(self.window)
+        frame_length = window.shape[-1]
+        if chunk.shape[-1] % self.hop != 0:
+            raise ValueError(
+                f"chunk length ({chunk.shape[-1]}) must be a multiple of the "
+                f"hop ({self.hop}) so frame counts stay static"
+            )
+        ext = jnp.concatenate([state.astype(chunk.dtype), chunk], axis=-1)
+        frames = as_windowed(ext, window_length=frame_length, stride=self.hop)
+        n_fft = self.fft_length or frame_length
+        fft = jnp.fft.rfft if self.onesided else jnp.fft.fft
+        z = fft(frames * window, n=n_fft, axis=-1)
+        consumed = frames.shape[-2] * self.hop
+        return ext[..., consumed:], z
+
+
+@dataclass(frozen=True)
+class StreamingISTFT:
+    """Streaming inverse STFT via the deterministic overlap-add fold. The
+    carry is the overlap tail (the last frame_length - hop output samples,
+    still accumulating). Emitted samples are normalized by the periodic NOLA
+    window envelope, so the concatenated output equals the batch `istft`
+    everywhere except the first and last half-window of the whole stream
+    (which the batch version also reconstructs imperfectly)."""
+
+    window: jnp.ndarray
+    hop: int
+    scaling: str = None
+    sampling_rate: float = 1000.0
+
+    def init_state(self, batch_shape=(), dtype=jnp.complex64):
+        frame_length = jnp.asarray(self.window).shape[-1]
+        return jnp.zeros((*batch_shape, frame_length - self.hop), dtype=dtype)
+
+    def _envelope(self, frame_length):
+        """Periodic interior NOLA envelope: env[s] = sum_j w^2[s + j*hop],
+        one hop period."""
+        w2 = jnp.abs(jnp.asarray(self.window)).astype(DEFAULT_FLOAT) ** 2
+        pad = (-frame_length) % self.hop
+        w2 = jnp.pad(w2, (0, pad))
+        env = w2.reshape(-1, self.hop).sum(axis=0)
+        return jnp.where(env > 1e-10, env, jnp.ones((), env.dtype))
+
+    def process(self, state, z_chunk):
+        from nx_signal_tpu.spectral.stft import _apply_scaling
+
+        window = jnp.asarray(self.window)
+        frame_length = window.shape[-1]
+        overlap = frame_length - self.hop
+        frames = jnp.fft.ifft(z_chunk, n=frame_length, axis=-1)
+        frames = _apply_scaling(frames, window, self.scaling, self.sampling_rate,
+                                inverse=True)
+        frames = frames * window
+        m = frames.shape[-2]
+        local_len = m * self.hop + overlap
+        init = jnp.pad(
+            state.astype(frames.dtype),
+            [(0, 0)] * (frames.ndim - 2) + [(0, local_len - overlap)],
+        )
+        acc = _ola_fold(frames, self.hop, local_len, init=init)
+        emitted = acc[..., : m * self.hop]
+        env = self._envelope(frame_length)
+        reps = -(-m * self.hop // self.hop)
+        env_full = jnp.tile(env, reps)[: m * self.hop]
+        return acc[..., m * self.hop :], emitted / env_full

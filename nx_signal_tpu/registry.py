@@ -1,0 +1,126 @@
+"""Public-function registry: the reference's `@doc type:` taxonomy.
+
+The reference tags every public function with a category from a fixed
+taxonomy and enforces it with a meta-test
+(reference: test/support/nx_signal_case.ex:19-39). This module is the same
+contract for the TPU framework: every public op is registered under one
+category, and tests/test_registry.py asserts the registry and the package
+exports stay in sync. The original taxonomy [:time_frequency, :windowing,
+:filters, :waveforms, :peak_finding] is extended with the categories this
+framework adds (convolution was untyped in the reference; resampling,
+parallel, streaming, and io are greenfield).
+"""
+
+TAXONOMY = frozenset({
+    "time_frequency",
+    "windowing",
+    "filters",
+    "waveforms",
+    "peak_finding",
+    "convolution",
+    "transforms",
+    "special",
+    "resampling",
+    "parallel",
+    "streaming",
+    "io",
+})
+
+# module path (under nx_signal_tpu) -> {function name -> category}
+FUNCTION_TYPES = {
+    "spectral.stft": {
+        "stft": "time_frequency",
+        "istft": "time_frequency",
+        "fft_frequencies": "time_frequency",
+    },
+    "spectral.mel": {
+        "mel_filters": "time_frequency",
+        "stft_to_mel": "time_frequency",
+    },
+    "spectral.framing": {
+        "as_windowed": "windowing",
+        "overlap_and_add": "windowing",
+        "pad_for_windowing": "windowing",
+    },
+    "ops.windows": {
+        "rectangular": "windowing",
+        "bartlett": "windowing",
+        "triangular": "windowing",
+        "blackman": "windowing",
+        "hamming": "windowing",
+        "hann": "windowing",
+        "kaiser": "windowing",
+        "get_window": "windowing",
+    },
+    "ops.waveforms": {
+        "sawtooth": "waveforms",
+        "square": "waveforms",
+        "gaussian_pulse": "waveforms",
+        "chirp": "waveforms",
+        "polynomial_sweep": "waveforms",
+        "unit_impulse": "waveforms",
+        "sinc": "waveforms",
+    },
+    "ops.convolution": {
+        "convolve": "convolution",
+        "correlate": "convolution",
+        "fftconvolve": "convolution",
+        "oaconvolve": "convolution",
+        "fir_convolve_1d": "convolution",
+    },
+    "ops.transforms": {
+        "fft_nd": "transforms",
+        "ifft_nd": "transforms",
+        "rfft_nd": "transforms",
+        "irfft_nd": "transforms",
+    },
+    "ops.filters": {
+        "median": "filters",
+        "wiener": "filters",
+        "firwin": "filters",
+    },
+    "ops.peak_finding": {
+        "argrelmin": "peak_finding",
+        "argrelmax": "peak_finding",
+        "argrelextrema": "peak_finding",
+    },
+    "ops.lambert_w": {
+        "lambert_w": "special",
+    },
+    "ops.resample": {
+        "upfirdn": "resampling",
+        "resample_poly": "resampling",
+        "pfb_analyze": "resampling",
+    },
+    "kernels.dft": {
+        "framed_dft": "time_frequency",
+        "blocked_frame_matmul": "time_frequency",
+        "good_matmul_fft_length": "time_frequency",
+    },
+    "parallel.mesh": {
+        "make_dsp_mesh": "parallel",
+        "channel_block_sharding": "parallel",
+    },
+    "parallel.sharded": {
+        "sharded_convolve_same": "parallel",
+        "sharded_stft": "parallel",
+        "sharded_istft": "parallel",
+    },
+    "parallel.streaming": {
+        "StreamingFIR": "streaming",
+        "StreamingSTFT": "streaming",
+        "StreamingISTFT": "streaming",
+    },
+    "io.wav": {
+        "read_wav": "io",
+        "write_wav": "io",
+        "stream_wav": "io",
+        "WavReader": "io",
+        "RingBuffer": "io",
+    },
+}
+
+
+def function_type(module: str, name: str):
+    """Category for a registered public function, or None."""
+    return FUNCTION_TYPES.get(module, {}).get(name)

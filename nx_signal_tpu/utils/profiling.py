@@ -1,0 +1,70 @@
+"""Performance measurement + roofline accounting (SURVEY.md §5: the
+reference has no tracing/profiling subsystem; the TPU framework needs a
+bandwidth-measurement harness because the north-star target is
+HBM-speed-of-light throughput)."""
+
+import time
+from dataclasses import dataclass
+
+import jax
+
+__all__ = ["benchmark", "BenchResult", "device_hbm_bandwidth", "trace"]
+
+_HBM_BYTES_PER_S = {
+    "v5 lite": 819e9, "v5e": 819e9, "v5litepod": 819e9,
+    "v4": 1228e9, "v5p": 2765e9, "v6e": 1640e9,
+}
+
+
+def device_hbm_bandwidth(device=None) -> float:
+    """Per-chip HBM bandwidth in bytes/s for the given (default: first)
+    device; defaults to v5e's 819 GB/s when unknown."""
+    device = device or jax.devices()[0]
+    kind = device.device_kind.lower()
+    for key, bw in _HBM_BYTES_PER_S.items():
+        if key in kind:
+            return bw
+    return 819e9
+
+
+@dataclass(frozen=True)
+class BenchResult:
+    seconds_per_call: float
+    samples_per_second: float  # 0 when samples_per_call not given
+    hbm_fraction: float        # fraction of speed-of-light, 0 when unknown
+
+    def __str__(self):
+        parts = [f"{self.seconds_per_call * 1e3:.3f} ms/call"]
+        if self.samples_per_second:
+            parts.append(f"{self.samples_per_second / 1e6:.0f} Msamples/s")
+        if self.hbm_fraction:
+            parts.append(f"{self.hbm_fraction * 100:.1f}% of HBM SoL")
+        return ", ".join(parts)
+
+
+def benchmark(fn, *args, iters: int = 10, samples_per_call: int = 0,
+              min_bytes_per_sample: float = 0.0) -> BenchResult:
+    """Time a jitted callable (compiles + warms up first, then `iters`
+    timed calls with a single device sync). When `samples_per_call` and
+    `min_bytes_per_sample` are given, also reports throughput as a fraction
+    of the HBM speed-of-light bound."""
+    jf = jax.jit(fn)
+    jax.block_until_ready(jf(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = jf(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    sps = samples_per_call / dt if samples_per_call else 0.0
+    frac = 0.0
+    if samples_per_call and min_bytes_per_sample:
+        sol = device_hbm_bandwidth() / min_bytes_per_sample
+        frac = sps / sol
+    return BenchResult(dt, sps, frac)
+
+
+def trace(path: str):
+    """Context manager writing a jax.profiler trace (view with XProf /
+    Perfetto): `with trace('/tmp/trace'): step(x)`."""
+    return jax.profiler.trace(path)

@@ -14,13 +14,22 @@ def next_power_of_two(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
-def next_fast_len(n: int) -> int:
-    """Smallest 5-smooth (2^a * 3^b * 5^c) integer >= n.
+def fft_fast_length(n: int) -> int:
+    """FFT length used for convolution padding: the next power of two.
 
-    TPU/XLA FFTs strongly prefer smooth sizes; fftconvolve pads each conv
-    axis from the exact N+K-1 (reference: lib/nx_signal/convolution.ex:260-263)
-    up to the next fast length and slices back, which changes nothing
-    mathematically but avoids prime-length FFTs.
+    XLA's TPU FFT lowers non-power-of-two sizes to a dense O(N^2) DFT
+    matmul (measured: a 486000-point request tried to allocate the full
+    N x N f32 matrix), so convolution FFTs are always padded to pow-2 —
+    exact-length slicing keeps results identical to the N+K-1 definition
+    (reference: lib/nx_signal/convolution.ex:260-263).
+    """
+    return next_power_of_two(n)
+
+
+def next_fast_len(n: int) -> int:
+    """Smallest 5-smooth (2^a * 3^b * 5^c) integer >= n — the CPU-FFT
+    notion of a fast size (scipy.fft.next_fast_len analog). Convolutions use
+    `fft_fast_length` (pow-2) instead; see that docstring for why.
     """
     if n <= 6:
         return max(n, 1)

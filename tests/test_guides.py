@@ -1,0 +1,20 @@
+"""Execute every python code block in guides/*.md — the guides are the
+application layer (the reference ships runnable Livebooks); they must stay
+runnable."""
+
+import re
+from pathlib import Path
+
+import pytest
+
+GUIDES = sorted((Path(__file__).parent.parent / "guides").glob("*.md"))
+
+
+@pytest.mark.parametrize("guide", GUIDES, ids=lambda p: p.stem)
+def test_guide_code_runs(guide):
+    text = guide.read_text()
+    blocks = re.findall(r"```python\n(.*?)```", text, flags=re.S)
+    assert blocks, f"{guide} has no python blocks"
+    namespace = {}
+    for block in blocks:
+        exec(compile(block, str(guide), "exec"), namespace)

@@ -1,0 +1,140 @@
+"""Native audio IO tests: WAV round-trips (native vs scipy.io.wavfile as
+oracle) and the SPSC ring buffer."""
+
+import threading
+
+import numpy as np
+import pytest
+import scipy.io.wavfile as swav
+
+from nx_signal_tpu.io import RingBuffer, WavReader, read_wav, stream_wav, write_wav
+from nx_signal_tpu.io import wav as wav_mod
+
+
+@pytest.fixture
+def tone():
+    t = np.arange(8000) / 8000.0
+    return np.stack([np.sin(2 * np.pi * 440 * t), np.sin(2 * np.pi * 880 * t)]).astype(
+        np.float32
+    )
+
+
+def test_native_library_builds():
+    assert wav_mod._load() is not None, "native wav_io failed to compile"
+
+
+class TestWavRoundtrip:
+    def test_float32(self, tone, tmp_path):
+        p = tmp_path / "t.wav"
+        write_wav(p, tone, 8000, float32=True)
+        data, rate = read_wav(p)
+        assert rate == 8000
+        np.testing.assert_allclose(data, tone, atol=0)
+
+    def test_pcm16(self, tone, tmp_path):
+        p = tmp_path / "t.wav"
+        write_wav(p, tone, 8000)
+        data, rate = read_wav(p)
+        np.testing.assert_allclose(data, tone, atol=1.0 / 16000)  # 16-bit LSB
+
+    def test_mono_1d(self, tmp_path):
+        x = np.sin(np.arange(1000) / 10).astype(np.float32)
+        p = tmp_path / "m.wav"
+        write_wav(p, x, 16000)
+        data, rate = read_wav(p)
+        assert data.shape == (1, 1000)
+
+    def test_reads_scipy_written_pcm16(self, tone, tmp_path):
+        p = tmp_path / "s.wav"
+        pcm = (tone.T * 32767).astype(np.int16)
+        swav.write(p, 8000, pcm)
+        data, rate = read_wav(p)
+        assert rate == 8000
+        np.testing.assert_allclose(data, tone, atol=1.0 / 16000)  # 16-bit LSB
+
+    def test_reads_scipy_written_int32_and_float(self, tone, tmp_path):
+        p = tmp_path / "s32.wav"
+        swav.write(p, 8000, (tone.T * 2147483000).astype(np.int32))
+        data, _ = read_wav(p)
+        np.testing.assert_allclose(data, tone, atol=1e-3)
+        p2 = tmp_path / "f32.wav"
+        swav.write(p2, 8000, tone.T.astype(np.float32))
+        data2, _ = read_wav(p2)
+        np.testing.assert_allclose(data2, tone, atol=0)
+
+    def test_scipy_reads_ours(self, tone, tmp_path):
+        p = tmp_path / "ours.wav"
+        write_wav(p, tone, 8000, float32=True)
+        rate, data = swav.read(p)
+        assert rate == 8000
+        np.testing.assert_allclose(data.T, tone, atol=0)
+
+
+class TestChunkedReads:
+    def test_stream_matches_full(self, tone, tmp_path):
+        p = tmp_path / "t.wav"
+        write_wav(p, tone, 8000, float32=True)
+        chunks = list(stream_wav(p, 999))
+        got = np.concatenate(chunks, axis=1)
+        np.testing.assert_allclose(got, tone, atol=0)
+        assert chunks[-1].shape[1] == 8000 - 999 * 8
+
+    def test_seek(self, tone, tmp_path):
+        p = tmp_path / "t.wav"
+        write_wav(p, tone, 8000, float32=True)
+        with WavReader(p) as r:
+            r.seek(4000)
+            block = r.read(100)
+            np.testing.assert_allclose(block, tone[:, 4000:4100], atol=0)
+
+    def test_missing_file(self):
+        with pytest.raises(OSError):
+            WavReader("/nonexistent/file.wav")
+
+
+class TestRingBuffer:
+    def test_basic(self):
+        rb = RingBuffer(1024)
+        assert rb.capacity >= 1024
+        data = np.arange(100, dtype=np.float32)
+        assert rb.push(data) == 100
+        assert len(rb) == 100
+        out = rb.pop(100)
+        np.testing.assert_array_equal(out, data)
+        assert len(rb) == 0
+
+    def test_partial_pop_and_wraparound(self):
+        rb = RingBuffer(128)
+        cap = rb.capacity
+        for round_ in range(5):
+            x = np.full(cap - 3, float(round_), np.float32)
+            assert rb.push(x) == cap - 3
+            got = rb.pop(cap)
+            np.testing.assert_array_equal(got, x)
+
+    def test_full_buffer_partial_push(self):
+        rb = RingBuffer(64)
+        cap = rb.capacity
+        assert rb.push(np.zeros(cap, np.float32)) == cap
+        assert rb.push(np.ones(10, np.float32)) == 0  # full
+
+    def test_producer_consumer_threads(self):
+        rb = RingBuffer(1 << 14)
+        total = 1 << 18
+        src = np.random.default_rng(0).normal(size=total).astype(np.float32)
+        received = []
+
+        def producer():
+            sent = 0
+            while sent < total:
+                sent += rb.push(src[sent : sent + 4096])
+
+        t = threading.Thread(target=producer)
+        t.start()
+        got = 0
+        while got < total:
+            out = rb.pop(4096)
+            received.append(out)
+            got += len(out)
+        t.join()
+        np.testing.assert_array_equal(np.concatenate(received), src)

@@ -42,14 +42,33 @@ def mesh(request):
 class TestShardedFIR:
     @pytest.mark.parametrize("length,k", [(4096, 255), (4096, 256), (1000, 31), (4099, 17)])
     def test_bitwise_vs_single_device(self, mesh, length, k, rng):
+        # method='conv' (lax.conv): per-sample dots are shape-independent, so
+        # bitwise equality holds even on CPU.
+        from nx_signal_tpu.ops.convolution import _direct_convolve
+
         c = mesh.shape["channel"]
         x = rng.normal(size=(8, length)).astype(np.float32)
         if 8 % c:
             pytest.skip("channel split")
         taps = rng.normal(size=k).astype(np.float32)
-        got = sharded_convolve_same(x, taps, mesh=mesh)
-        expected = convolve(x, taps[None, :], mode="same")
+        got = sharded_convolve_same(x, taps, mesh=mesh, method="conv")
+        expected = _direct_convolve(x, taps[None, :], "same", use_matmul=False)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+    @pytest.mark.parametrize("length,k", [(4096, 255), (4099, 17), (1000, 31)])
+    def test_matmul_path_vs_single_device(self, mesh, length, k, rng):
+        # method='direct' (Toeplitz matmul, the TPU fast path): the block
+        # grid is globally phase-aligned, so sums are bitwise identical on
+        # TPU (fixed MXU reduction); CPU GEMM reduction order varies with the
+        # batch extent, so the CPU gate is ulp-tight agreement.
+        c = mesh.shape["channel"]
+        x = rng.normal(size=(8, length)).astype(np.float32)
+        if 8 % c:
+            pytest.skip("channel split")
+        taps = rng.normal(size=k).astype(np.float32)
+        got = sharded_convolve_same(x, taps, mesh=mesh, method="direct")
+        expected = convolve(x, taps[None, :], mode="same")
+        rel_close(got, expected, tol=1e-6)
 
     def test_1d_input(self, rng):
         mesh = make_dsp_mesh(1, 8)
@@ -57,13 +76,25 @@ class TestShardedFIR:
         taps = rng.normal(size=33).astype(np.float32)
         got = sharded_convolve_same(x, taps, mesh=mesh)
         expected = convolve(x[None], taps[None, :], mode="same")[0]
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+        rel_close(got, expected, tol=1e-6)
 
     def test_halo_too_large_raises(self, rng):
+        # method='conv' keeps the raw block split (no matmul-grid rounding),
+        # so an over-long filter halo is a real error there
         mesh = make_dsp_mesh(1, 8)
         with pytest.raises(ValueError, match="halo .* exceeds"):
             sharded_convolve_same(np.zeros(64, np.float32), np.zeros(33, np.float32),
-                                  mesh=mesh)
+                                  mesh=mesh, method="conv")
+
+    def test_small_signal_direct_pads(self, rng):
+        # the direct path rounds blocks up to the matmul grid, so small
+        # signals are padded rather than rejected
+        mesh = make_dsp_mesh(1, 8)
+        x = rng.normal(size=64).astype(np.float32)
+        taps = rng.normal(size=33).astype(np.float32)
+        got = sharded_convolve_same(x, taps, mesh=mesh)
+        expected = convolve(x[None], taps[None, :], mode="same")[0]
+        rel_close(got, expected, tol=1e-6)
 
 
 class TestShardedSTFT:

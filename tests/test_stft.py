@@ -129,3 +129,84 @@ def test_fft_frequencies():
     # nx_signal.ex:147-151
     got = fft_frequencies(1.6e4, fft_length=10)
     assert_all_close(got, np.arange(10) * 1.6e3, atol=1e-3)
+
+
+class TestSTFTMethods:
+    """The fused MXU framed-DFT path must agree with the FFT path."""
+
+    def test_matmul_vs_fft(self, rng):
+        import numpy as np
+        from nx_signal_tpu.ops import windows as W
+
+        x = rng.normal(size=(2, 2000)).astype(np.float32)
+        w = np.asarray(W.hann(128))
+        zm, tm, fm = stft(x, w, sampling_rate=1000, fft_length=128,
+                          overlap_length=96, method="matmul")
+        zf, tf, ff = stft(x, w, sampling_rate=1000, fft_length=128,
+                          overlap_length=96, method="fft")
+        assert zm.shape == zf.shape
+        scale = np.abs(np.asarray(zf)).max()
+        np.testing.assert_allclose(np.asarray(zm), np.asarray(zf),
+                                   atol=1e-5 * scale)
+        np.testing.assert_array_equal(np.asarray(tm), np.asarray(tf))
+        np.testing.assert_array_equal(np.asarray(fm), np.asarray(ff))
+
+    def test_matmul_zero_padded_fft_length(self, rng):
+        import numpy as np
+        from nx_signal_tpu.ops import windows as W
+
+        x = rng.normal(size=500).astype(np.float32)
+        w = np.asarray(W.hann(100))
+        zm, _, _ = stft(x, w, sampling_rate=1000, method="matmul")  # nfft 128
+        zf, _, _ = stft(x, w, sampling_rate=1000, method="fft")
+        assert zm.shape == zf.shape == (np.asarray(zf).shape[0], 128)
+        scale = np.abs(np.asarray(zf)).max()
+        np.testing.assert_allclose(np.asarray(zm), np.asarray(zf),
+                                   atol=1e-5 * scale)
+
+    def test_onesided_is_half_spectrum(self, rng):
+        import numpy as np
+        from nx_signal_tpu.ops import windows as W
+
+        x = rng.normal(size=1024).astype(np.float32)
+        w = np.asarray(W.hann(64))
+        z1, _, f1 = stft(x, w, sampling_rate=100, fft_length=64, onesided=True)
+        z2, _, f2 = stft(x, w, sampling_rate=100, fft_length=64)
+        assert z1.shape[-1] == 33 and f1.shape == (33,)
+        scale = np.abs(np.asarray(z2)).max()
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z2)[..., :33],
+                                   atol=1e-5 * scale)
+
+    def test_reflect_padding_matmul(self, rng):
+        import numpy as np
+        from nx_signal_tpu.ops import windows as W
+
+        x = rng.normal(size=300).astype(np.float32)
+        w = np.asarray(W.hann(64))
+        zm, _, _ = stft(x, w, sampling_rate=100, fft_length=64,
+                        window_padding="reflect", method="matmul")
+        zf, _, _ = stft(x, w, sampling_rate=100, fft_length=64,
+                        window_padding="reflect", method="fft")
+        scale = np.abs(np.asarray(zf)).max()
+        np.testing.assert_allclose(np.asarray(zm), np.asarray(zf),
+                                   atol=1e-5 * scale)
+
+    def test_complex_input_falls_back(self, rng):
+        import numpy as np
+        from nx_signal_tpu.ops import windows as W
+
+        x = (rng.normal(size=512) + 1j * rng.normal(size=512)).astype(np.complex64)
+        w = np.asarray(W.hann(64))
+        z, _, _ = stft(x, w, sampling_rate=100, fft_length=64)  # auto -> fft
+        assert z.shape[-1] == 64
+        import pytest
+        with pytest.raises(ValueError, match="requires real input"):
+            stft(x, w, sampling_rate=100, fft_length=64, method="matmul")
+
+    def test_invalid_method(self):
+        import numpy as np
+        import pytest
+        from nx_signal_tpu.ops import windows as W
+
+        with pytest.raises(ValueError, match="invalid method"):
+            stft(np.arange(64.0), np.asarray(W.hann(16)), method="bogus")
