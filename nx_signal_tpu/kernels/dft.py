@@ -31,7 +31,7 @@ from jax import lax
 from nx_signal_tpu.spectral.framing import _frame_block_widths
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
-__all__ = ["framed_dft", "good_matmul_fft_length", "blocked_frame_matmul"]
+__all__ = ["framed_dft", "framed_idft", "good_matmul_fft_length", "blocked_frame_matmul"]
 
 _MAX_MATMUL_FFT = 1024
 
@@ -106,3 +106,63 @@ def framed_dft(x, window, *, stride: int, n_fft: int, onesided: bool = False,
         precision=precision,
     )
     return lax.complex(acc[..., :bins], acc[..., bins:])
+
+
+def _idft_weights(window, frame_length: int, n_fft: int, onesided: bool, dtype):
+    """Inverse-DFT weight matrix fused with the synthesis-window multiply.
+
+    Full spectrum: G = (1/N) conj(F)[:, :frame_length] * w  (complex,
+    returned as the real 2x2 block matrix [[Gr, Gi], [-Gi, Gr]] so
+    [Re z | Im z] @ G -> [Re frames | Im frames]).
+    Onesided: real irfft weights with the conjugate-symmetry factor of 2 on
+    interior bins; returns (2*bins, frame_length) mapping [Re z | Im z] to
+    real frames.
+    """
+    n = np.arange(frame_length)[None, :]
+    w = np.asarray(window, dtype=np.float64)[None, :]
+    if onesided:
+        bins = n_fft // 2 + 1
+        k = np.arange(bins)[:, None]
+        factor = np.full((bins, 1), 2.0)
+        factor[0, 0] = 1.0
+        if n_fft % 2 == 0:
+            factor[-1, 0] = 1.0
+        angle = 2.0 * np.pi * k * n / n_fft
+        g_re = factor * np.cos(angle) / n_fft * w
+        g_im = -factor * np.sin(angle) / n_fft * w
+        return jnp.asarray(np.concatenate([g_re, g_im], axis=0).astype(dtype))
+    k = np.arange(n_fft)[:, None]
+    angle = 2.0 * np.pi * k * n / n_fft
+    g_re = np.cos(angle) / n_fft * w
+    g_im = np.sin(angle) / n_fft * w
+    top = np.concatenate([g_re, g_im], axis=1)      # z_re @ [Gr | Gi]
+    bot = np.concatenate([-g_im, g_re], axis=1)     # z_im @ [-Gi | Gr]
+    return jnp.asarray(np.concatenate([top, bot], axis=0).astype(dtype))
+
+
+def framed_idft(z, window, *, n_fft: int, onesided: bool = False,
+                precision="highest"):
+    """Inverse of `framed_dft` fused with the synthesis-window multiply:
+    (..., M, bins) spectrum -> windowed time frames, as MXU matmuls.
+
+    Full-spectrum input returns complex frames (= ifft(z) * window);
+    onesided input returns real frames (irfft reconstruction). The caller
+    overlap-adds (spectral/stft.py istft).
+    """
+    z = jnp.asarray(z)
+    frame_length = jnp.asarray(window).shape[-1]
+    # mirror (i)fft length semantics: pad/truncate the bin axis
+    bins = n_fft // 2 + 1 if onesided else n_fft
+    if z.shape[-1] < bins:
+        z = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + [(0, bins - z.shape[-1])])
+    elif z.shape[-1] > bins:
+        z = z[..., :bins]
+    weights = _idft_weights(window, frame_length, n_fft, onesided, DEFAULT_FLOAT)
+    stacked = jnp.concatenate(
+        [jnp.real(z).astype(DEFAULT_FLOAT), jnp.imag(z).astype(DEFAULT_FLOAT)],
+        axis=-1,
+    )
+    out = jnp.matmul(stacked, weights, precision=precision)
+    if onesided:
+        return out
+    return lax.complex(out[..., :frame_length], out[..., frame_length:])

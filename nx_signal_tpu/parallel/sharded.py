@@ -35,7 +35,7 @@ from nx_signal_tpu.ops.convolution import (
     convolve,
     fir_convolve_1d,
 )
-from nx_signal_tpu.kernels.dft import framed_dft, good_matmul_fft_length
+from nx_signal_tpu.kernels.dft import framed_dft, framed_idft, good_matmul_fft_length
 from nx_signal_tpu.spectral.framing import _ola_fold, as_windowed
 from nx_signal_tpu.spectral.stft import STFTResult, _apply_scaling, _resolve_fft_length, fft_frequencies
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
@@ -219,7 +219,7 @@ def sharded_stft(x, window, *, mesh, sampling_rate=100, fft_length="power_of_two
 
 
 def sharded_istft(z, window, *, mesh, fft_length=None, overlap_length=None,
-                  scaling=None, sampling_rate=1000):
+                  scaling=None, sampling_rate=1000, onesided=False, method="auto"):
     """Block+channel-sharded inverse STFT, bitwise-comparable to the
     single-device `istft`.
 
@@ -239,7 +239,15 @@ def sharded_istft(z, window, *, mesh, fft_length=None, overlap_length=None,
     if z.ndim != 3:
         raise ValueError(f"expected (..., frames, fft) spectrum of rank 2 or 3, got {z.ndim}")
     window = jnp.asarray(window)
-    n_fft = _resolve_fft_length(z.shape[-1], fft_length)
+    if onesided and fft_length is None:
+        n_fft = 2 * (z.shape[-1] - 1)
+    else:
+        n_fft = _resolve_fft_length(z.shape[-1], fft_length)
+    use_matmul = method == "matmul" or (
+        method == "auto"
+        and good_matmul_fft_length(n_fft)
+        and window.shape[-1] == n_fft
+    )
     if overlap_length is None:
         overlap_length = window.shape[-1] // 2
     n_channel, n_block = mesh.shape[CHANNEL_AXIS], mesh.shape[BLOCK_AXIS]
@@ -269,9 +277,16 @@ def sharded_istft(z, window, *, mesh, fft_length=None, overlap_length=None,
     )
 
     def local(z_blk):
-        frames = jnp.fft.ifft(z_blk, n=n_fft, axis=-1)
-        frames = _apply_scaling(frames, window, scaling, sampling_rate, inverse=True)
-        frames = frames * window
+        if use_matmul:
+            frames = framed_idft(z_blk, window, n_fft=n_fft, onesided=onesided)
+            frames = _apply_scaling(frames, window, scaling, sampling_rate,
+                                    inverse=True)
+        else:
+            ifft = jnp.fft.irfft if onesided else jnp.fft.ifft
+            frames = ifft(z_blk, n=n_fft, axis=-1)
+            frames = _apply_scaling(frames, window, scaling, sampling_rate,
+                                    inverse=True)
+            frames = frames * window
         # Mask the envelope of frames past the true frame count (auto-pad).
         idx = lax.axis_index(BLOCK_AXIS)
         global_m = idx * frames_per_block + jnp.arange(frames_per_block)

@@ -15,7 +15,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from nx_signal_tpu.kernels.dft import framed_dft, good_matmul_fft_length
+from nx_signal_tpu.kernels.dft import framed_dft, framed_idft, good_matmul_fft_length
 from nx_signal_tpu.spectral.framing import _ola_fold, as_windowed, pad_for_windowing
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 from nx_signal_tpu.utils.shapes import next_power_of_two
@@ -138,7 +138,7 @@ def stft(data, window, *, sampling_rate=100, fft_length="power_of_two",
 
 
 def istft(z, window, *, fft_length=None, overlap_length=None, scaling=None,
-          sampling_rate=1000):
+          sampling_rate=1000, onesided=False, method="auto"):
     """Inverse STFT: per-frame IFFT, inverse scaling, window multiply,
     deterministic overlap-add, and NOLA window-envelope normalization with a
     1e-10 guard (reference: nx_signal.ex:582-638).
@@ -146,18 +146,48 @@ def istft(z, window, *, fft_length=None, overlap_length=None, scaling=None,
     Returns the complex reconstruction (take `.real` for real signals, as the
     reference's doctests do via as_type). Perfect reconstruction holds in the
     overlapping interior for NOLA windows.
+
+    TPU-native extensions (not in the reference): `onesided=True` accepts a
+    half-spectrum (fft_length//2 + 1 bins, e.g. from
+    `stft(..., onesided=True)`) and returns a REAL reconstruction; `method`
+    picks the per-frame inverse — 'auto' uses the fused iDFT+window MXU
+    matmul (kernels/dft.py) for fft_length <= 1024, XLA's IFFT otherwise.
     """
     z = jnp.asarray(z)
     window = jnp.asarray(window)
-    n_fft = _resolve_fft_length(z.shape[-1], fft_length)
+    if onesided and fft_length is None:
+        n_fft = 2 * (z.shape[-1] - 1)
+    else:
+        n_fft = _resolve_fft_length(z.shape[-1], fft_length)
     if overlap_length is None:
         overlap_length = window.shape[-1] // 2
+    if method not in ("auto", "fft", "matmul"):
+        raise ValueError(
+            f"invalid method, expected one of 'auto', 'fft', 'matmul', got: {method}"
+        )
+    use_matmul = method == "matmul" or (
+        method == "auto"
+        and good_matmul_fft_length(n_fft)
+        and window.shape[-1] == n_fft  # fft path broadcasts window over ifft frames
+    )
 
-    frames = jnp.fft.ifft(z, n=n_fft, axis=-1)
-    frames = _apply_scaling(frames, window, scaling, sampling_rate, inverse=True)
+    if use_matmul:
+        # fused inverse-DFT + synthesis-window multiply on the MXU; scaling
+        # is a scalar multiply and commutes with the linear transform
+        windowed = framed_idft(z, window, n_fft=n_fft, onesided=onesided)
+        windowed = _apply_scaling(windowed, window, scaling, sampling_rate,
+                                  inverse=True)
+        frame_length = windowed.shape[-1]
+    else:
+        if onesided:
+            frames = jnp.fft.irfft(z, n=n_fft, axis=-1)
+        else:
+            frames = jnp.fft.ifft(z, n=n_fft, axis=-1)
+        frames = _apply_scaling(frames, window, scaling, sampling_rate, inverse=True)
+        windowed = frames * window
+        frame_length = frames.shape[-1]
 
-    frame_length = frames.shape[-1]
-    num_frames = frames.shape[-2]
+    num_frames = windowed.shape[-2]
     if overlap_length >= frame_length:
         raise ValueError(
             f"overlap_length must be a number less than the window size {frame_length}, "
@@ -166,7 +196,7 @@ def istft(z, window, *, fft_length=None, overlap_length=None, scaling=None,
     stride = frame_length - overlap_length
     out_length = num_frames * stride + overlap_length
 
-    result = _ola_fold(frames * window, stride, out_length)
+    result = _ola_fold(windowed, stride, out_length)
 
     envelope_frames = jnp.broadcast_to(
         jnp.abs(window).astype(DEFAULT_FLOAT) ** 2, (num_frames, frame_length)

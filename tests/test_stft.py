@@ -210,3 +210,49 @@ class TestSTFTMethods:
 
         with pytest.raises(ValueError, match="invalid method"):
             stft(np.arange(64.0), np.asarray(W.hann(16)), method="bogus")
+
+
+class TestISTFTMethods:
+    """The fused iDFT+window MXU path must agree with the IFFT path, and
+    onesided round-trips must reconstruct."""
+
+    def test_matmul_vs_fft(self, rng):
+        z = (rng.normal(size=(3, 40, 256)) + 1j * rng.normal(size=(3, 40, 256))
+             ).astype(np.complex64)
+        w = np.asarray(windows.hann(256))
+        ym = istft(z, w, fft_length=256, overlap_length=128, method="matmul")
+        yf = istft(z, w, fft_length=256, overlap_length=128, method="fft")
+        scale = np.abs(np.asarray(yf)).max()
+        np.testing.assert_allclose(np.asarray(ym), np.asarray(yf), atol=1e-5 * scale)
+
+    @pytest.mark.parametrize("method", ["matmul", "fft"])
+    def test_onesided_roundtrip(self, method, rng):
+        x = rng.normal(size=2048).astype(np.float32)
+        w = np.asarray(windows.hann(256))
+        z, _, _ = stft(x, w, sampling_rate=100, fft_length=256,
+                       overlap_length=192, onesided=True)
+        assert z.shape[-1] == 129
+        y = istft(z, w, fft_length=256, overlap_length=192, method=method,
+                  onesided=True)
+        assert not np.iscomplexobj(np.asarray(y))  # onesided reconstructs real
+        y = np.asarray(y)
+        np.testing.assert_allclose(y[256:-256], x[256 : len(y) - 256], atol=1e-3)
+
+    def test_onesided_infers_fft_length(self, rng):
+        z = (rng.normal(size=(10, 129)) + 1j * rng.normal(size=(10, 129))
+             ).astype(np.complex64)
+        w = np.asarray(windows.hann(256))
+        y = istft(z, w, overlap_length=128)  # bins=129 -> n_fft=256... needs onesided
+        # without onesided flag, bins=129 -> pow2 fft_length 256 and complex out
+        assert np.asarray(y).ndim == 1
+        y2 = istft(z, w, overlap_length=128, onesided=True)
+        assert not np.iscomplexobj(np.asarray(y2))
+
+    @pytest.mark.parametrize("scaling", [None, "spectrum", "psd"])
+    def test_matmul_scaling_roundtrip(self, scaling):
+        t = np.array([10, 10, 1, 0, 10, 10, 2, 20], dtype=np.float32)
+        w = np.asarray(windows.hann(4))
+        z, _, _ = stft(t, w, sampling_rate=1, fft_length=4, scaling=scaling)
+        y = istft(z, w, fft_length=4, sampling_rate=1, scaling=scaling,
+                  method="matmul")
+        assert_all_close(np.real(np.asarray(y))[1:], t[1:], atol=1e-4)
