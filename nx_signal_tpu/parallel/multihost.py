@@ -1,0 +1,64 @@
+"""Multi-host runtime: process initialization and cross-host mesh layout.
+
+Design (SURVEY.md §2.9/§5 — all greenfield; the reference is single-device):
+
+* SPMD single-controller-per-host: every host runs the same program;
+  `initialize()` wires jax.distributed so jax.devices() spans the pod slice
+  and global arrays shard across hosts.
+* Mesh layout: 'block' (time-block sequence parallelism) goes on the
+  TRAILING mesh axis so ppermute halo exchange rides ICI between physically
+  adjacent chips; 'channel' (no communication) spans hosts over DCN.
+  `make_pod_mesh` builds this from the global device list.
+* Halos cross host boundaries only at the two block-edge devices per host —
+  O(filter_length) bytes per step over DCN, everything else ICI.
+* Elastic recovery: streaming jobs checkpoint their carry state (see
+  parallel/streaming.py — the carries are small pytrees) and restart from
+  the last block boundary; there is no in-flight state anywhere else
+  because every op is pure.
+
+This module is exercised on multi-host slices only; on a single process it
+degrades to the local mesh (tested via the CPU virtual mesh +
+__graft_entry__.dryrun_multichip).
+"""
+
+import jax
+
+from nx_signal_tpu.parallel.mesh import BLOCK_AXIS, CHANNEL_AXIS, make_dsp_mesh
+
+__all__ = ["initialize", "make_pod_mesh", "process_block_range"]
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None):
+    """Initialize the multi-host runtime (jax.distributed). No-op for a
+    single process. Call before any other jax API on every host."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def make_pod_mesh(n_channel: int = 1):
+    """('channel', 'block') mesh over ALL devices in the (multi-host) job,
+    channel axis first so time-block halos stay on ICI within each host."""
+    return make_dsp_mesh(n_channel, jax.device_count() // n_channel)
+
+
+def process_block_range(total_samples: int, mesh):
+    """Half-open [start, end) sample range of the time blocks owned by THIS
+    process — for feeding per-host data into a global sharded array with
+    jax.make_array_from_process_local_data."""
+    n_block = mesh.shape[BLOCK_AXIS]
+    block = -(-total_samples // n_block)
+    devices = mesh.devices  # (n_channel, n_block) array of Devices
+    me = jax.process_index()
+    local_ids = sorted(
+        b
+        for c in range(devices.shape[0])
+        for b in range(devices.shape[1])
+        if devices[c, b].process_index == me
+    )
+    if not local_ids:
+        return (0, 0)
+    return (local_ids[0] * block, min((local_ids[-1] + 1) * block, total_samples))

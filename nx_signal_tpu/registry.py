@@ -94,8 +94,18 @@ FUNCTION_TYPES = {
     },
     "kernels.dft": {
         "framed_dft": "time_frequency",
+        "framed_idft": "time_frequency",
         "blocked_frame_matmul": "time_frequency",
         "good_matmul_fft_length": "time_frequency",
+    },
+    "kernels.pallas_dft": {
+        "framed_dft_pallas": "time_frequency",
+        "pallas_dft_supported": "time_frequency",
+    },
+    "parallel.multihost": {
+        "initialize": "parallel",
+        "make_pod_mesh": "parallel",
+        "process_block_range": "parallel",
     },
     "parallel.mesh": {
         "make_dsp_mesh": "parallel",
@@ -105,6 +115,7 @@ FUNCTION_TYPES = {
         "sharded_convolve_same": "parallel",
         "sharded_stft": "parallel",
         "sharded_istft": "parallel",
+        "sharded_pfb_analyze": "parallel",
     },
     "parallel.streaming": {
         "StreamingFIR": "streaming",

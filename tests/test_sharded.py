@@ -172,3 +172,27 @@ class TestShardedISTFT:
                             sampling_rate=100)
         expected = istft(z, w, fft_length=256, scaling=scaling, sampling_rate=100)
         rel_close(got, expected)
+
+
+class TestShardedPFB:
+    def test_vs_single_device(self, rng):
+        from nx_signal_tpu.ops.resample import pfb_analyze
+        from nx_signal_tpu.parallel.sharded import sharded_pfb_analyze
+
+        mesh = make_dsp_mesh(2, 4)
+        x = rng.normal(size=(2, 65536)).astype(np.float32)
+        got = sharded_pfb_analyze(x, 64, mesh=mesh, taps_per_channel=8)
+        expected = pfb_analyze(x, 64, taps_per_channel=8)
+        assert got.shape == expected.shape
+        rel_close(got, expected, tol=1e-6)
+
+    def test_uneven_length_pads(self, rng):
+        from nx_signal_tpu.ops.resample import pfb_analyze
+        from nx_signal_tpu.parallel.sharded import sharded_pfb_analyze
+
+        mesh = make_dsp_mesh(1, 8)
+        x = rng.normal(size=50000).astype(np.float32)
+        got = sharded_pfb_analyze(x, 32, mesh=mesh, taps_per_channel=4)
+        expected = pfb_analyze(x, 32, taps_per_channel=4)
+        assert got.shape == expected.shape
+        rel_close(got, expected, tol=1e-6)
