@@ -67,11 +67,16 @@ def main():
     out = step(x)
     jax.block_until_ready(out)  # compile + warm up
 
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        out = step(x)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / STEPS
+    # median of 5 timed batches: the remote-tunnel runtime has ~15%
+    # run-to-run variance
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            out = step(x)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / STEPS)
+    dt = sorted(times)[len(times) // 2]
 
     msamples_per_s = n / dt / 1e6
     sol = detect_hbm_bw() / MIN_BYTES_PER_SAMPLE / 1e6  # Msamples/s

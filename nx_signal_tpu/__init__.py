@@ -21,6 +21,7 @@ Layering (see SURVEY.md §7):
 from nx_signal_tpu.ops import (
     convolution,
     filters,
+    mixing,
     peak_finding,
     resample,
     transforms,
@@ -31,6 +32,7 @@ from nx_signal_tpu.ops.convolution import convolve, correlate, fftconvolve, oaco
 from nx_signal_tpu.ops.filters import firwin, median, wiener
 from nx_signal_tpu.ops.lambert_w import lambert_w
 from nx_signal_tpu.ops.peak_finding import argrelextrema, argrelmax, argrelmin
+from nx_signal_tpu.ops.mixing import demodulate_channel, mix_down
 from nx_signal_tpu.ops.resample import pfb_analyze, resample_poly, upfirdn
 from nx_signal_tpu.spectral.framing import as_windowed, overlap_and_add
 from nx_signal_tpu.spectral.mel import mel_filters, stft_to_mel
@@ -49,8 +51,9 @@ __all__ = [
     "convolve", "correlate", "fftconvolve", "oaconvolve",
     # filters & design
     "firwin", "median", "wiener",
-    # resampling
-    "upfirdn", "resample_poly", "pfb_analyze",
+    # resampling & mixing
+    "upfirdn", "resample_poly", "pfb_analyze", "mix_down", "demodulate_channel",
+    "mixing",
     # peak finding & special
     "argrelmin", "argrelmax", "argrelextrema", "lambert_w",
     "__version__",

@@ -22,7 +22,7 @@ from nx_signal_tpu.spectral.mel import mel_filters
 from nx_signal_tpu.spectral.stft import stft
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
-__all__ = ["SpectrogramPipeline", "LogMelFrontend", "FIRFilterChain", "stft_fir_chain"]
+__all__ = ["SpectrogramPipeline", "LogMelFrontend", "FIRFilterChain", "stft_fir_chain", "WidebandReceiver"]
 
 
 @dataclass(frozen=True)
@@ -130,3 +130,34 @@ def stft_fir_chain(x, taps, window, *, fft_length: int, overlap_length: int,
     )
     power = jnp.abs(z) ** 2
     return y, power
+
+
+@dataclass(frozen=True)
+class WidebandReceiver:
+    """SDR-style wideband front end (BASELINE configs 4-5): polyphase
+    channelize the input stream into `n_channels` sub-bands, then Hann-STFT
+    each sub-band stream. Batched over leading channel axes; shard with
+    parallel.sharded_pfb_analyze + sharded_stft at pod scale."""
+
+    n_channels: int = 64
+    taps_per_channel: int = 8
+    frame_length: int = 128
+    hop: int = 64
+    sampling_rate: float = 100e6
+
+    def __call__(self, x):
+        from nx_signal_tpu.ops.resample import pfb_analyze
+
+        channels = pfb_analyze(
+            x, self.n_channels, taps_per_channel=self.taps_per_channel
+        )  # (..., frames, n_channels)
+        sub_streams = jnp.swapaxes(channels, -1, -2)  # (..., n_channels, frames)
+        w = hann(self.frame_length)
+        # sub-band streams are complex baseband: full-spectrum STFT
+        z, _, _ = stft(
+            sub_streams, w,
+            sampling_rate=self.sampling_rate / self.n_channels,
+            fft_length=self.frame_length,
+            overlap_length=self.frame_length - self.hop,
+        )
+        return jnp.abs(z) ** 2

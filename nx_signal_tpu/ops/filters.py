@@ -19,7 +19,7 @@ from nx_signal_tpu.ops.waveforms import sinc
 from nx_signal_tpu.ops.windows import get_window
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
-__all__ = ["median", "wiener", "firwin"]
+__all__ = ["median", "wiener", "firwin", "freqz"]
 
 
 def median(t, *, kernel_shape):
@@ -146,3 +146,19 @@ def firwin(num_taps: int, cutoff, *, window="hamming", pass_zero: bool = True,
         factor = jnp.abs(jnp.dot(h, jnp.cos(alpha * (math.pi * scale_freq))))
         h = h / factor
     return h
+
+
+def freqz(taps, *, n_freqs: int = 512, sampling_rate: float = 2.0,
+          whole: bool = False):
+    """Frequency response of an FIR filter: H(w) = sum_n h[n] e^{-iwn}
+    evaluated at `n_freqs` points over [0, Nyquist) (or [0, Fs) with
+    `whole=True`). Returns (frequencies_hz, complex_response) —
+    scipy.signal.freqz semantics for FIR (b, a=1). Not in the reference;
+    provided for filter-design verification (used with firwin)."""
+    taps = jnp.asarray(taps)
+    span = sampling_rate if whole else sampling_rate / 2.0
+    freqs = jnp.linspace(0.0, span, n_freqs, endpoint=False, dtype=DEFAULT_FLOAT)
+    w = 2.0 * math.pi * freqs / sampling_rate
+    n = jnp.arange(taps.shape[-1], dtype=DEFAULT_FLOAT)
+    basis = jnp.exp(-1j * w[:, None] * n[None, :])
+    return freqs, basis @ taps.astype(basis.dtype)

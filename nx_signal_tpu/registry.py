@@ -78,6 +78,7 @@ FUNCTION_TYPES = {
         "median": "filters",
         "wiener": "filters",
         "firwin": "filters",
+        "freqz": "filters",
     },
     "ops.peak_finding": {
         "argrelmin": "peak_finding",
@@ -91,6 +92,10 @@ FUNCTION_TYPES = {
         "upfirdn": "resampling",
         "resample_poly": "resampling",
         "pfb_analyze": "resampling",
+    },
+    "ops.mixing": {
+        "mix_down": "resampling",
+        "demodulate_channel": "resampling",
     },
     "kernels.dft": {
         "framed_dft": "time_frequency",

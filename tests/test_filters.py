@@ -113,3 +113,24 @@ class TestFirwin:
             firwin(11, [1.0])
         with pytest.raises(ValueError, match="odd number of taps"):
             firwin(10, [0.2], pass_zero=False)  # highpass with even taps
+
+
+class TestFreqz:
+    def test_vs_scipy(self):
+        from nx_signal_tpu.ops.filters import freqz
+
+        h = np.asarray(firwin(63, [0.3]))
+        f, resp = freqz(h, n_freqs=256)
+        w_scipy, resp_scipy = sps.freqz(h, worN=256)
+        assert_all_close(np.asarray(resp), resp_scipy, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f), w_scipy / np.pi, atol=1e-6)
+
+    def test_passband_stopband(self):
+        from nx_signal_tpu.ops.filters import freqz
+
+        h = firwin(255, [2000.0], sampling_rate=16000.0)
+        f, resp = freqz(h, n_freqs=512, sampling_rate=16000.0)
+        mag = np.abs(np.asarray(resp))
+        f = np.asarray(f)
+        assert mag[f < 1500].min() > 0.99
+        assert mag[f > 2500].max() < 1e-3

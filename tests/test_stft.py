@@ -256,3 +256,25 @@ class TestISTFTMethods:
         y = istft(z, w, fft_length=4, sampling_rate=1, scaling=scaling,
                   method="matmul")
         assert_all_close(np.real(np.asarray(y))[1:], t[1:], atol=1e-4)
+
+
+class TestRoundtripSNR:
+    """BASELINE config 3: STFT->ISTFT perfect-reconstruction SNR bound on
+    long stereo audio (downscaled from 60 s to 10 s for CPU test time)."""
+
+    def test_stereo_snr(self, rng):
+        fs = 44100
+        t = np.arange(10 * fs) / fs
+        left = np.sin(2 * np.pi * 440 * t) + 0.3 * rng.normal(size=t.size)
+        right = np.sin(2 * np.pi * 523.25 * t) + 0.3 * rng.normal(size=t.size)
+        x = np.stack([left, right]).astype(np.float32)
+        w = np.asarray(windows.hann(2048))
+        z, _, _ = stft(x, w, sampling_rate=fs, fft_length=2048,
+                       overlap_length=1536, onesided=True)
+        y = np.asarray(istft(z, w, fft_length=2048, overlap_length=1536,
+                             onesided=True))
+        n = y.shape[1]
+        sig = x[:, 2048 : n - 2048]
+        err = y[:, 2048 : n - 2048] - sig
+        snr_db = 10 * np.log10((sig**2).sum() / (err**2).sum())
+        assert snr_db > 100.0, f"round-trip SNR {snr_db:.1f} dB"
