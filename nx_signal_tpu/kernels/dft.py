@@ -31,9 +31,23 @@ from jax import lax
 from nx_signal_tpu.spectral.framing import _frame_block_widths
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
-__all__ = ["framed_dft", "framed_idft", "good_matmul_fft_length", "blocked_frame_matmul"]
+__all__ = ["framed_dft", "framed_idft", "fir_framed_dft", "good_matmul_fft_length", "blocked_frame_matmul", "toeplitz_band"]
 
 _MAX_MATMUL_FFT = 1024
+
+
+def toeplitz_band(taps, out_cols: int, xp=jnp):
+    """Banded Toeplitz matrix of 1-D convolution: T[t, j] = taps[j + K-1 - t]
+    for j <= t <= j+K-1, else 0 — shape (out_cols + K - 1, out_cols), so
+    frames_ext @ T applies the filter. `xp` selects numpy (host-side weight
+    folding) or jnp."""
+    taps = xp.asarray(taps).reshape(-1)
+    k = taps.shape[0]
+    t_idx = xp.arange(out_cols + k - 1)[:, None]
+    j_idx = xp.arange(out_cols)[None, :]
+    m = j_idx + (k - 1) - t_idx
+    zero = xp.zeros((), taps.dtype) if xp is jnp else taps.dtype.type(0)
+    return xp.where((m >= 0) & (m < k), xp.take(taps, xp.clip(m, 0, k - 1)), zero)
 
 
 def good_matmul_fft_length(n_fft: int) -> bool:
@@ -79,9 +93,9 @@ def _dft_weights(window, frame_length: int, n_fft: int, onesided: bool, dtype):
     n = np.arange(frame_length)[:, None]
     angle = -2.0 * np.pi * n * k / n_fft
     w = np.asarray(window, dtype=np.float64)[:, None]
-    wr = (w * np.cos(angle)).astype(dtype)
-    wi = (w * np.sin(angle)).astype(dtype)
-    return jnp.asarray(np.concatenate([wr, wi], axis=1))
+    wr = w * np.cos(angle)
+    wi = w * np.sin(angle)
+    return np.concatenate([wr, wi], axis=1).astype(dtype)
 
 
 def framed_dft(x, window, *, stride: int, n_fft: int, onesided: bool = False,
@@ -99,7 +113,9 @@ def framed_dft(x, window, *, stride: int, n_fft: int, onesided: bool = False,
     num_frames = (x.shape[-1] - frame_length) // stride + 1
     bins = n_fft // 2 + 1 if onesided else n_fft
 
-    weights = _dft_weights(window, frame_length, n_fft, onesided, DEFAULT_FLOAT)
+    weights = jnp.asarray(
+        _dft_weights(window, frame_length, n_fft, onesided, DEFAULT_FLOAT)
+    )
     acc = blocked_frame_matmul(
         x.astype(DEFAULT_FLOAT), weights,
         window_length=frame_length, stride=stride, num_frames=num_frames,
@@ -166,3 +182,49 @@ def framed_idft(z, window, *, n_fft: int, onesided: bool = False,
     if onesided:
         return out
     return lax.complex(out[..., :frame_length], out[..., frame_length:])
+
+
+def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
+                   onesided: bool = False, precision="highest"):
+    """FIR filtering fused INTO the framed DFT: the spectrum of
+    convolve(x, taps, 'same') computed as one blocked matmul chain, with the
+    Toeplitz filter matrix folded into the DFT weights at build time:
+
+        z = frames_ext(x) @ (T @ diag(w) @ F)
+
+    where frames_ext are (frame_length + K - 1)-wide windows of the signal
+    (the extra K-1 samples supply the convolution context) and
+    T[t, j] = taps[j + K - 1 - t] is the banded 'same'-mode Toeplitz. The
+    filtered time signal is never materialized — one HBM read of x per
+    reshape-block, one write of z. This is the fast path of the
+    STFT+FIR north-star chain when the filtered signal itself is not needed.
+    """
+    x = jnp.asarray(x)
+    taps = np.asarray(taps, dtype=np.float64).reshape(-1)
+    window_arr = np.asarray(window, dtype=np.float64)
+    k = taps.shape[0]
+    frame_length = window_arr.shape[-1]
+    length = x.shape[-1]
+    if length < frame_length:
+        raise ValueError(
+            f"window length {frame_length} exceeds signal length {length}"
+        )
+    num_frames = (length - frame_length) // stride + 1
+    bins = n_fft // 2 + 1 if onesided else n_fft
+
+    ext = frame_length + k - 1
+    toeplitz = toeplitz_band(taps, frame_length, np)
+    dft_w = _dft_weights(window_arr, frame_length, n_fft, onesided, np.float64)
+    weights = jnp.asarray((toeplitz @ dft_w).astype(DEFAULT_FLOAT))
+
+    # 'same' alignment: frame m of the filtered signal starts at
+    # y[m*stride] = full_conv[m*stride + (k-1)//2]; the extended frame
+    # covers x[m*stride - pad_left, ...] with pad_left = (k-1) - (k-1)//2
+    pad_left = (k - 1) - (k - 1) // 2
+    batch = x.shape[:-1]
+    xp = jnp.pad(x.astype(DEFAULT_FLOAT), [(0, 0)] * len(batch) + [(pad_left, k - 1)])
+    acc = blocked_frame_matmul(
+        xp, weights, window_length=ext, stride=stride, num_frames=num_frames,
+        precision=precision,
+    )
+    return lax.complex(acc[..., :bins], acc[..., bins:])

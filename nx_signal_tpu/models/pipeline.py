@@ -106,15 +106,33 @@ class FIRFilterChain:
 
 def stft_fir_chain(x, taps, window, *, fft_length: int, overlap_length: int,
                    sampling_rate: float = 16000.0, fir_method: str = "direct",
-                   onesided: bool = True):
+                   onesided: bool = True, return_filtered: bool = True):
     """The north-star benchmark chain (BASELINE.json): FIR low-pass then
-    Hann STFT -> power spectrogram, returning (filtered, power). Jittable;
-    batched over leading channel axes.
+    Hann STFT -> power spectrogram, returning (filtered, power) — or power
+    alone with `return_filtered=False`, which takes the fully-fused
+    kernels/dft.py:fir_framed_dft path (the Toeplitz filter matrix is folded
+    into the DFT weights; the filtered signal is never materialized).
 
     Defaults are the TPU-fast configuration: direct FIR (the Toeplitz-matmul
     MXU path — measured faster than FFT overlap-add for couple-hundred-tap
     filters on TPU) and a one-sided power spectrum (real input)."""
     from nx_signal_tpu.ops.convolution import convolve
+    from nx_signal_tpu.kernels.dft import fir_framed_dft, good_matmul_fft_length
+
+    x = jnp.asarray(x)
+    taps = jnp.asarray(taps)
+    window = jnp.asarray(window)
+    n_fft = fft_length
+    frame_length = window.shape[-1]
+    stride = frame_length - overlap_length
+    real_input = not jnp.issubdtype(x.dtype, jnp.complexfloating)
+    if (not return_filtered and real_input and good_matmul_fft_length(n_fft)
+            and n_fft >= frame_length):
+        z = fir_framed_dft(
+            x, taps.reshape(-1), window,
+            stride=stride, n_fft=n_fft, onesided=onesided,
+        )
+        return jnp.abs(z) ** 2
 
     taps_b = taps.reshape((1,) * (x.ndim - 1) + (-1,)) if x.ndim > 1 else taps
     if fir_method == "oa":
@@ -129,6 +147,8 @@ def stft_fir_chain(x, taps, window, *, fft_length: int, overlap_length: int,
         onesided=onesided,
     )
     power = jnp.abs(z) ** 2
+    if not return_filtered:
+        return power
     return y, power
 
 

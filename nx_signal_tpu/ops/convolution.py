@@ -34,7 +34,7 @@ from nx_signal_tpu.utils.dtypes import (
 )
 from nx_signal_tpu.utils.shapes import fft_fast_length
 
-__all__ = ["convolve", "correlate", "fftconvolve", "oaconvolve"]
+__all__ = ["convolve", "correlate", "fftconvolve", "oaconvolve", "fir_convolve_1d"]
 
 _MODES = ("full", "same", "valid")
 
@@ -145,7 +145,7 @@ def fir_convolve_1d(x, taps, mode="full", *, origin: int = 0):
     offsets, so sharded overlap-save calls (nx_signal_tpu.parallel) produce
     bitwise-identical sums to the single-device call.
     """
-    from nx_signal_tpu.kernels.dft import blocked_frame_matmul
+    from nx_signal_tpu.kernels.dft import blocked_frame_matmul, toeplitz_band
 
     x = jnp.asarray(x)
     taps = jnp.asarray(taps).reshape(-1)
@@ -162,12 +162,7 @@ def fir_convolve_1d(x, taps, mode="full", *, origin: int = 0):
         x, [(0, 0)] * len(batch) + [(k - 1 + shift, total - (k - 1 + shift) - length)]
     )
 
-    t_idx = jnp.arange(block + k - 1)[:, None]
-    j_idx = jnp.arange(block)[None, :]
-    m = j_idx + (k - 1) - t_idx
-    weights = jnp.where(
-        (m >= 0) & (m < k), jnp.take(taps, jnp.clip(m, 0, k - 1)), jnp.zeros((), taps.dtype)
-    )
+    weights = toeplitz_band(taps, block)
     out_dtype = jnp.promote_types(x.dtype, taps.dtype)
     y = blocked_frame_matmul(
         xp.astype(out_dtype), weights.astype(out_dtype),

@@ -182,7 +182,10 @@ def sharded_stft(x, window, *, mesh, sampling_rate=100, fft_length="power_of_two
 
     real_input = not jnp.issubdtype(x.dtype, jnp.complexfloating)
     use_matmul = method == "matmul" or (
-        method == "auto" and real_input and good_matmul_fft_length(n_fft)
+        method == "auto"
+        and real_input
+        and good_matmul_fft_length(n_fft)
+        and n_fft >= frame_length
     )
 
     def local(x_blk):

@@ -100,7 +100,9 @@ FUNCTION_TYPES = {
     "kernels.dft": {
         "framed_dft": "time_frequency",
         "framed_idft": "time_frequency",
+        "fir_framed_dft": "time_frequency",
         "blocked_frame_matmul": "time_frequency",
+        "toeplitz_band": "convolution",
         "good_matmul_fft_length": "time_frequency",
     },
     "kernels.pallas_dft": {

@@ -107,13 +107,27 @@ def stft(data, window, *, sampling_rate=100, fft_length="power_of_two",
         )
     real_input = not jnp.issubdtype(data.dtype, jnp.complexfloating)
     use_matmul = method == "matmul" or (
-        method == "auto" and real_input and good_matmul_fft_length(n_fft)
+        method == "auto"
+        and real_input
+        and good_matmul_fft_length(n_fft)
+        and n_fft >= frame_length  # the DFT-matmul zero-pads; it cannot
+        # truncate frames like fft(n=...) (that would time-alias)
     )
     if use_matmul and not real_input:
         raise ValueError("method='matmul' requires real input")
+    if use_matmul and n_fft < frame_length:
+        raise ValueError(
+            "method='matmul' requires fft_length >= frame_length "
+            f"(got {n_fft} < {frame_length}); use method='fft'"
+        )
 
     if use_matmul:
         padded = pad_for_windowing(data, frame_length, window_padding)
+        if padded.shape[-1] < frame_length:
+            raise ValueError(
+                f"window length {frame_length} exceeds padded signal length "
+                f"{padded.shape[-1]}"
+            )
         spectrum = framed_dft(
             padded, window, stride=stride, n_fft=n_fft, onesided=onesided
         )
