@@ -10,6 +10,7 @@
 // Supported formats: PCM u8 / s16 / s24 / s32 and IEEE float32, any
 // channel count, with chunked (seekable) block reads.
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -111,14 +112,20 @@ void* wav_open(const char* path) {
     if (id_is(chdr.id, "fmt ")) {
       uint32_t n = chdr.size < sizeof(FmtChunk) ? chdr.size : sizeof(FmtChunk);
       if (std::fread(&r->fmt, n, 1, f) != 1) break;
-      if (chdr.size > n) std::fseek(f, chdr.size - n, SEEK_CUR);
+      uint32_t consumed = n;
       r->resolved_format = r->fmt.format;
-      if (r->fmt.format == kExtensible) {
-        // sub-format GUID's first two bytes carry the real format tag; we
-        // already skipped the extension, so infer from bits: float iff 32-bit
-        // with byte_rate matching float32 — fall back to PCM.
-        r->resolved_format = kPcm;
+      if (r->fmt.format == kExtensible && chdr.size >= sizeof(FmtChunk) + 10) {
+        // extension: cbSize(2) validBits(2) channelMask(4) subformat GUID —
+        // the GUID's first two bytes are the real format tag
+        uint8_t ext[10];
+        if (std::fread(ext, sizeof ext, 1, f) == 1) {
+          consumed += sizeof ext;
+          r->resolved_format =
+              static_cast<uint16_t>(ext[8] | (ext[9] << 8));
+        }
       }
+      if (chdr.size > consumed) std::fseek(f, chdr.size - consumed, SEEK_CUR);
+      if (chdr.size & 1) std::fseek(f, 1, SEEK_CUR);
       have_fmt = true;
     } else if (id_is(chdr.id, "data")) {
       r->data_offset = std::ftell(f);
@@ -128,9 +135,15 @@ void* wav_open(const char* path) {
       std::fseek(f, (chdr.size + 1) & ~1u, SEEK_CUR);
     }
   }
+  // reject inconsistent headers (block_align must hold all channels'
+  // samples, or decode_block would read past the raw buffer)
   if (!have_fmt || r->data_offset == 0 || r->fmt.block_align == 0 ||
       (r->fmt.bits != 8 && r->fmt.bits != 16 && r->fmt.bits != 24 &&
-       r->fmt.bits != 32)) {
+       r->fmt.bits != 32) ||
+      (r->resolved_format != kPcm && r->resolved_format != kFloat) ||
+      (r->resolved_format == kFloat && r->fmt.bits != 32) ||
+      static_cast<uint32_t>(r->fmt.block_align) <
+          static_cast<uint32_t>(r->fmt.channels) * (r->fmt.bits / 8)) {
     std::fclose(f);
     delete r;
     return nullptr;
@@ -181,11 +194,14 @@ void wav_close(void* h) {
 
 int32_t wav_write(const char* path, const float* planar, int32_t channels,
                   int64_t frames, int32_t sample_rate, int32_t as_float) {
-  FILE* f = std::fopen(path, "wb");
-  if (!f) return -1;
   const uint16_t bits = as_float ? 32 : 16;
   const uint16_t block = channels * bits / 8;
-  const uint32_t data_bytes = static_cast<uint32_t>(frames * block);
+  const uint64_t total_bytes = static_cast<uint64_t>(frames) * block;
+  // RIFF sizes are 32-bit; refuse instead of writing a wrapped header
+  if (total_bytes > 0xFFFFFFFFu - 36u) return -2;
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  const uint32_t data_bytes = static_cast<uint32_t>(total_bytes);
   RiffHeader rh{{'R', 'I', 'F', 'F'}, 36 + data_bytes, {'W', 'A', 'V', 'E'}};
   std::fwrite(&rh, sizeof rh, 1, f);
   ChunkHeader fmt_h{{'f', 'm', 't', ' '}, 16};
@@ -199,20 +215,34 @@ int32_t wav_write(const char* path, const float* planar, int32_t channels,
   std::fwrite(&fmt, sizeof fmt, 1, f);
   ChunkHeader data_h{{'d', 'a', 't', 'a'}, data_bytes};
   std::fwrite(&data_h, sizeof data_h, 1, f);
-  for (int64_t fidx = 0; fidx < frames; ++fidx) {
-    for (int32_t c = 0; c < channels; ++c) {
-      float v = planar[static_cast<int64_t>(c) * frames + fidx];
-      if (as_float) {
-        std::fwrite(&v, 4, 1, f);
-      } else {
-        float clamped = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
-        float scaled = clamped * 32767.0f;
-        int32_t q = static_cast<int32_t>(scaled + (scaled >= 0 ? 0.5f : -0.5f));
-        int16_t s = static_cast<int16_t>(q);
-        std::fwrite(&s, 2, 1, f);
+  // interleave into a chunk buffer and write in bulk (one fwrite per
+  // sample would be ~100x slower)
+  const int64_t chunk_frames = 1 << 16;
+  uint8_t* buf = static_cast<uint8_t*>(std::malloc(chunk_frames * block));
+  if (!buf) {
+    std::fclose(f);
+    return -1;
+  }
+  for (int64_t start = 0; start < frames; start += chunk_frames) {
+    const int64_t n = std::min<int64_t>(chunk_frames, frames - start);
+    for (int64_t i = 0; i < n; ++i) {
+      uint8_t* p = buf + i * block;
+      for (int32_t c = 0; c < channels; ++c) {
+        float v = planar[static_cast<int64_t>(c) * frames + start + i];
+        if (as_float) {
+          std::memcpy(p + c * 4, &v, 4);
+        } else {
+          float clamped = v < -1.0f ? -1.0f : (v > 1.0f ? 1.0f : v);
+          float scaled = clamped * 32767.0f;
+          int32_t q = static_cast<int32_t>(scaled + (scaled >= 0 ? 0.5f : -0.5f));
+          int16_t s = static_cast<int16_t>(q);
+          std::memcpy(p + c * 2, &s, 2);
+        }
       }
     }
+    std::fwrite(buf, 1, n * block, f);
   }
+  std::free(buf);
   std::fclose(f);
   return 0;
 }

@@ -167,9 +167,18 @@ def write_wav(path, data, sample_rate: int, *, float32: bool = False):
             data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             data.shape[0], data.shape[1], int(sample_rate), int(float32),
         )
+        if rc == -2:
+            raise ValueError(
+                "WAV data exceeds the RIFF 4 GiB limit; split the stream"
+            )
         if rc != 0:
             raise OSError(f"cannot write WAV file: {path}")
         return
+    if float32:
+        raise RuntimeError(
+            "float32 WAV output requires the native wav_io library (the "
+            "stdlib fallback only writes PCM16)"
+        )
     import wave  # fallback: PCM16 only
 
     with wave.open(os.fspath(path), "wb") as w:

@@ -29,14 +29,29 @@ __all__ = ["initialize", "make_pod_mesh", "process_block_range"]
 
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
-    """Initialize the multi-host runtime (jax.distributed). No-op for a
-    single process. Call before any other jax API on every host."""
-    if num_processes is not None and num_processes > 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    """Initialize the multi-host runtime. Call before any other jax API on
+    every host.
+
+    With no arguments, attempts jax.distributed.initialize()'s automatic
+    cluster detection (TPU pod metadata, SLURM, ...); if no cluster
+    environment is detected this is a warning-free no-op on a plain single
+    process, but a detected-yet-failing environment raises rather than
+    silently degrading to a host-local mesh (which would zero-fill halos at
+    host boundaries). With explicit arguments, initializes exactly as told.
+    """
+    if num_processes is not None:
+        if num_processes > 1:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        return
+    try:
+        jax.distributed.initialize()
+    except ValueError:
+        # no cluster auto-detection available: single-process run
+        pass
 
 
 def make_pod_mesh(n_channel: int = 1):

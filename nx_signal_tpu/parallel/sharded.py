@@ -141,6 +141,10 @@ def sharded_convolve_same(x, taps, *, mesh, method="direct"):
 def _stft_frame_geometry(length, frame_length, stride, n_block):
     """Pick the padded per-device block (a multiple of stride) for an even
     frame split; padding is zeros whose frames are sliced away afterwards."""
+    if length < frame_length:
+        raise ValueError(
+            f"window length {frame_length} exceeds signal length {length}"
+        )
     block_len = -(-length // (n_block * stride)) * stride
     padded_len = block_len * n_block
     halo = frame_length - stride
@@ -187,6 +191,14 @@ def sharded_stft(x, window, *, mesh, sampling_rate=100, fft_length="power_of_two
         and good_matmul_fft_length(n_fft)
         and n_fft >= frame_length
     )
+    # same guards as the single-device stft (spectral/stft.py)
+    if use_matmul and not real_input:
+        raise ValueError("method='matmul' requires real input")
+    if use_matmul and n_fft < frame_length:
+        raise ValueError(
+            "method='matmul' requires fft_length >= frame_length "
+            f"(got {n_fft} < {frame_length}); use method='fft'"
+        )
 
     def local(x_blk):
         if halo:

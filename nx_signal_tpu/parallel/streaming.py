@@ -48,9 +48,13 @@ class StreamingFIR:
 @dataclass(frozen=True)
 class StreamingSTFT:
     """Streaming frame extraction + windowed FFT. The carry holds the
-    samples not yet consumed by a full frame (frame_length - hop overlap
-    context plus any sub-hop remainder), so concatenating the per-chunk
-    spectra equals the batch `stft(..., window_padding='valid')` frames."""
+    samples not yet consumed by a full frame (the frame_length - hop
+    overlap context), initialized to zeros — so the stream behaves like the
+    batch signal PREPENDED with frame_length - hop zeros: streaming frame i
+    starts at stream sample i*hop - (frame_length - hop), and concatenating
+    the per-chunk spectra equals
+    stft(concat([zeros(frame_length - hop), stream]), padding='valid').
+    Account for that fixed lead-in when aligning frame timestamps."""
 
     window: jnp.ndarray
     hop: int
@@ -114,6 +118,13 @@ class StreamingISTFT:
         window = jnp.asarray(self.window)
         frame_length = window.shape[-1]
         overlap = frame_length - self.hop
+        if z_chunk.shape[-1] != frame_length:
+            raise ValueError(
+                f"StreamingISTFT requires fft_length == window length "
+                f"({frame_length}); got spectra with {z_chunk.shape[-1]} bins "
+                "— decimating or cropping bins would silently corrupt the "
+                "reconstruction"
+            )
         frames = jnp.fft.ifft(z_chunk, n=frame_length, axis=-1)
         frames = _apply_scaling(frames, window, self.scaling, self.sampling_rate,
                                 inverse=True)

@@ -138,3 +138,37 @@ class TestRingBuffer:
             got += len(out)
         t.join()
         np.testing.assert_array_equal(np.concatenate(received), src)
+
+
+def test_reads_wave_format_extensible_float32(tone, tmp_path):
+    """ffmpeg/sox emit WAVE_FORMAT_EXTENSIBLE for float output; the
+    sub-format GUID carries the real tag and must be honored."""
+    import struct
+
+    p = tmp_path / "ext.wav"
+    interleaved = tone.T.astype("<f4").tobytes()
+    channels, bits, rate = 2, 32, 8000
+    block = channels * bits // 8
+    # fmt chunk: extensible (0xFFFE) + 22-byte extension, float GUID
+    guid = struct.pack("<H", 3) + bytes(14)  # KSDATAFORMAT_SUBTYPE_IEEE_FLOAT
+    fmt = struct.pack("<HHIIHH", 0xFFFE, channels, rate, rate * block, block, bits)
+    fmt += struct.pack("<HHI", 22, bits, 0x3) + guid
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(interleaved)) + interleaved
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    p.write_bytes(blob)
+    data, rate_read = read_wav(p)
+    assert rate_read == 8000
+    np.testing.assert_allclose(data, tone, atol=0)
+
+
+def test_rejects_inconsistent_block_align(tmp_path):
+    import struct
+
+    p = tmp_path / "bad.wav"
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 2, 2, 32)  # block_align too small
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 64) + bytes(64)
+    p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    with pytest.raises(OSError):
+        WavReader(p)

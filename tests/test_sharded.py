@@ -196,3 +196,25 @@ class TestShardedPFB:
         expected = pfb_analyze(x, 32, taps_per_channel=4)
         assert got.shape == expected.shape
         rel_close(got, expected, tol=1e-6)
+
+
+class TestShardedGuards:
+    def test_matmul_rejects_complex(self, rng):
+        mesh = make_dsp_mesh(1, 8)
+        x = (rng.normal(size=(1, 8192)) + 1j).astype(np.complex64)
+        with pytest.raises(ValueError, match="requires real input"):
+            sharded_stft(x, windows.hann(256), mesh=mesh, fft_length=256,
+                         method="matmul")
+
+    def test_matmul_rejects_short_fft(self, rng):
+        mesh = make_dsp_mesh(1, 8)
+        x = rng.normal(size=(1, 8192)).astype(np.float32)
+        with pytest.raises(ValueError, match="fft_length >= frame_length"):
+            sharded_stft(x, windows.hann(512), mesh=mesh, fft_length=256,
+                         method="matmul")
+
+    def test_short_signal_raises(self, rng):
+        mesh = make_dsp_mesh(1, 8)
+        with pytest.raises(ValueError, match="exceeds signal length"):
+            sharded_stft(np.zeros(100, np.float32), windows.hann(256),
+                         mesh=mesh, fft_length=256)

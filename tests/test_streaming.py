@@ -99,3 +99,9 @@ class TestStreamingISTFT:
         m = min(len(got), len(expected))
         # interior matches (first half-window distorted, as in batch istft)
         assert_all_close(got[256:m], expected[256:m], atol=1e-3)
+
+
+def test_streaming_istft_rejects_bin_mismatch():
+    dec = StreamingISTFT(jnp.asarray(windows.hann(256)), hop=64)
+    with pytest.raises(ValueError, match="fft_length == window length"):
+        dec.process(dec.init_state(), jnp.zeros((4, 512), jnp.complex64))
