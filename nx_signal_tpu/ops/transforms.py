@@ -7,7 +7,7 @@ FFT; per-axis pad/truncate semantics are preserved via the `s` argument.
 
 import jax.numpy as jnp
 
-__all__ = ["fft_nd", "ifft_nd", "rfft_nd", "irfft_nd"]
+__all__ = ["fft_nd", "ifft_nd", "rfft_nd", "irfft_nd", "hilbert"]
 
 
 def _norm_axes_lengths(x, axes, lengths):
@@ -52,3 +52,29 @@ def irfft_nd(x, *, axes=None, lengths=None):
     x = jnp.asarray(x)
     axes, lengths = _norm_axes_lengths(x, axes, lengths)
     return jnp.fft.irfftn(x, s=lengths, axes=axes)
+
+
+def hilbert(x, *, n: int = None, axis: int = -1):
+    """Analytic signal via the FFT method (scipy.signal.hilbert semantics):
+    real input -> complex output whose real part is x and imaginary part its
+    Hilbert transform; |hilbert(x)| is the envelope. Not in the reference;
+    completes the envelope/demodulation workflows (ops/mixing.py).
+
+    `n` defaults to the signal length (exact scipy parity). TPU caveat: a
+    non-power-of-two FFT lowers to a dense O(N^2) DFT there (CLAUDE.md) —
+    for long signals on TPU pass n=utils.shapes.fft_fast_length(length) and
+    slice, accepting the slight boundary difference.
+    """
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("hilbert requires a real input signal")
+    n_fft = int(n) if n is not None else x.shape[axis]
+    spectrum = jnp.fft.fft(x, n=n_fft, axis=axis)
+    h = jnp.zeros(n_fft)
+    if n_fft % 2 == 0:
+        h = h.at[0].set(1.0).at[n_fft // 2].set(1.0).at[1 : n_fft // 2].set(2.0)
+    else:
+        h = h.at[0].set(1.0).at[1 : (n_fft + 1) // 2].set(2.0)
+    shape = [1] * x.ndim
+    shape[axis] = n_fft
+    return jnp.fft.ifft(spectrum * h.reshape(shape), axis=axis)

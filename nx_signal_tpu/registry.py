@@ -73,6 +73,7 @@ FUNCTION_TYPES = {
         "ifft_nd": "transforms",
         "rfft_nd": "transforms",
         "irfft_nd": "transforms",
+        "hilbert": "transforms",
     },
     "ops.filters": {
         "median": "filters",

@@ -113,3 +113,28 @@ def test_unit_impulse():
 def test_sinc():
     t = np.array([0.0, 0.25, 0.5, 1.0, -2.5])
     assert_all_close(waveforms.sinc(t.astype(np.float32)), np.sinc(t), atol=1e-6)
+
+
+class TestHilbert:
+    def test_vs_scipy(self, rng):
+        from nx_signal_tpu.ops.transforms import hilbert
+
+        for n in (100, 128, 999, 1024):
+            x = rng.normal(size=n)
+            got = np.asarray(hilbert(x))
+            np.testing.assert_allclose(got, sps.hilbert(x), atol=1e-10)
+
+    def test_envelope(self):
+        from nx_signal_tpu.ops.transforms import hilbert
+
+        t = np.arange(8000) / 8000
+        msg = 1 + 0.5 * np.sin(2 * np.pi * 5 * t)
+        x = (msg * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        env = np.abs(np.asarray(hilbert(x)))
+        np.testing.assert_allclose(env[200:-200], msg[200:-200], atol=1e-2)
+
+    def test_rejects_complex(self):
+        from nx_signal_tpu.ops.transforms import hilbert
+
+        with pytest.raises(ValueError, match="real input"):
+            hilbert(np.zeros(8, np.complex64))
