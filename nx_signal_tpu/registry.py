@@ -33,6 +33,9 @@ FUNCTION_TYPES = {
         "istft": "time_frequency",
         "fft_frequencies": "time_frequency",
     },
+    "spectral.spectrogram": {
+        "spectrogram": "time_frequency",
+    },
     "spectral.mel": {
         "mel_filters": "time_frequency",
         "stft_to_mel": "time_frequency",
