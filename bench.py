@@ -17,6 +17,12 @@ import sys
 import time
 
 import jax
+
+# Persistent compilation cache: the remote-tunnel TPU compile is slow and
+# variable (30 s - several minutes); caching lets repeat runs skip it.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -133,6 +133,10 @@ FUNCTION_TYPES = {
         "StreamingSTFT": "streaming",
         "StreamingISTFT": "streaming",
     },
+    "utils.checks": {
+        "assert_all_finite": "special",
+        "count_nonfinite": "special",
+    },
     "io.wav": {
         "read_wav": "io",
         "write_wav": "io",

@@ -67,3 +67,23 @@ class TestShapeMath:
         assert conv_output_length(10, 3, "valid") == 8
         with pytest.raises(ValueError):
             conv_output_length(10, 3, "bogus")
+
+
+class TestChecks:
+    def test_count_nonfinite(self):
+        from nx_signal_tpu.utils.checks import count_nonfinite
+
+        x = np.array([1.0, np.nan, np.inf, 2.0])
+        assert int(count_nonfinite(x)) == 2
+        assert int(count_nonfinite(np.array([1 + 1j * np.nan]))) == 1
+        assert int(count_nonfinite(np.array([1, 2, 3]))) == 0
+
+    def test_assert_all_finite(self):
+        import jax
+        from nx_signal_tpu.utils.checks import assert_all_finite
+
+        assert_all_finite(np.ones(4), "ok")  # no raise
+        with pytest.raises(FloatingPointError, match="bad .*1 non-finite"):
+            jax.block_until_ready(
+                assert_all_finite(np.array([1.0, np.nan]), "bad")
+            )
