@@ -36,6 +36,7 @@ from nx_signal_tpu.ops.mixing import demodulate_channel, mix_down
 from nx_signal_tpu.ops.resample import pfb_analyze, resample_poly, upfirdn
 from nx_signal_tpu.spectral.framing import as_windowed, overlap_and_add
 from nx_signal_tpu.spectral.mel import mel_filters, stft_to_mel
+from nx_signal_tpu.spectral.estimation import coherence, csd, periodogram, welch
 from nx_signal_tpu.spectral.spectrogram import spectrogram
 from nx_signal_tpu.spectral.stft import STFTResult, fft_frequencies, istft, stft
 
@@ -48,6 +49,7 @@ __all__ = [
     # spectral pipeline
     "stft", "istft", "STFTResult", "fft_frequencies", "as_windowed",
     "overlap_and_add", "mel_filters", "stft_to_mel", "spectrogram",
+    "periodogram", "welch", "csd", "coherence",
     # convolution family
     "convolve", "correlate", "fftconvolve", "oaconvolve",
     # filters & design

@@ -25,6 +25,7 @@ MXU passes; DEFAULT's bf16 passes are ~35% faster at ~1e-3 accuracy).
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -87,11 +88,24 @@ def blocked_frame_matmul(x, weights, *, window_length: int, stride: int,
 def _dft_weights(window, frame_length: int, n_fft: int, onesided: bool, dtype):
     """[Wr | Wi] stacked (frame_length, 2*bins): the window-scaled DFT
     matrix restricted to the first frame_length input rows (zero-padding to
-    n_fft is implicit)."""
+    n_fft is implicit).
+
+    Concrete windows build in f64 numpy on host. A TRACED window (e.g. built
+    inside an enclosing jit) takes a jnp path instead — the phase is reduced
+    mod n_fft in exact integer arithmetic first so f32 cos/sin only ever see
+    arguments in [-2pi, 0] (naive n*k/N angles reach ~3e3 rad, where f32
+    range reduction loses most of the mantissa); XLA constant-folds the
+    whole matrix at compile time when the window is a trace-constant."""
     bins = n_fft // 2 + 1 if onesided else n_fft
-    k = np.arange(bins)[None, :]
+    if isinstance(window, jax.core.Tracer):
+        k = jnp.arange(bins, dtype=jnp.int32)[None, :]
+        n = jnp.arange(frame_length, dtype=jnp.int32)[:, None]
+        angle = (-2.0 * np.pi / n_fft) * ((n * k) % n_fft).astype(dtype)
+        w = window.astype(dtype)[:, None]
+        return jnp.concatenate([w * jnp.cos(angle), w * jnp.sin(angle)], axis=1)
+    bins_idx = np.arange(bins)[None, :]
     n = np.arange(frame_length)[:, None]
-    angle = -2.0 * np.pi * n * k / n_fft
+    angle = -2.0 * np.pi * n * bins_idx / n_fft
     w = np.asarray(window, dtype=np.float64)[:, None]
     wr = w * np.cos(angle)
     wi = w * np.sin(angle)
@@ -134,6 +148,30 @@ def _idft_weights(window, frame_length: int, n_fft: int, onesided: bool, dtype):
     interior bins; returns (2*bins, frame_length) mapping [Re z | Im z] to
     real frames.
     """
+    if isinstance(window, jax.core.Tracer):
+        # traced window: jnp build with exact integer phase reduction (see
+        # _dft_weights); constant-folded by XLA for trace-constant windows
+        n = jnp.arange(frame_length, dtype=jnp.int32)[None, :]
+        w = window.astype(dtype)[None, :]
+        if onesided:
+            bins = n_fft // 2 + 1
+            k = jnp.arange(bins, dtype=jnp.int32)[:, None]
+            factor = np.full((bins, 1), 2.0, np.float64)
+            factor[0, 0] = 1.0
+            if n_fft % 2 == 0:
+                factor[-1, 0] = 1.0
+            factor = jnp.asarray(factor.astype(dtype))
+            angle = (2.0 * np.pi / n_fft) * ((k * n) % n_fft).astype(dtype)
+            g_re = factor * jnp.cos(angle) / n_fft * w
+            g_im = -factor * jnp.sin(angle) / n_fft * w
+            return jnp.concatenate([g_re, g_im], axis=0)
+        k = jnp.arange(n_fft, dtype=jnp.int32)[:, None]
+        angle = (2.0 * np.pi / n_fft) * ((k * n) % n_fft).astype(dtype)
+        g_re = jnp.cos(angle) / n_fft * w
+        g_im = jnp.sin(angle) / n_fft * w
+        top = jnp.concatenate([g_re, g_im], axis=1)
+        bot = jnp.concatenate([-g_im, g_re], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
     n = np.arange(frame_length)[None, :]
     w = np.asarray(window, dtype=np.float64)[None, :]
     if onesided:
@@ -200,8 +238,13 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
     STFT+FIR north-star chain when the filtered signal itself is not needed.
     """
     x = jnp.asarray(x)
-    taps = np.asarray(taps, dtype=np.float64).reshape(-1)
-    window_arr = np.asarray(window, dtype=np.float64)
+    traced = isinstance(taps, jax.core.Tracer) or isinstance(window, jax.core.Tracer)
+    if traced:
+        taps = jnp.asarray(taps).reshape(-1)
+        window_arr = jnp.asarray(window)
+    else:
+        taps = np.asarray(taps, dtype=np.float64).reshape(-1)
+        window_arr = np.asarray(window, dtype=np.float64)
     k = taps.shape[0]
     frame_length = window_arr.shape[-1]
     length = x.shape[-1]
@@ -213,9 +256,23 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
     bins = n_fft // 2 + 1 if onesided else n_fft
 
     ext = frame_length + k - 1
-    toeplitz = toeplitz_band(taps, frame_length, np)
-    dft_w = _dft_weights(window_arr, frame_length, n_fft, onesided, np.float64)
-    weights = jnp.asarray((toeplitz @ dft_w).astype(DEFAULT_FLOAT))
+    if traced:
+        # jnp weight folding (constant-folded by XLA when taps/window are
+        # trace-constants); full-f32 matmul for the host-side-equivalent fold
+        toeplitz = toeplitz_band(taps.astype(DEFAULT_FLOAT), frame_length, jnp)
+        if isinstance(window_arr, jax.core.Tracer):
+            dft_w = _dft_weights(window_arr, frame_length, n_fft, onesided,
+                                 DEFAULT_FLOAT)
+        else:
+            dft_w = jnp.asarray(
+                _dft_weights(np.asarray(window_arr, np.float64), frame_length,
+                             n_fft, onesided, np.float64).astype(DEFAULT_FLOAT)
+            )
+        weights = jnp.matmul(toeplitz, dft_w, precision="highest")
+    else:
+        toeplitz = toeplitz_band(taps, frame_length, np)
+        dft_w = _dft_weights(window_arr, frame_length, n_fft, onesided, np.float64)
+        weights = jnp.asarray((toeplitz @ dft_w).astype(DEFAULT_FLOAT))
 
     # 'same' alignment: frame m of the filtered signal starts at
     # y[m*stride] = full_conv[m*stride + (k-1)//2]; the extended frame

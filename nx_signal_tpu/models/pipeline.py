@@ -106,7 +106,8 @@ class FIRFilterChain:
 
 def stft_fir_chain(x, taps, window, *, fft_length: int, overlap_length: int,
                    sampling_rate: float = 16000.0, fir_method: str = "direct",
-                   onesided: bool = True, return_filtered: bool = True):
+                   onesided: bool = True, return_filtered: bool = True,
+                   precision: str = "highest"):
     """The north-star benchmark chain (BASELINE.json): FIR low-pass then
     Hann STFT -> power spectrogram, returning (filtered, power) — or power
     alone with `return_filtered=False`, which takes the fully-fused
@@ -115,7 +116,8 @@ def stft_fir_chain(x, taps, window, *, fft_length: int, overlap_length: int,
 
     Defaults are the TPU-fast configuration: direct FIR (the Toeplitz-matmul
     MXU path — measured faster than FFT overlap-add for couple-hundred-tap
-    filters on TPU) and a one-sided power spectrum (real input)."""
+    filters on TPU) and a one-sided power spectrum (real input). `precision`
+    sets the MXU matmul precision of the DFT kernels (see spectral.stft)."""
     from nx_signal_tpu.ops.convolution import convolve
     from nx_signal_tpu.kernels.dft import fir_framed_dft, good_matmul_fft_length
 
@@ -130,7 +132,7 @@ def stft_fir_chain(x, taps, window, *, fft_length: int, overlap_length: int,
             and n_fft >= frame_length):
         z = fir_framed_dft(
             x, taps.reshape(-1), window,
-            stride=stride, n_fft=n_fft, onesided=onesided,
+            stride=stride, n_fft=n_fft, onesided=onesided, precision=precision,
         )
         return jnp.abs(z) ** 2
 
@@ -145,6 +147,7 @@ def stft_fir_chain(x, taps, window, *, fft_length: int, overlap_length: int,
         fft_length=fft_length,
         overlap_length=overlap_length,
         onesided=onesided,
+        precision=precision,
     )
     power = jnp.abs(z) ** 2
     if not return_filtered:

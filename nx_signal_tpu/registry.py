@@ -36,6 +36,12 @@ FUNCTION_TYPES = {
     "spectral.spectrogram": {
         "spectrogram": "time_frequency",
     },
+    "spectral.estimation": {
+        "periodogram": "time_frequency",
+        "welch": "time_frequency",
+        "csd": "time_frequency",
+        "coherence": "time_frequency",
+    },
     "spectral.mel": {
         "mel_filters": "time_frequency",
         "stft_to_mel": "time_frequency",

@@ -1,3 +1,4 @@
+from nx_signal_tpu.spectral.estimation import coherence, csd, periodogram, welch
 from nx_signal_tpu.spectral.framing import as_windowed, overlap_and_add
 from nx_signal_tpu.spectral.mel import mel_filters, stft_to_mel
 from nx_signal_tpu.spectral.spectrogram import spectrogram
@@ -13,4 +14,8 @@ __all__ = [
     "fft_frequencies",
     "istft",
     "stft",
+    "periodogram",
+    "welch",
+    "csd",
+    "coherence",
 ]

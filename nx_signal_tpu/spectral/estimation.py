@@ -1,0 +1,237 @@
+"""Spectral estimation: periodogram / Welch PSD / cross-spectral density /
+coherence.
+
+The reference library stops at the raw STFT (lib/nx_signal.ex:68-130); these
+averaged estimators are the standard scipy.signal layer users expect on top
+of it (scipy.signal.periodogram/welch/csd/coherence semantics, including
+segment detrending, density/spectrum scaling, and mean/median averaging).
+
+TPU-first notes: segmentation + window + DFT rides the fused MXU framed-DFT
+kernel (kernels/dft.py) via spectral.stft for real input; the per-segment
+constant detrend is applied in the frequency domain by linearity —
+F((s - mean(s)) * w) = F(s * w) - mean(s) * F(w) — where the per-segment
+means are one extra blocked mat-vec, so the segment matrix is never
+materialized.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nx_signal_tpu.kernels.dft import blocked_frame_matmul
+from nx_signal_tpu.ops.windows import get_window
+from nx_signal_tpu.spectral.framing import as_windowed
+from nx_signal_tpu.spectral.stft import stft
+from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
+
+__all__ = ["periodogram", "welch", "csd", "coherence"]
+
+
+def _median_bias(n: int) -> float:
+    """Bias of the median of n exponentially-distributed periodogram
+    estimates relative to the mean (scipy.signal._spectral_py._median_bias)."""
+    ii_2 = 2.0 * np.arange(1.0, (n - 1) // 2 + 1)
+    return float(1.0 + np.sum(1.0 / (ii_2 + 1.0) - 1.0 / ii_2))
+
+
+def _resolve_window(window, segment_length):
+    is_spec = isinstance(window, str) or (
+        isinstance(window, (tuple, list))
+        and len(window) > 0
+        and isinstance(window[0], str)
+    )
+    if is_spec:
+        # DFT-even window, matching scipy's get_window(..., sym=False) default
+        w = get_window(window, segment_length, periodic=True,
+                       dtype=DEFAULT_FLOAT)
+    else:
+        w = jnp.asarray(window)
+        if w.ndim != 1:
+            raise ValueError(f"window must be 1-D, got shape {w.shape}")
+    return w
+
+
+def _segment_spectra(x, window, *, stride, n_fft, onesided, detrend,
+                     precision):
+    """(..., segments, bins) complex spectra of detrended, windowed
+    segments of the (..., L) signal."""
+    x = jnp.asarray(x)
+    frame_length = window.shape[-1]
+    if x.shape[-1] < frame_length:
+        raise ValueError(
+            f"segment_length {frame_length} exceeds signal length {x.shape[-1]}"
+        )
+    if detrend not in ("constant", False, None):
+        raise ValueError(
+            f"invalid detrend, expected 'constant', False or None, got: {detrend}"
+        )
+    real_input = not jnp.issubdtype(x.dtype, jnp.complexfloating)
+    z, _, _ = stft(
+        x, window, sampling_rate=1.0, fft_length=n_fft,
+        overlap_length=frame_length - stride, window_padding="valid",
+        onesided=onesided and real_input, precision=precision,
+    )
+    if detrend == "constant":
+        num_frames = z.shape[-2]
+        if real_input:
+            ones_col = jnp.full((frame_length, 1), 1.0 / frame_length,
+                                DEFAULT_FLOAT)
+            means = blocked_frame_matmul(
+                x.astype(DEFAULT_FLOAT), ones_col,
+                window_length=frame_length, stride=stride,
+                num_frames=num_frames, precision=precision,
+            )  # (..., segments, 1)
+        else:
+            frames = as_windowed(x, window_length=frame_length, stride=stride)
+            means = jnp.mean(frames, axis=-1, keepdims=True)
+        one_sided_fft = onesided and real_input
+        if isinstance(window, jax.core.Tracer):
+            # window built inside an enclosing jit: stage the (constant-
+            # folded) spectrum instead of computing it host-side
+            wk = (jnp.fft.rfft(window, n_fft) if one_sided_fft
+                  else jnp.fft.fft(window, n_fft))
+        else:
+            wk = np.fft.rfft(np.asarray(window, np.float64), n_fft) \
+                if one_sided_fft \
+                else np.fft.fft(np.asarray(window, np.float64), n_fft)
+            wk = jnp.asarray(wk.astype(np.complex64))
+        z = z - means * wk
+    return z
+
+
+def csd(x, y, *, sampling_rate=1.0, window="hann", segment_length=256,
+        overlap_length=None, fft_length=None, detrend="constant",
+        onesided=True, scaling="density", average="mean",
+        precision="highest"):
+    """Cross power spectral density P_xy by Welch's method
+    (scipy.signal.csd semantics): segment both signals, detrend, window,
+    DFT, form conj(X)*Y per segment, and average.
+
+    Returns (frequencies, P_xy) with P_xy complex of shape (..., bins);
+    leading batch axes broadcast like every op in this framework. Two-sided
+    output uses scipy's fftfreq bin ordering (negative frequencies in the
+    upper half). `average` is 'mean' or 'median' (median is bias-corrected,
+    robust to interference spikes). `scaling='density'` gives V**2/Hz
+    (divide by Fs*sum(w**2)); 'spectrum' gives V**2 (divide by sum(w)**2).
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    w = _resolve_window(window, segment_length)
+    segment_length = w.shape[-1]
+    if overlap_length is None:
+        overlap_length = segment_length // 2
+    if not 0 <= overlap_length < segment_length:
+        raise ValueError(
+            f"overlap_length must be in [0, {segment_length}), got: {overlap_length}"
+        )
+    stride = segment_length - overlap_length
+    n_fft = segment_length if fft_length is None else int(fft_length)
+    if n_fft < segment_length:
+        raise ValueError(
+            f"fft_length ({n_fft}) must be >= segment_length ({segment_length})"
+        )
+    if scaling == "density":
+        scale = 1.0 / (sampling_rate * jnp.sum(w.astype(DEFAULT_FLOAT) ** 2))
+    elif scaling == "spectrum":
+        scale = 1.0 / jnp.sum(w.astype(DEFAULT_FLOAT)) ** 2
+    else:
+        raise ValueError(
+            f"invalid scaling, expected 'density' or 'spectrum', got: {scaling}"
+        )
+    if average not in ("mean", "median"):
+        raise ValueError(
+            f"invalid average, expected 'mean' or 'median', got: {average}"
+        )
+    complex_input = jnp.issubdtype(x.dtype, jnp.complexfloating) or \
+        jnp.issubdtype(y.dtype, jnp.complexfloating)
+    if onesided and complex_input:
+        raise ValueError("onesided=True requires real input; "
+                         "use onesided=False for complex signals")
+
+    zx = _segment_spectra(x, w, stride=stride, n_fft=n_fft, onesided=onesided,
+                          detrend=detrend, precision=precision)
+    zy = zx if y is x else _segment_spectra(
+        y, w, stride=stride, n_fft=n_fft, onesided=onesided, detrend=detrend,
+        precision=precision)
+    pxy = jnp.conj(zx) * zy * scale
+
+    if onesided:
+        # conjugate-symmetry doubling: every bin except DC (and Nyquist for
+        # even n_fft) carries the energy of its mirrored negative frequency
+        bins = n_fft // 2 + 1
+        factor = np.full((bins,), 2.0, np.float32)
+        factor[0] = 1.0
+        if n_fft % 2 == 0:
+            factor[-1] = 1.0
+        pxy = pxy * jnp.asarray(factor)
+        freqs = np.fft.rfftfreq(n_fft, 1.0 / sampling_rate)
+    else:
+        freqs = np.fft.fftfreq(n_fft, 1.0 / sampling_rate)
+
+    n_seg = pxy.shape[-2]
+    if average == "median" and n_seg > 1:
+        bias = _median_bias(n_seg)
+        if jnp.issubdtype(pxy.dtype, jnp.complexfloating):
+            pxy = (jnp.median(jnp.real(pxy), axis=-2)
+                   + 1j * jnp.median(jnp.imag(pxy), axis=-2)) / bias
+        else:
+            pxy = jnp.median(pxy, axis=-2) / bias
+    else:
+        pxy = jnp.mean(pxy, axis=-2)
+    return jnp.asarray(freqs, DEFAULT_FLOAT), pxy
+
+
+def welch(x, *, sampling_rate=1.0, window="hann", segment_length=256,
+          overlap_length=None, fft_length=None, detrend="constant",
+          onesided=True, scaling="density", average="mean",
+          precision="highest"):
+    """Welch power spectral density estimate (scipy.signal.welch
+    semantics): average of detrended, windowed periodograms over
+    overlapping segments. Returns (frequencies, P_xx) with P_xx real.
+
+    See `csd` for the option surface; welch is csd(x, x) with the
+    imaginary part (identically zero) dropped.
+    """
+    x = jnp.asarray(x)
+    freqs, pxx = csd(
+        x, x, sampling_rate=sampling_rate, window=window,
+        segment_length=segment_length, overlap_length=overlap_length,
+        fft_length=fft_length, detrend=detrend, onesided=onesided,
+        scaling=scaling, average=average, precision=precision,
+    )
+    return freqs, jnp.real(pxx)
+
+
+def periodogram(x, *, sampling_rate=1.0, window="rectangular",
+                fft_length=None, detrend="constant", onesided=True,
+                scaling="density", precision="highest"):
+    """Single-segment power spectral density (scipy.signal.periodogram
+    semantics): the whole signal is one detrended, windowed segment.
+    Returns (frequencies, P_xx)."""
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    return welch(
+        x, sampling_rate=sampling_rate, window=window, segment_length=n,
+        overlap_length=0, fft_length=fft_length, detrend=detrend,
+        onesided=onesided, scaling=scaling, average="mean",
+        precision=precision,
+    )
+
+
+def coherence(x, y, *, sampling_rate=1.0, window="hann", segment_length=256,
+              overlap_length=None, fft_length=None, detrend="constant",
+              precision="highest"):
+    """Magnitude-squared coherence C_xy = |P_xy|**2 / (P_xx * P_yy)
+    (scipy.signal.coherence semantics). Returns (frequencies, C_xy) with
+    C_xy real in [0, 1]; needs overlapping segments (>= 2) to be
+    meaningful — with one segment it is identically 1."""
+    common = dict(
+        sampling_rate=sampling_rate, window=window,
+        segment_length=segment_length, overlap_length=overlap_length,
+        fft_length=fft_length, detrend=detrend, precision=precision,
+    )
+    freqs, pxx = welch(x, **common)
+    _, pyy = welch(y, **common)
+    _, pxy = csd(x, y, **common)
+    return freqs, jnp.abs(pxy) ** 2 / (pxx * pyy)

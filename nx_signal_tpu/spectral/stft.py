@@ -66,7 +66,7 @@ def _apply_scaling(z, window, scaling, sampling_rate, inverse: bool):
 
 def stft(data, window, *, sampling_rate=100, fft_length="power_of_two",
          overlap_length=None, window_padding="valid", scaling=None,
-         onesided=False, method="auto"):
+         onesided=False, method="auto", precision="highest"):
     """Short-Time Fourier Transform.
 
     Frames the (..., L) signal with hop = frame_length - overlap_length,
@@ -90,6 +90,10 @@ def stft(data, window, *, sampling_rate=100, fft_length="power_of_two",
     matmul kernel (kernels/dft.py) for real input with fft_length <= 1024 —
     measured ~3x faster than framing + XLA FFT on TPU — and XLA's FFT
     otherwise; 'fft' / 'matmul' force a path.
+
+    `precision` controls the MXU passes of the matmul path ('highest' =
+    full-f32, 'high' = 3-pass bf16, 'default' = single bf16 pass — each
+    step trades accuracy for speed); ignored on the FFT path.
     """
     data = jnp.asarray(data)
     window = jnp.asarray(window)
@@ -129,7 +133,8 @@ def stft(data, window, *, sampling_rate=100, fft_length="power_of_two",
                 f"{padded.shape[-1]}"
             )
         spectrum = framed_dft(
-            padded, window, stride=stride, n_fft=n_fft, onesided=onesided
+            padded, window, stride=stride, n_fft=n_fft, onesided=onesided,
+            precision=precision,
         )
     else:
         frames = as_windowed(
@@ -152,7 +157,7 @@ def stft(data, window, *, sampling_rate=100, fft_length="power_of_two",
 
 
 def istft(z, window, *, fft_length=None, overlap_length=None, scaling=None,
-          sampling_rate=1000, onesided=False, method="auto"):
+          sampling_rate=1000, onesided=False, method="auto", precision="highest"):
     """Inverse STFT: per-frame IFFT, inverse scaling, window multiply,
     deterministic overlap-add, and NOLA window-envelope normalization with a
     1e-10 guard (reference: nx_signal.ex:582-638).
@@ -165,7 +170,8 @@ def istft(z, window, *, fft_length=None, overlap_length=None, scaling=None,
     half-spectrum (fft_length//2 + 1 bins, e.g. from
     `stft(..., onesided=True)`) and returns a REAL reconstruction; `method`
     picks the per-frame inverse — 'auto' uses the fused iDFT+window MXU
-    matmul (kernels/dft.py) for fft_length <= 1024, XLA's IFFT otherwise.
+    matmul (kernels/dft.py) for fft_length <= 1024, XLA's IFFT otherwise;
+    `precision` sets that matmul's MXU precision (see `stft`).
     """
     z = jnp.asarray(z)
     window = jnp.asarray(window)
@@ -188,7 +194,8 @@ def istft(z, window, *, fft_length=None, overlap_length=None, scaling=None,
     if use_matmul:
         # fused inverse-DFT + synthesis-window multiply on the MXU; scaling
         # is a scalar multiply and commutes with the linear transform
-        windowed = framed_idft(z, window, n_fft=n_fft, onesided=onesided)
+        windowed = framed_idft(z, window, n_fft=n_fft, onesided=onesided,
+                               precision=precision)
         windowed = _apply_scaling(windowed, window, scaling, sampling_rate,
                                   inverse=True)
         frame_length = windowed.shape[-1]

@@ -211,6 +211,67 @@ class TestSTFTMethods:
         with pytest.raises(ValueError, match="invalid method"):
             stft(np.arange(64.0), np.asarray(W.hann(16)), method="bogus")
 
+    def test_window_built_inside_jit(self, rng):
+        # the DFT weight matrices normally build host-side from a concrete
+        # window; a window constructed INSIDE an enclosing jit is a tracer
+        # and must take the staged (constant-folded) build instead
+        import jax
+        import numpy as np
+        from nx_signal_tpu.kernels.dft import fir_framed_dft
+        from nx_signal_tpu.ops import windows as W
+        from nx_signal_tpu.spectral import istft
+
+        x = rng.normal(size=2000).astype(np.float32)
+        taps = rng.normal(size=31).astype(np.float32)
+
+        @jax.jit
+        def roundtrip(x, taps):
+            w = W.hann(128)  # traced under jit
+            z, _, _ = stft(x, w, sampling_rate=1000, fft_length=128,
+                           overlap_length=96, method="matmul")
+            zf = fir_framed_dft(x, taps, w, stride=32, n_fft=128)
+            return istft(z, w, overlap_length=96, method="matmul"), zf
+
+        r_jit, zf_jit = roundtrip(x, taps)
+        w = np.asarray(W.hann(128))
+        z, _, _ = stft(x, w, sampling_rate=1000, fft_length=128,
+                       overlap_length=96, method="matmul")
+        r = istft(z, w, overlap_length=96, method="matmul")
+        zf = fir_framed_dft(x, taps, w, stride=32, n_fft=128)
+        r_jit, r = np.asarray(r_jit), np.asarray(r)
+        scale = np.abs(r).max()
+        # edge samples divide by a tiny NOLA envelope, amplifying the
+        # f32-vs-f64 weight-build rounding; interior is tight
+        np.testing.assert_allclose(r_jit[128:-128], r[128:-128],
+                                   atol=1e-5 * scale)
+        np.testing.assert_allclose(r_jit, r, atol=1e-3 * scale)
+        np.testing.assert_allclose(np.asarray(zf_jit), np.asarray(zf),
+                                   atol=1e-4 * np.abs(np.asarray(zf)).max())
+
+    def test_precision_kwarg(self, rng):
+        # 'high'/'default' only reduce precision on TPU MXUs; on CPU all
+        # three run full-f32 matmuls, so gate loosely and mainly check the
+        # knob plumbs through stft/istft end to end
+        import numpy as np
+        from nx_signal_tpu.ops import windows as W
+        from nx_signal_tpu.spectral import istft
+
+        x = rng.normal(size=2000).astype(np.float32)
+        w = np.asarray(W.hann(128))
+        z_hi, _, _ = stft(x, w, sampling_rate=1000, fft_length=128,
+                          overlap_length=96, method="matmul")
+        z_fast, _, _ = stft(x, w, sampling_rate=1000, fft_length=128,
+                            overlap_length=96, method="matmul",
+                            precision="high")
+        scale = np.abs(np.asarray(z_hi)).max()
+        np.testing.assert_allclose(np.asarray(z_fast), np.asarray(z_hi),
+                                   atol=1e-3 * scale)
+        r_hi = istft(z_hi, w, overlap_length=96, method="matmul")
+        r_fast = istft(z_hi, w, overlap_length=96, method="matmul",
+                       precision="high")
+        np.testing.assert_allclose(np.asarray(r_fast), np.asarray(r_hi),
+                                   atol=1e-3 * np.abs(np.asarray(r_hi)).max())
+
 
 class TestISTFTMethods:
     """The fused iDFT+window MXU path must agree with the IFFT path, and
