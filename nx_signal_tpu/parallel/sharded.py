@@ -159,7 +159,8 @@ def _stft_frame_geometry(length, frame_length, stride, n_block):
 
 
 def sharded_stft(x, window, *, mesh, sampling_rate=100, fft_length="power_of_two",
-                 overlap_length=None, scaling=None, onesided=False, method="auto"):
+                 overlap_length=None, scaling=None, onesided=False, method="auto",
+                 precision="highest"):
     """Block+channel-sharded STFT ('valid' padding), bitwise-comparable to
     the single-device `stft`.
 
@@ -209,7 +210,8 @@ def sharded_stft(x, window, *, mesh, sampling_rate=100, fft_length="power_of_two
             ext = x_blk
         if use_matmul:
             return framed_dft(
-                ext, window, stride=stride, n_fft=n_fft, onesided=onesided
+                ext, window, stride=stride, n_fft=n_fft, onesided=onesided,
+                precision=precision,
             )
         frames = as_windowed(ext, window_length=frame_length, stride=stride)
         fft = jnp.fft.rfft if onesided else jnp.fft.fft
@@ -234,7 +236,8 @@ def sharded_stft(x, window, *, mesh, sampling_rate=100, fft_length="power_of_two
 
 
 def sharded_istft(z, window, *, mesh, fft_length=None, overlap_length=None,
-                  scaling=None, sampling_rate=1000, onesided=False, method="auto"):
+                  scaling=None, sampling_rate=1000, onesided=False, method="auto",
+                  precision="highest"):
     """Block+channel-sharded inverse STFT, bitwise-comparable to the
     single-device `istft`.
 
@@ -293,7 +296,8 @@ def sharded_istft(z, window, *, mesh, fft_length=None, overlap_length=None,
 
     def local(z_blk):
         if use_matmul:
-            frames = framed_idft(z_blk, window, n_fft=n_fft, onesided=onesided)
+            frames = framed_idft(z_blk, window, n_fft=n_fft, onesided=onesided,
+                                 precision=precision)
             frames = _apply_scaling(frames, window, scaling, sampling_rate,
                                     inverse=True)
         else:

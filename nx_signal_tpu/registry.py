@@ -134,6 +134,11 @@ FUNCTION_TYPES = {
         "sharded_istft": "parallel",
         "sharded_pfb_analyze": "parallel",
     },
+    "parallel.estimation": {
+        "sharded_csd": "parallel",
+        "sharded_welch": "parallel",
+        "sharded_coherence": "parallel",
+    },
     "parallel.streaming": {
         "StreamingFIR": "streaming",
         "StreamingSTFT": "streaming",

@@ -100,23 +100,10 @@ def _segment_spectra(x, window, *, stride, n_fft, onesided, detrend,
     return z
 
 
-def csd(x, y, *, sampling_rate=1.0, window="hann", segment_length=256,
-        overlap_length=None, fft_length=None, detrend="constant",
-        onesided=True, scaling="density", average="mean",
-        precision="highest"):
-    """Cross power spectral density P_xy by Welch's method
-    (scipy.signal.csd semantics): segment both signals, detrend, window,
-    DFT, form conj(X)*Y per segment, and average.
-
-    Returns (frequencies, P_xy) with P_xy complex of shape (..., bins);
-    leading batch axes broadcast like every op in this framework. Two-sided
-    output uses scipy's fftfreq bin ordering (negative frequencies in the
-    upper half). `average` is 'mean' or 'median' (median is bias-corrected,
-    robust to interference spikes). `scaling='density'` gives V**2/Hz
-    (divide by Fs*sum(w**2)); 'spectrum' gives V**2 (divide by sum(w)**2).
-    """
-    x = jnp.asarray(x)
-    y = jnp.asarray(y)
+def _spectral_params(window, segment_length, overlap_length, fft_length,
+                     scaling, average, sampling_rate):
+    """Validate and resolve the shared Welch-family options; returns
+    (window array, stride, n_fft, scalar power scale)."""
     w = _resolve_window(window, segment_length)
     segment_length = w.shape[-1]
     if overlap_length is None:
@@ -143,22 +130,16 @@ def csd(x, y, *, sampling_rate=1.0, window="hann", segment_length=256,
         raise ValueError(
             f"invalid average, expected 'mean' or 'median', got: {average}"
         )
-    complex_input = jnp.issubdtype(x.dtype, jnp.complexfloating) or \
-        jnp.issubdtype(y.dtype, jnp.complexfloating)
-    if onesided and complex_input:
-        raise ValueError("onesided=True requires real input; "
-                         "use onesided=False for complex signals")
+    return w, stride, n_fft, scale
 
-    zx = _segment_spectra(x, w, stride=stride, n_fft=n_fft, onesided=onesided,
-                          detrend=detrend, precision=precision)
-    zy = zx if y is x else _segment_spectra(
-        y, w, stride=stride, n_fft=n_fft, onesided=onesided, detrend=detrend,
-        precision=precision)
-    pxy = jnp.conj(zx) * zy * scale
 
+def _finalize_csd(pxy, *, n_fft, onesided, average, sampling_rate):
+    """Shared tail of the Welch family: one-sided conjugate-symmetry
+    doubling, segment averaging (mean, or bias-corrected median), and the
+    frequency vector. `pxy` is (..., segments, bins)."""
     if onesided:
-        # conjugate-symmetry doubling: every bin except DC (and Nyquist for
-        # even n_fft) carries the energy of its mirrored negative frequency
+        # every bin except DC (and Nyquist for even n_fft) carries the
+        # energy of its mirrored negative frequency
         bins = n_fft // 2 + 1
         factor = np.full((bins,), 2.0, np.float32)
         factor[0] = 1.0
@@ -180,6 +161,43 @@ def csd(x, y, *, sampling_rate=1.0, window="hann", segment_length=256,
     else:
         pxy = jnp.mean(pxy, axis=-2)
     return jnp.asarray(freqs, DEFAULT_FLOAT), pxy
+
+
+def csd(x, y, *, sampling_rate=1.0, window="hann", segment_length=256,
+        overlap_length=None, fft_length=None, detrend="constant",
+        onesided=True, scaling="density", average="mean",
+        precision="highest"):
+    """Cross power spectral density P_xy by Welch's method
+    (scipy.signal.csd semantics): segment both signals, detrend, window,
+    DFT, form conj(X)*Y per segment, and average.
+
+    Returns (frequencies, P_xy) with P_xy complex of shape (..., bins);
+    leading batch axes broadcast like every op in this framework. Two-sided
+    output uses scipy's fftfreq bin ordering (negative frequencies in the
+    upper half). `average` is 'mean' or 'median' (median is bias-corrected,
+    robust to interference spikes). `scaling='density'` gives V**2/Hz
+    (divide by Fs*sum(w**2)); 'spectrum' gives V**2 (divide by sum(w)**2).
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    w, stride, n_fft, scale = _spectral_params(
+        window, segment_length, overlap_length, fft_length, scaling, average,
+        sampling_rate,
+    )
+    complex_input = jnp.issubdtype(x.dtype, jnp.complexfloating) or \
+        jnp.issubdtype(y.dtype, jnp.complexfloating)
+    if onesided and complex_input:
+        raise ValueError("onesided=True requires real input; "
+                         "use onesided=False for complex signals")
+
+    zx = _segment_spectra(x, w, stride=stride, n_fft=n_fft, onesided=onesided,
+                          detrend=detrend, precision=precision)
+    zy = zx if y is x else _segment_spectra(
+        y, w, stride=stride, n_fft=n_fft, onesided=onesided, detrend=detrend,
+        precision=precision)
+    pxy = jnp.conj(zx) * zy * scale
+    return _finalize_csd(pxy, n_fft=n_fft, onesided=onesided, average=average,
+                         sampling_rate=sampling_rate)
 
 
 def welch(x, *, sampling_rate=1.0, window="hann", segment_length=256,
