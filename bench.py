@@ -64,10 +64,13 @@ def main():
     def step(x):
         # fastest measured config: overlap-add FIR + fused MXU framed-DFT
         # (onesided) — see kernels/dft.py
+        # precision='high' (bf16_3x MXU passes): +2% over 'highest' at
+        # 1.4e-5 relative error on the power spectrum — inside the 1e-4
+        # scipy-parity gate (scripts/precision_sweep.py, v5e measured)
         return stft_fir_chain(
             x, taps, window,
             fft_length=512, overlap_length=384, sampling_rate=float(RATE),
-            fir_method="oa", onesided=True,
+            fir_method="oa", onesided=True, precision="high",
         )
 
     out = step(x)

@@ -28,12 +28,37 @@ from nx_signal_tpu.ops import (
     waveforms,
     windows,
 )
+from nx_signal_tpu.ops import iir, iir_design
 from nx_signal_tpu.ops.convolution import convolve, correlate, fftconvolve, oaconvolve
-from nx_signal_tpu.ops.filters import firwin, median, wiener
+from nx_signal_tpu.ops.filters import detrend, firwin, median, wiener
+from nx_signal_tpu.ops.iir import (
+    filtfilt,
+    lfilter,
+    lfilter_zi,
+    sosfilt,
+    sosfilt_zi,
+    sosfiltfilt,
+)
+from nx_signal_tpu.ops.iir_design import (
+    bessel,
+    butter,
+    cheby1,
+    cheby2,
+    ellip,
+    iirfilter,
+    iirnotch,
+    iirpeak,
+)
 from nx_signal_tpu.ops.lambert_w import lambert_w
 from nx_signal_tpu.ops.peak_finding import argrelextrema, argrelmax, argrelmin
 from nx_signal_tpu.ops.mixing import demodulate_channel, mix_down
-from nx_signal_tpu.ops.resample import pfb_analyze, resample_poly, upfirdn
+from nx_signal_tpu.ops.resample import (
+    decimate,
+    pfb_analyze,
+    resample,
+    resample_poly,
+    upfirdn,
+)
 from nx_signal_tpu.spectral.framing import as_windowed, overlap_and_add
 from nx_signal_tpu.spectral.mel import mel_filters, stft_to_mel
 from nx_signal_tpu.spectral.estimation import coherence, csd, periodogram, welch
@@ -54,9 +79,12 @@ __all__ = [
     "convolve", "correlate", "fftconvolve", "oaconvolve",
     # filters & design
     "firwin", "median", "wiener",
+    "lfilter", "lfilter_zi", "filtfilt", "sosfilt", "sosfilt_zi",
+    "sosfiltfilt", "butter", "cheby1", "cheby2", "ellip", "bessel",
+    "iirfilter", "iirnotch", "iirpeak", "iir", "iir_design",
     # resampling & mixing
-    "upfirdn", "resample_poly", "pfb_analyze", "mix_down", "demodulate_channel",
-    "mixing",
+    "upfirdn", "resample_poly", "pfb_analyze", "resample", "decimate",
+    "mix_down", "demodulate_channel", "mixing", "detrend",
     # peak finding & special
     "argrelmin", "argrelmax", "argrelextrema", "lambert_w",
     "__version__",

@@ -19,7 +19,7 @@ from nx_signal_tpu.ops.waveforms import sinc
 from nx_signal_tpu.ops.windows import get_window
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
-__all__ = ["median", "wiener", "firwin", "freqz"]
+__all__ = ["median", "wiener", "firwin", "freqz", "detrend"]
 
 
 def median(t, *, kernel_shape):
@@ -162,3 +162,31 @@ def freqz(taps, *, n_freqs: int = 512, sampling_rate: float = 2.0,
     n = jnp.arange(taps.shape[-1], dtype=DEFAULT_FLOAT)
     basis = jnp.exp(-1j * w[:, None] * n[None, :])
     return freqs, basis @ taps.astype(basis.dtype)
+
+
+def detrend(data, *, axis: int = -1, type: str = "linear"):
+    """Remove the constant or least-squares linear trend along `axis` —
+    scipy.signal.detrend semantics (bp breakpoints not supported).
+
+    New relative to the reference (nx_signal has no detrend). The linear
+    fit uses the closed-form normal equations on a centered time index
+    (numerically safe in f32), fully batched — no lstsq solve per row.
+    """
+    x = jnp.asarray(data)
+    if not jnp.issubdtype(x.dtype, jnp.floating) and not jnp.issubdtype(
+        x.dtype, jnp.complexfloating
+    ):
+        x = x.astype(DEFAULT_FLOAT)
+    axis = axis % x.ndim
+    if type in ("constant", "c"):
+        return x - jnp.mean(x, axis=axis, keepdims=True)
+    if type not in ("linear", "l"):
+        raise ValueError(f"type must be 'linear' or 'constant', got {type!r}")
+    n = x.shape[axis]
+    shape = [1] * x.ndim
+    shape[axis] = n
+    t = (jnp.arange(n, dtype=x.real.dtype) - (n - 1) / 2.0).reshape(shape)
+    mean = jnp.mean(x, axis=axis, keepdims=True)
+    denom = jnp.sum(t * t)
+    slope = jnp.sum((x - mean) * t, axis=axis, keepdims=True) / denom
+    return x - mean - slope * t

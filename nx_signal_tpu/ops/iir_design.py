@@ -1,0 +1,544 @@
+"""IIR filter design: Butterworth / Chebyshev I & II / elliptic / Bessel
+prototypes, frequency transforms, bilinear transform, and zpk/tf/sos
+conversions.
+
+Greenfield relative to the reference (nx_signal has only FIR design,
+`firwin` — SURVEY.md §2.5 / lib/nx_signal/filters.ex:147-279); the contract
+is scipy.signal semantics, the same oracle the reference pins firwin to
+(filters_test.exs:246). Design is host-side f64 numpy — it runs once, on
+tiny arrays, at Python level (the reference's deftransform level); only the
+filter APPLICATION (ops/iir.py) runs on the TPU.
+
+The elliptic prototype uses the Landen-transform formulation of the Jacobi
+elliptic functions (cd/sn and inverse sn), which needs no external special-
+function library and is accurate to ~1e-14 for realistic ripple specs.
+
+SOS pairing note: `zpk2sos` pairs poles closest to the unit circle first
+and matches each with its nearest zeros (sections ordered with the
+highest-Q section last), which minimizes intermediate peak gain like
+scipy's 'nearest' pairing. The section-level coefficients may differ from
+scipy's in order/pairing; the cascaded transfer function is identical.
+"""
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "butter", "cheby1", "cheby2", "ellip", "bessel", "iirfilter",
+    "iirnotch", "iirpeak",
+    "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
+    "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk", "bilinear_zpk",
+    "zpk2tf", "tf2zpk", "zpk2sos", "tf2sos", "sos2tf",
+]
+
+
+# ---------------------------------------------------------------- prototypes
+
+def buttap(n):
+    """Analog lowpass Butterworth prototype: poles on the unit circle's left
+    half, |H(jw)| = 1/sqrt(1 + w^(2n)). Returns (z, p, k)."""
+    if n <= 0:
+        raise ValueError("filter order must be a positive integer")
+    m = np.arange(-n + 1, n, 2)
+    p = -np.exp(1j * np.pi * m / (2 * n))
+    return np.array([], dtype=complex), p, 1.0
+
+
+def cheb1ap(n, rp):
+    """Analog Chebyshev type-I prototype: `rp` dB passband ripple."""
+    if n <= 0:
+        raise ValueError("filter order must be a positive integer")
+    eps = np.sqrt(10.0 ** (0.1 * rp) - 1.0)
+    mu = np.arcsinh(1.0 / eps) / n
+    m = np.arange(-n + 1, n, 2)
+    theta = np.pi * m / (2 * n)
+    p = -np.sinh(mu + 1j * theta)
+    k = np.prod(-p).real
+    if n % 2 == 0:
+        k /= np.sqrt(1.0 + eps * eps)
+    return np.array([], dtype=complex), p, float(k)
+
+
+def cheb2ap(n, rs):
+    """Analog Chebyshev type-II (inverse Chebyshev) prototype: `rs` dB
+    stopband attenuation."""
+    if n <= 0:
+        raise ValueError("filter order must be a positive integer")
+    de = 1.0 / np.sqrt(10.0 ** (0.1 * rs) - 1.0)
+    mu = np.arcsinh(1.0 / de) / n
+    if n % 2:
+        m = np.concatenate((np.arange(-n + 1, 0, 2), np.arange(2, n, 2)))
+    else:
+        m = np.arange(-n + 1, n, 2)
+    z = -np.conjugate(1j / np.sin(m * np.pi / (2 * n)))
+    p = -np.exp(1j * np.pi * np.arange(-n + 1, n, 2) / (2 * n))
+    p = np.sinh(mu) * p.real + 1j * np.cosh(mu) * p.imag
+    p = 1.0 / p
+    k = (np.prod(-p) / np.prod(-z)).real
+    return z, p, float(k)
+
+
+def besselap(n, norm="phase"):
+    """Analog Bessel/Thomson prototype: roots of the degree-n reverse Bessel
+    polynomial (exact integer coefficients, numpy roots + Newton polish).
+    norm='phase' (scipy default) scales so the phase midpoint sits at w=1;
+    norm='delay' keeps unit group delay at DC."""
+    if n <= 0:
+        raise ValueError("filter order must be a positive integer")
+    # theta_n(s) = sum_k c_k s^k, c_k = (2n-k)! / (2^(n-k) k! (n-k)!)
+    c = [
+        math.factorial(2 * n - k)
+        // (2 ** (n - k) * math.factorial(k) * math.factorial(n - k))
+        for k in range(n + 1)
+    ]
+    coeffs = np.array(c[::-1], dtype=np.float64)  # highest power first
+    p = np.roots(coeffs)
+    # Newton polish against the exact integer polynomial (np.roots loses
+    # accuracy by n ~ 15)
+    dcoeffs = coeffs[:-1] * np.arange(n, 0, -1)
+    for _ in range(3):
+        p = p - np.polyval(coeffs, p) / np.polyval(dcoeffs, p)
+    a_last = float(c[0])  # theta_n(0) = (2n)!/(2^n n!)
+    if norm == "phase":
+        p = p * a_last ** (-1.0 / n)
+        k = 1.0
+    elif norm == "delay":
+        k = a_last
+    else:
+        raise ValueError("norm must be 'phase' or 'delay'")
+    return np.array([], dtype=complex), p, k
+
+
+# ------------------------------------------- Jacobi elliptic (Landen form)
+
+_EPS = np.finfo(np.float64).eps
+
+
+def _landen(k):
+    """Descending Landen modulus sequence k1 > k2 > ... until ~0."""
+    ks = []
+    while k > _EPS:
+        kp = np.sqrt(max(1.0 - k * k, 0.0))
+        k = (k / (1.0 + kp)) ** 2
+        ks.append(k)
+        if k < _EPS:
+            break
+    return ks
+
+
+def _cde(u, k):
+    """cd(u*K(k), k) for real or complex u (u normalized by the real
+    quarter-period), via ascending Landen/Gauss recursion."""
+    ks = _landen(k)
+    w = np.cos(np.asarray(u) * np.pi / 2)
+    for kn in reversed(ks):
+        w = (1.0 + kn) * w / (1.0 + kn * w * w)
+    return w
+
+
+def _sne(u, k):
+    """sn(u*K(k), k) for real or complex normalized u."""
+    ks = _landen(k)
+    w = np.sin(np.asarray(u) * np.pi / 2)
+    for kn in reversed(ks):
+        w = (1.0 + kn) * w / (1.0 + kn * w * w)
+    return w
+
+
+def _asne(w, k):
+    """Inverse of _sne: u (normalized by K) with sn(u*K, k) = w."""
+    ks = _landen(k)
+    w = np.asarray(w, dtype=complex)
+    k_prev = k
+    for kn in ks:
+        w = 2.0 * w / ((1.0 + kn) * (1.0 + np.sqrt(1.0 - k_prev * k_prev * w * w)))
+        k_prev = kn
+    return 2.0 * np.arcsin(w) / np.pi
+
+
+def ellipap(n, rp, rs):
+    """Analog elliptic (Cauer) prototype: `rp` dB passband ripple, `rs` dB
+    stopband attenuation. Landen-transform construction (see module
+    docstring); scipy.signal.ellipap is the parity oracle."""
+    if n <= 0:
+        raise ValueError("filter order must be a positive integer")
+    if rp <= 0 or rs <= rp:
+        raise ValueError("must have 0 < rp < rs")
+    if n == 1:
+        # elliptic degenerates to Chebyshev-I for order 1
+        eps = np.sqrt(10.0 ** (0.1 * rp) - 1.0)
+        p = np.array([-1.0 / eps + 0j])
+        return np.array([], dtype=complex), p, 1.0 / eps
+    ep = np.sqrt(10.0 ** (0.1 * rp) - 1.0)
+    es = np.sqrt(10.0 ** (0.1 * rs) - 1.0)
+    k1 = ep / es
+    k1p = np.sqrt(1.0 - k1 * k1)
+    # degree equation: selectivity k from (n, k1)
+    l = n // 2
+    ui = (2.0 * np.arange(1, l + 1) - 1.0) / n
+    kp = k1p ** n * np.prod(_sne(ui, k1p)) ** 4
+    k = np.sqrt(max(1.0 - kp * kp, 0.0))
+
+    zeta = _cde(ui, k).real
+    z = 1j / (k * zeta)
+    z = np.concatenate([z, np.conjugate(z)])
+
+    v0 = (-1j * _asne(1j / ep, k1) / n).real
+    p = 1j * _cde(ui - 1j * v0, k)
+    p = np.concatenate([p, np.conjugate(p)])
+    if n % 2:
+        p0 = 1j * _sne(1j * v0, k)
+        p = np.concatenate([p, [complex(p0)]])
+
+    gain = (np.prod(-p) / np.prod(-z)).real
+    if n % 2 == 0:
+        gain /= np.sqrt(1.0 + ep * ep)
+    return z, p, float(gain)
+
+
+# ----------------------------------------------------- frequency transforms
+
+def _degree(z, p):
+    d = len(p) - len(z)
+    if d < 0:
+        raise ValueError("filter must have at least as many poles as zeros")
+    return d
+
+
+def lp2lp_zpk(z, p, k, wo=1.0):
+    """Lowpass prototype -> lowpass at cutoff wo (zpk form)."""
+    z, p = np.asarray(z, dtype=complex), np.asarray(p, dtype=complex)
+    d = _degree(z, p)
+    return z * wo, p * wo, k * wo ** d
+
+
+def lp2hp_zpk(z, p, k, wo=1.0):
+    """Lowpass prototype -> highpass at cutoff wo (zpk form)."""
+    z, p = np.asarray(z, dtype=complex), np.asarray(p, dtype=complex)
+    d = _degree(z, p)
+    z_hp = wo / z if len(z) else np.array([], dtype=complex)
+    p_hp = wo / p
+    z_hp = np.append(z_hp, np.zeros(d, dtype=complex))
+    k_hp = k * np.real(np.prod(-z) / np.prod(-p)) if len(z) or len(p) else k
+    return z_hp, p_hp, float(k_hp)
+
+
+def lp2bp_zpk(z, p, k, wo=1.0, bw=1.0):
+    """Lowpass prototype -> bandpass centered at wo with bandwidth bw."""
+    z, p = np.asarray(z, dtype=complex), np.asarray(p, dtype=complex)
+    d = _degree(z, p)
+    z_lp, p_lp = z * bw / 2, p * bw / 2
+    z_bp = np.concatenate(
+        [z_lp + np.sqrt(z_lp ** 2 - wo ** 2), z_lp - np.sqrt(z_lp ** 2 - wo ** 2)]
+    )
+    p_bp = np.concatenate(
+        [p_lp + np.sqrt(p_lp ** 2 - wo ** 2), p_lp - np.sqrt(p_lp ** 2 - wo ** 2)]
+    )
+    z_bp = np.append(z_bp, np.zeros(d, dtype=complex))
+    return z_bp, p_bp, k * bw ** d
+
+
+def lp2bs_zpk(z, p, k, wo=1.0, bw=1.0):
+    """Lowpass prototype -> bandstop centered at wo with bandwidth bw."""
+    z, p = np.asarray(z, dtype=complex), np.asarray(p, dtype=complex)
+    d = _degree(z, p)
+    z_hp = (bw / 2) / z if len(z) else np.array([], dtype=complex)
+    p_hp = (bw / 2) / p
+    z_bs = np.concatenate(
+        [z_hp + np.sqrt(z_hp ** 2 - wo ** 2), z_hp - np.sqrt(z_hp ** 2 - wo ** 2)]
+    )
+    p_bs = np.concatenate(
+        [p_hp + np.sqrt(p_hp ** 2 - wo ** 2), p_hp - np.sqrt(p_hp ** 2 - wo ** 2)]
+    )
+    z_bs = np.concatenate(
+        [z_bs, np.full(d, 1j * wo), np.full(d, -1j * wo)]
+    )
+    k_bs = k * np.real(np.prod(-z) / np.prod(-p)) if len(z) or len(p) else k
+    return z_bs, p_bs, float(k_bs)
+
+
+def bilinear_zpk(z, p, k, fs):
+    """Analog zpk -> digital zpk via the bilinear (Tustin) transform at
+    sample rate fs: s = 2 fs (z-1)/(z+1)."""
+    z, p = np.asarray(z, dtype=complex), np.asarray(p, dtype=complex)
+    d = _degree(z, p)
+    fs2 = 2.0 * fs
+    z_d = (fs2 + z) / (fs2 - z)
+    p_d = (fs2 + p) / (fs2 - p)
+    z_d = np.append(z_d, -np.ones(d))
+    k_d = k * np.real(np.prod(fs2 - z) / np.prod(fs2 - p))
+    return z_d, p_d, float(k_d)
+
+
+# ------------------------------------------------------------- conversions
+
+def _real_if_conjugate(poly_coeffs, tol=1e-10):
+    c = np.asarray(poly_coeffs)
+    if np.iscomplexobj(c) and np.max(np.abs(c.imag)) <= tol * max(
+        1.0, np.max(np.abs(c.real))
+    ):
+        return c.real
+    return c
+
+
+def zpk2tf(z, p, k):
+    """(zeros, poles, gain) -> (b, a) polynomial coefficients."""
+    b = k * np.atleast_1d(np.poly(np.asarray(z, dtype=complex)))
+    a = np.atleast_1d(np.poly(np.asarray(p, dtype=complex)))
+    return _real_if_conjugate(b), _real_if_conjugate(a)
+
+
+def tf2zpk(b, a):
+    """(b, a) -> (zeros, poles, gain)."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64) if not np.iscomplexobj(b)
+                      else np.asarray(b))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64) if not np.iscomplexobj(a)
+                      else np.asarray(a))
+    b, a = np.trim_zeros(b, "f"), np.trim_zeros(a, "f")
+    k = b[0] / a[0]
+    z = np.roots(b / b[0]) if len(b) > 1 else np.array([], dtype=complex)
+    p = np.roots(a / a[0]) if len(a) > 1 else np.array([], dtype=complex)
+    return z, p, float(k.real) if not np.iscomplexobj(np.asarray(k)) else k
+
+
+def _split_conj_pairs(roots, tol=1e-8):
+    """Split roots into (conjugate/real pairs, leftover real singles). Each
+    pair keeps real coefficients when expanded."""
+    roots = np.asarray(roots, dtype=complex)
+    real = sorted(
+        [r.real for r in roots if abs(r.imag) <= tol * max(1.0, abs(r))],
+    )
+    cplx = [r for r in roots if abs(r.imag) > tol * max(1.0, abs(r))]
+    upper = sorted([r for r in cplx if r.imag > 0], key=lambda r: (r.real, r.imag))
+    lower = sorted([r for r in cplx if r.imag < 0], key=lambda r: (r.real, -r.imag))
+    if len(upper) != len(lower):
+        raise ValueError("complex roots do not form conjugate pairs")
+    pairs = [(u, complex(l)) for u, l in zip(upper, lower)]
+    # pair real roots greedily by proximity
+    real_pairs = []
+    real = list(real)
+    while len(real) >= 2:
+        r = real.pop(0)
+        j = int(np.argmin([abs(r - s) for s in real]))
+        real_pairs.append((complex(r), complex(real.pop(j))))
+    singles = [complex(r) for r in real]
+    return pairs + real_pairs, singles
+
+
+def zpk2sos(z, p, k):
+    """zpk -> second-order sections (n_sections, 6). Pairing: poles closest
+    to the unit circle matched with nearest zeros, placed last (see module
+    docstring; the cascaded transfer function equals scipy's)."""
+    z = np.asarray(z, dtype=complex)
+    p = np.asarray(p, dtype=complex)
+    if len(z) > len(p):
+        raise ValueError("cannot have more zeros than poles in sos form")
+    n = max(len(z), len(p))
+    z = np.append(z, np.zeros(n - len(z), dtype=complex))
+    p = np.append(p, np.zeros(n - len(p), dtype=complex))
+    if n == 0:
+        return np.array([[k, 0.0, 0.0, 1.0, 0.0, 0.0]])
+    if n % 2:
+        z = np.append(z, 0.0)
+        p = np.append(p, 0.0)
+        n += 1
+    p_pairs, p_singles = _split_conj_pairs(p)
+    z_pairs, z_singles = _split_conj_pairs(z)
+    # promote leftover singles into pairs (padding happened above so counts
+    # are even; singles only arise from odd real-root counts, which the
+    # origin padding makes even)
+    assert not p_singles and not z_singles, "internal pairing error"
+
+    # order pole pairs by closeness to the unit circle (highest Q first)
+    def circle_dist(pair):
+        return min(abs(1.0 - abs(pair[0])), abs(1.0 - abs(pair[1])))
+
+    p_order = sorted(range(len(p_pairs)), key=lambda i: circle_dist(p_pairs[i]))
+    sections = []
+    z_remaining = list(z_pairs)
+    for idx in p_order:
+        pp = p_pairs[idx]
+        if z_remaining:
+            dists = [abs(zz[0] - pp[0]) + abs(zz[1] - pp[1]) for zz in z_remaining]
+            zz = z_remaining.pop(int(np.argmin(dists)))
+        else:
+            zz = (0.0 + 0j, 0.0 + 0j)
+        b = np.real(np.poly(np.array(zz)))
+        a = np.real(np.poly(np.array(pp)))
+        sections.append(np.concatenate([b, a]))
+    sections.reverse()  # highest-Q (closest to circle) last
+    sos = np.asarray(sections, dtype=np.float64)
+    sos[0, :3] *= k
+    return sos
+
+
+def tf2sos(b, a):
+    """(b, a) -> second-order sections."""
+    return zpk2sos(*tf2zpk(b, a))
+
+
+def sos2tf(sos):
+    """Second-order sections -> (b, a)."""
+    sos = np.asarray(sos, dtype=np.float64)
+    b, a = np.array([1.0]), np.array([1.0])
+    for s in range(sos.shape[0]):
+        b = np.polymul(b, np.trim_zeros(sos[s, :3], "b") if
+                       np.any(sos[s, :3]) else sos[s, :1])
+        a = np.polymul(a, np.trim_zeros(sos[s, 3:], "b") if
+                       np.any(sos[s, 3:]) else sos[s, 3:4])
+    return b, a
+
+
+# ------------------------------------------------------------ top-level API
+
+_PROTOTYPES = {
+    "butter": lambda n, rp, rs: buttap(n),
+    "cheby1": lambda n, rp, rs: cheb1ap(n, rp),
+    "cheby2": lambda n, rp, rs: cheb2ap(n, rs),
+    "ellip": lambda n, rp, rs: ellipap(n, rp, rs),
+    "bessel": lambda n, rp, rs: besselap(n),
+}
+
+_BTYPES = {
+    "low": "lowpass", "lowpass": "lowpass",
+    "high": "highpass", "highpass": "highpass",
+    "band": "bandpass", "bandpass": "bandpass",
+    "bandstop": "bandstop", "stop": "bandstop", "bs": "bandstop",
+}
+
+
+def _output_from_zpk(z, p, k, output):
+    if output == "zpk":
+        return z, p, k
+    if output == "ba":
+        return zpk2tf(z, p, k)
+    if output == "sos":
+        return zpk2sos(z, p, k)
+    raise ValueError(f"output must be 'ba', 'zpk', or 'sos', got {output!r}")
+
+
+def iirfilter(n, wn, rp=None, rs=None, btype="lowpass", analog=False,
+              ftype="butter", output="ba", fs=None):
+    """IIR filter design — scipy.signal.iirfilter semantics: analog
+    prototype -> frequency transform (with tan pre-warping for digital) ->
+    bilinear transform. `wn` is in half-cycles/sample (Nyquist = 1) unless
+    `fs` is given (then in the same units as fs) or `analog=True` (rad/s).
+    New relative to the reference (nx_signal has no IIR design)."""
+    ftype = ftype.lower()
+    if ftype not in _PROTOTYPES:
+        raise ValueError(
+            f"ftype must be one of {sorted(_PROTOTYPES)}, got {ftype!r}"
+        )
+    if btype.lower() not in _BTYPES:
+        raise ValueError(f"invalid btype {btype!r}")
+    btype = _BTYPES[btype.lower()]
+    if ftype in ("cheby1", "ellip") and rp is None:
+        raise ValueError("passband ripple (rp) must be provided")
+    if ftype in ("cheby2", "ellip") and rs is None:
+        raise ValueError("stopband attenuation (rs) must be provided")
+
+    wn = np.atleast_1d(np.asarray(wn, dtype=np.float64))
+    if fs is not None:
+        if analog:
+            raise ValueError("fs cannot be specified for an analog filter")
+        wn = 2.0 * wn / fs
+    if btype in ("lowpass", "highpass"):
+        if wn.size != 1:
+            raise ValueError(f"{btype} filter requires a scalar critical frequency")
+    else:
+        if wn.size != 2:
+            raise ValueError(f"{btype} filter requires two critical frequencies")
+        if wn[0] >= wn[1]:
+            raise ValueError("Wn[0] must be less than Wn[1]")
+    if not analog and (np.any(wn <= 0) or np.any(wn >= 1)):
+        raise ValueError(
+            "digital filter critical frequencies must be 0 < Wn < 1 "
+            "(Nyquist = 1, or fs/2 when fs is given)"
+        )
+
+    z, p, k = _PROTOTYPES[ftype](int(n), rp, rs)
+
+    if analog:
+        warped = wn
+    else:
+        fs_internal = 2.0
+        warped = 2.0 * fs_internal * np.tan(np.pi * wn / fs_internal)
+
+    if btype == "lowpass":
+        z, p, k = lp2lp_zpk(z, p, k, wo=warped[0])
+    elif btype == "highpass":
+        z, p, k = lp2hp_zpk(z, p, k, wo=warped[0])
+    else:
+        bw = warped[1] - warped[0]
+        wo = np.sqrt(warped[0] * warped[1])
+        if btype == "bandpass":
+            z, p, k = lp2bp_zpk(z, p, k, wo=wo, bw=bw)
+        else:
+            z, p, k = lp2bs_zpk(z, p, k, wo=wo, bw=bw)
+
+    if not analog:
+        z, p, k = bilinear_zpk(z, p, k, fs=2.0)
+    return _output_from_zpk(z, p, k, output)
+
+
+def butter(n, wn, btype="lowpass", analog=False, output="ba", fs=None):
+    """Butterworth design — scipy.signal.butter semantics."""
+    return iirfilter(n, wn, btype=btype, analog=analog, ftype="butter",
+                     output=output, fs=fs)
+
+
+def cheby1(n, rp, wn, btype="lowpass", analog=False, output="ba", fs=None):
+    """Chebyshev type-I design — scipy.signal.cheby1 semantics."""
+    return iirfilter(n, wn, rp=rp, btype=btype, analog=analog, ftype="cheby1",
+                     output=output, fs=fs)
+
+
+def cheby2(n, rs, wn, btype="lowpass", analog=False, output="ba", fs=None):
+    """Chebyshev type-II design — scipy.signal.cheby2 semantics."""
+    return iirfilter(n, wn, rs=rs, btype=btype, analog=analog, ftype="cheby2",
+                     output=output, fs=fs)
+
+
+def ellip(n, rp, rs, wn, btype="lowpass", analog=False, output="ba", fs=None):
+    """Elliptic (Cauer) design — scipy.signal.ellip semantics."""
+    return iirfilter(n, wn, rp=rp, rs=rs, btype=btype, analog=analog,
+                     ftype="ellip", output=output, fs=fs)
+
+
+def bessel(n, wn, btype="lowpass", analog=False, output="ba", fs=None):
+    """Bessel/Thomson design (norm='phase') — scipy.signal.bessel
+    semantics."""
+    return iirfilter(n, wn, btype=btype, analog=analog, ftype="bessel",
+                     output=output, fs=fs)
+
+
+def _design_notch_peak(w0, q, kind, fs=2.0):
+    w0 = 2.0 * w0 / fs
+    if not 0 < w0 < 1:
+        raise ValueError("w0 should be such that 0 < w0 < 1")
+    bw = w0 / q * np.pi
+    w0 = w0 * np.pi
+    gb = 1.0 / np.sqrt(2.0)
+    if kind == "notch":
+        beta = (np.sqrt(1.0 - gb ** 2) / gb) * np.tan(bw / 2.0)
+    else:
+        beta = (gb / np.sqrt(1.0 - gb ** 2)) * np.tan(bw / 2.0)
+    gain = 1.0 / (1.0 + beta)
+    if kind == "notch":
+        b = gain * np.array([1.0, -2.0 * np.cos(w0), 1.0])
+    else:
+        b = (1.0 - gain) * np.array([1.0, 0.0, -1.0])
+    a = np.array([1.0, -2.0 * gain * np.cos(w0), 2.0 * gain - 1.0])
+    return b, a
+
+
+def iirnotch(w0, q, fs=2.0):
+    """Second-order notch filter — scipy.signal.iirnotch semantics."""
+    return _design_notch_peak(w0, q, "notch", fs)
+
+
+def iirpeak(w0, q, fs=2.0):
+    """Second-order peak (resonator) filter — scipy.signal.iirpeak
+    semantics."""
+    return _design_notch_peak(w0, q, "peak", fs)

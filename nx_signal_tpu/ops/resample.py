@@ -18,7 +18,7 @@ from nx_signal_tpu.ops.filters import firwin
 from nx_signal_tpu.spectral.framing import as_windowed
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT, is_complex_dtype
 
-__all__ = ["upfirdn", "resample_poly", "pfb_analyze"]
+__all__ = ["upfirdn", "resample_poly", "pfb_analyze", "resample", "decimate"]
 
 
 def _upfirdn_out_len(n_in: int, k: int, up: int, down: int) -> int:
@@ -174,3 +174,115 @@ def pfb_analyze(x, n_channels: int, *, taps_per_channel: int = 8, window=("kaise
     if shift:
         channels = jnp.fft.fftshift(channels, axes=-1)
     return channels
+
+
+def resample(x, num: int, *, axis: int = -1, window=None):
+    """Fourier-method resampling to exactly `num` samples along `axis` —
+    scipy.signal.resample semantics: FFT, spectrum truncation/zero-padding
+    with the even-length Nyquist-bin split, inverse FFT scaled by num/N.
+    Assumes the signal is periodic (use `resample_poly` for streams).
+
+    New relative to the reference (nx_signal has no resampling;
+    SURVEY.md §2). `window` (a spec accepted by ops.windows.get_window or a
+    length-N array) is applied to the spectrum, ifftshift-aligned, before
+    resampling. Real input returns real output via the complex FFT (the
+    Nyquist-split logic is exact either way).
+    """
+    from nx_signal_tpu.ops.windows import get_window
+
+    x = jnp.asarray(x)
+    axis = axis % x.ndim
+    n_in = x.shape[axis]
+    if num <= 0:
+        raise ValueError(f"num must be positive, got {num}")
+    real_input = not is_complex_dtype(x.dtype)
+    xm = jnp.moveaxis(x, axis, -1)
+    spec = jnp.fft.fft(xm, axis=-1)
+    if window is not None:
+        # scipy conventions: a spec builds a PERIODIC (DFT-even) window and
+        # is ifftshifted to fftfreq order; a callable is evaluated on
+        # fftfreq(N); a raw array is already in fftfreq order.
+        if callable(window):
+            w = jnp.asarray(window(np.fft.fftfreq(n_in)))
+        elif isinstance(window, (str, tuple, list)):
+            w = jnp.fft.ifftshift(
+                get_window(window, n_in, periodic=True, dtype=xm.real.dtype)
+            )
+        else:
+            w = jnp.asarray(window)
+        if w.shape != (n_in,):
+            raise ValueError(
+                f"window must have length {n_in}, got shape {w.shape}"
+            )
+        spec = spec * w
+    n = min(num, n_in)
+    nyq = n // 2 + 1
+    out_shape = xm.shape[:-1] + (num,)
+    y_spec = jnp.zeros(out_shape, dtype=spec.dtype)
+    y_spec = y_spec.at[..., :nyq].set(spec[..., :nyq])
+    if n > 2:
+        y_spec = y_spec.at[..., nyq - n :].set(spec[..., nyq - n :])
+    if n % 2 == 0:
+        if num < n_in:
+            # downsampling: fold the symmetric -N/2 component into the new
+            # Nyquist bin
+            y_spec = y_spec.at[..., n // 2].add(spec[..., n_in - n // 2])
+        elif num > n_in:
+            # upsampling: split the old Nyquist bin across +/- N/2
+            y_spec = y_spec.at[..., n // 2].multiply(0.5)
+            y_spec = y_spec.at[..., num - n // 2].set(y_spec[..., n // 2])
+    y = jnp.fft.ifft(y_spec, axis=-1) * (num / n_in)
+    if real_input:
+        y = jnp.real(y)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def decimate(x, q: int, *, n: int = None, ftype: str = "iir", axis: int = -1,
+             zero_phase: bool = True):
+    """Downsample by integer factor `q` after anti-alias filtering —
+    scipy.signal.decimate semantics: ftype='iir' uses an order-8 Chebyshev-I
+    filter (0.05 dB ripple, cutoff 0.8/q) applied zero-phase with filtfilt
+    by default; ftype='fir' uses a 30*q+1-tap Hamming firwin at 1/q.
+
+    New relative to the reference. The IIR path runs as log-depth
+    associative-scan biquads, the FIR path as the MXU Toeplitz convolver —
+    both TPU-resident (ops/iir.py, ops/convolution.py).
+    """
+    from nx_signal_tpu.ops.iir import filtfilt, lfilter
+    from nx_signal_tpu.ops.iir_design import cheby1
+
+    if q <= 0:
+        raise ValueError(f"q must be a positive integer, got {q}")
+    x = jnp.asarray(x)
+    axis = axis % x.ndim
+    if ftype == "iir":
+        order = 8 if n is None else int(n)
+        b, a = cheby1(order, 0.05, 0.8 / q)
+        y = filtfilt(b, a, x, axis=axis) if zero_phase else lfilter(b, a, x, axis=axis)
+    elif ftype == "sos":
+        # TPU-fast extension (not in scipy's decimate): the same Chebyshev-I
+        # anti-alias filter as cascaded biquads -> every section runs as a
+        # log-depth parallel scan instead of the order-8 sequential ba form
+        from nx_signal_tpu.ops.iir import sosfilt, sosfiltfilt
+        from nx_signal_tpu.ops.iir_design import cheby1 as _cheby1
+
+        order = 8 if n is None else int(n)
+        sos = _cheby1(order, 0.05, 0.8 / q, output="sos")
+        y = sosfiltfilt(sos, x, axis=axis) if zero_phase else sosfilt(sos, x, axis=axis)
+    elif ftype == "fir":
+        numtaps = (20 * q if n is None else int(n)) + 1
+        b = firwin(numtaps, [1.0 / q], window="hamming")
+        xm = jnp.moveaxis(x, axis, -1)
+        n_out = xm.shape[-1] // q + bool(xm.shape[-1] % q)
+        if zero_phase:
+            # polyphase with group-delay centering (scipy uses
+            # resample_poly(x, 1, q, window=b) here)
+            y = resample_poly(xm, 1, q, taps=b)[..., :n_out]
+        else:
+            y = upfirdn(b, xm, up=1, down=q)[..., :n_out]
+        return jnp.moveaxis(y, -1, axis)
+    else:
+        raise ValueError(f"ftype must be 'iir', 'fir', or 'sos', got {ftype!r}")
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(None, None, q)
+    return y[tuple(sl)]

@@ -65,9 +65,10 @@ def _cosine_window(n: int, coefs, periodic: bool, dtype):
     if length == 1:
         w = jnp.ones((1,), dtype=dtype)
     else:
-        i = jnp.arange(length, dtype=jnp.float32)
+        cdt = dtype if jnp.issubdtype(dtype, jnp.floating) else jnp.float32
+        i = jnp.arange(length, dtype=cdt)
         theta = 2.0 * math.pi * i / (length - 1)
-        w = jnp.zeros((length,), dtype=jnp.float32)
+        w = jnp.zeros((length,), dtype=cdt)
         for k, a in enumerate(coefs):
             sign = 1.0 if k % 2 == 0 else -1.0
             w = w + sign * a * jnp.cos(k * theta)

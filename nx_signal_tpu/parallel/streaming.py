@@ -19,7 +19,7 @@ from nx_signal_tpu.ops.convolution import fir_convolve_1d, _float_cast
 from nx_signal_tpu.spectral.framing import _ola_fold, as_windowed
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
-__all__ = ["StreamingFIR", "StreamingSTFT", "StreamingISTFT"]
+__all__ = ["StreamingFIR", "StreamingSTFT", "StreamingISTFT", "StreamingIIR"]
 
 
 @dataclass(frozen=True)
@@ -141,3 +141,38 @@ class StreamingISTFT:
         reps = -(-m * self.hop // self.hop)
         env_full = jnp.tile(env, reps)[: m * self.hop]
         return acc[..., m * self.hop :], emitted / env_full
+
+
+@dataclass(frozen=True)
+class StreamingIIR:
+    """Causal IIR filtering of an unbounded stream as cascaded second-order
+    sections: chunk outputs equal sosfilt over the concatenated stream (the
+    DF2T state is an exact stream summary; the chunked parallel scan
+    associates sums differently, so equality is to f.p. accuracy rather
+    than bitwise). The carry is the
+    (n_sections, ..., 2) sosfilt state pytree — serializable for
+    checkpoint/resume like every processor here.
+
+    Within each chunk the biquads run as log-depth parallel scans
+    (ops/iir.py); the sequential dependency is only chunk-to-chunk.
+    """
+
+    sos: jnp.ndarray
+
+    def init_state(self, batch_shape=(), dtype=DEFAULT_FLOAT):
+        n_sections = jnp.asarray(self.sos).shape[0]
+        return jnp.zeros((n_sections, *batch_shape, 2), dtype=dtype)
+
+    def process(self, state, chunk):
+        from nx_signal_tpu.ops.iir import _lfilter_last_axis
+
+        chunk = _float_cast(jnp.asarray(chunk))
+        sos = jnp.asarray(self.sos)
+        out = chunk
+        new_states = []
+        for s in range(sos.shape[0]):
+            out, zf = _lfilter_last_axis(
+                sos[s, :3], sos[s, 3:], out, state[s].astype(chunk.dtype)
+            )
+            new_states.append(zf)
+        return jnp.stack(new_states, axis=0), out

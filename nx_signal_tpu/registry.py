@@ -89,6 +89,40 @@ FUNCTION_TYPES = {
         "wiener": "filters",
         "firwin": "filters",
         "freqz": "filters",
+        "detrend": "filters",
+    },
+    "ops.iir": {
+        "lfilter": "filters",
+        "lfilter_zi": "filters",
+        "filtfilt": "filters",
+        "sosfilt": "filters",
+        "sosfilt_zi": "filters",
+        "sosfiltfilt": "filters",
+    },
+    "ops.iir_design": {
+        "butter": "filters",
+        "cheby1": "filters",
+        "cheby2": "filters",
+        "ellip": "filters",
+        "bessel": "filters",
+        "iirfilter": "filters",
+        "iirnotch": "filters",
+        "iirpeak": "filters",
+        "buttap": "filters",
+        "cheb1ap": "filters",
+        "cheb2ap": "filters",
+        "ellipap": "filters",
+        "besselap": "filters",
+        "lp2lp_zpk": "filters",
+        "lp2hp_zpk": "filters",
+        "lp2bp_zpk": "filters",
+        "lp2bs_zpk": "filters",
+        "bilinear_zpk": "filters",
+        "zpk2tf": "filters",
+        "tf2zpk": "filters",
+        "zpk2sos": "filters",
+        "tf2sos": "filters",
+        "sos2tf": "filters",
     },
     "ops.peak_finding": {
         "argrelmin": "peak_finding",
@@ -102,6 +136,8 @@ FUNCTION_TYPES = {
         "upfirdn": "resampling",
         "resample_poly": "resampling",
         "pfb_analyze": "resampling",
+        "resample": "resampling",
+        "decimate": "resampling",
     },
     "ops.mixing": {
         "mix_down": "resampling",
@@ -143,6 +179,7 @@ FUNCTION_TYPES = {
         "StreamingFIR": "streaming",
         "StreamingSTFT": "streaming",
         "StreamingISTFT": "streaming",
+        "StreamingIIR": "streaming",
     },
     "utils.checks": {
         "assert_all_finite": "special",

@@ -105,3 +105,36 @@ def test_streaming_istft_rejects_bin_mismatch():
     dec = StreamingISTFT(jnp.asarray(windows.hann(256)), hop=64)
     with pytest.raises(ValueError, match="fft_length == window length"):
         dec.process(dec.init_state(), jnp.zeros((4, 512), jnp.complex64))
+
+
+class TestStreamingIIR:
+    def test_chunks_equal_whole(self, rng):
+        import scipy.signal as sps
+        from nx_signal_tpu.parallel.streaming import StreamingIIR
+
+        sos = sps.butter(6, 0.25, output="sos")
+        x = rng.normal(size=(3, 256)).astype(np.float32)
+        proc = StreamingIIR(jnp.asarray(sos, dtype=jnp.float32))
+        state = proc.init_state(batch_shape=(3,), dtype=jnp.float32)
+        outs = []
+        for i in range(0, 256, 64):
+            state, y = proc.process(state, x[:, i : i + 64])
+            outs.append(np.asarray(y))
+        got = np.concatenate(outs, axis=-1)
+        want = sps.sosfilt(sos, x.astype(np.float64))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    def test_scan_composition(self, rng):
+        """The processor composes with lax.scan over stacked chunks."""
+        import scipy.signal as sps
+        from nx_signal_tpu.parallel.streaming import StreamingIIR
+
+        sos = sps.butter(4, 0.3, output="sos")
+        x = rng.normal(size=512)
+        chunks = jnp.asarray(x.reshape(8, 64))
+        proc = StreamingIIR(jnp.asarray(sos))
+        state = proc.init_state(dtype=chunks.dtype)
+        _, ys = jax.lax.scan(proc.process, state, chunks)
+        np.testing.assert_allclose(
+            np.asarray(ys).reshape(-1), sps.sosfilt(sos, x), atol=1e-9, rtol=1e-7
+        )
