@@ -30,7 +30,16 @@ from nx_signal_tpu.ops import (
 )
 from nx_signal_tpu.ops import iir, iir_design
 from nx_signal_tpu.ops.convolution import convolve, correlate, fftconvolve, oaconvolve
-from nx_signal_tpu.ops.filters import detrend, firwin, median, wiener
+from nx_signal_tpu.ops.czt import czt, zoom_fft
+from nx_signal_tpu.ops.filters import (
+    detrend,
+    firwin,
+    freqz,
+    group_delay,
+    median,
+    sosfreqz,
+    wiener,
+)
 from nx_signal_tpu.ops.iir import (
     filtfilt,
     lfilter,
@@ -82,6 +91,7 @@ __all__ = [
     "lfilter", "lfilter_zi", "filtfilt", "sosfilt", "sosfilt_zi",
     "sosfiltfilt", "butter", "cheby1", "cheby2", "ellip", "bessel",
     "iirfilter", "iirnotch", "iirpeak", "iir", "iir_design",
+    "freqz", "sosfreqz", "group_delay", "czt", "zoom_fft",
     # resampling & mixing
     "upfirdn", "resample_poly", "pfb_analyze", "resample", "decimate",
     "mix_down", "demodulate_channel", "mixing", "detrend",

@@ -19,7 +19,8 @@ from nx_signal_tpu.ops.waveforms import sinc
 from nx_signal_tpu.ops.windows import get_window
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
-__all__ = ["median", "wiener", "firwin", "freqz", "detrend"]
+__all__ = ["median", "wiener", "firwin", "freqz", "sosfreqz", "group_delay",
+           "detrend"]
 
 
 def median(t, *, kernel_shape):
@@ -148,20 +149,76 @@ def firwin(num_taps: int, cutoff, *, window="hamming", pass_zero: bool = True,
     return h
 
 
-def freqz(taps, *, n_freqs: int = 512, sampling_rate: float = 2.0,
-          whole: bool = False):
-    """Frequency response of an FIR filter: H(w) = sum_n h[n] e^{-iwn}
-    evaluated at `n_freqs` points over [0, Nyquist) (or [0, Fs) with
-    `whole=True`). Returns (frequencies_hz, complex_response) —
-    scipy.signal.freqz semantics for FIR (b, a=1). Not in the reference;
-    provided for filter-design verification (used with firwin)."""
-    taps = jnp.asarray(taps)
+def _analysis_float():
+    """f64 when x64 is on (design-time analysis wants full precision —
+    responses span 100+ dB), DEFAULT_FLOAT otherwise (TPU runtime)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else DEFAULT_FLOAT
+
+
+def _freq_grid(n_freqs, sampling_rate, whole):
     span = sampling_rate if whole else sampling_rate / 2.0
-    freqs = jnp.linspace(0.0, span, n_freqs, endpoint=False, dtype=DEFAULT_FLOAT)
-    w = 2.0 * math.pi * freqs / sampling_rate
-    n = jnp.arange(taps.shape[-1], dtype=DEFAULT_FLOAT)
-    basis = jnp.exp(-1j * w[:, None] * n[None, :])
-    return freqs, basis @ taps.astype(basis.dtype)
+    freqs = jnp.linspace(0.0, span, n_freqs, endpoint=False,
+                         dtype=_analysis_float())
+    return freqs, 2.0 * math.pi * freqs / sampling_rate
+
+
+def _polyval_exp(coefs, w):
+    """sum_n c[n] e^{-iwn} as one MXU matmul: (n_freqs, n_taps) basis."""
+    coefs = jnp.asarray(coefs)
+    n = jnp.arange(coefs.shape[-1], dtype=w.dtype)
+    basis = jnp.exp(-1j * w[:, None].astype(w.dtype) * n[None, :])
+    return basis @ coefs.astype(basis.dtype)
+
+
+def freqz(taps, a=None, *, n_freqs: int = 512, sampling_rate: float = 2.0,
+          whole: bool = False):
+    """Frequency response H(w) = B(e^{iw}) / A(e^{iw}) evaluated at
+    `n_freqs` points over [0, Nyquist) (or [0, Fs) with `whole=True`).
+    Returns (frequencies_hz, complex_response) — scipy.signal.freqz
+    semantics; `a=None` is the FIR case. Not in the reference; provided
+    for filter-design verification (used with firwin and the IIR designs).
+    Evaluation is a basis matmul (MXU) rather than per-point Horner."""
+    freqs, w = _freq_grid(n_freqs, sampling_rate, whole)
+    resp = _polyval_exp(jnp.asarray(taps), w)
+    if a is not None:
+        resp = resp / _polyval_exp(jnp.asarray(a), w)
+    return freqs, resp
+
+
+def sosfreqz(sos, *, n_freqs: int = 512, sampling_rate: float = 2.0,
+             whole: bool = False):
+    """Frequency response of cascaded second-order sections —
+    scipy.signal.sosfreqz semantics. Returns (frequencies_hz, response).
+    Not in the reference (no IIR there)."""
+    sos = jnp.asarray(sos)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError("sos array must be shape (n_sections, 6)")
+    freqs, w = _freq_grid(n_freqs, sampling_rate, whole)
+    resp = jnp.ones(w.shape, dtype=jnp.complex64 if DEFAULT_FLOAT == jnp.float32
+                    else jnp.complex128)
+    for s in range(sos.shape[0]):
+        resp = resp * (_polyval_exp(sos[s, :3], w) / _polyval_exp(sos[s, 3:], w))
+    return freqs, resp
+
+
+def group_delay(b, a=None, *, n_freqs: int = 512, sampling_rate: float = 2.0,
+                whole: bool = False):
+    """Group delay -dphase/dw of a digital filter in samples —
+    scipy.signal.group_delay semantics via the c = b * reverse(a)
+    cepstral-derivative identity: tau(w) = Re(C'(w)/C(w)) - (len(a)-1),
+    with C' the ramp-weighted polynomial. Returns (frequencies_hz, delay).
+    Not in the reference."""
+    b = jnp.atleast_1d(jnp.asarray(b))
+    a = jnp.atleast_1d(jnp.asarray(a)) if a is not None else jnp.ones((1,), b.dtype)
+    freqs, w = _freq_grid(n_freqs, sampling_rate, whole)
+    c = jnp.convolve(b, a[::-1].conj())
+    cr = c * jnp.arange(c.shape[0], dtype=w.dtype)
+    num = _polyval_exp(cr, w)
+    den = _polyval_exp(c, w)
+    tau = jnp.real(num / den) - (a.shape[0] - 1)
+    # scipy's singularity guard: zero the delay where the response vanishes
+    tau = jnp.where(jnp.abs(den) == 0.0, jnp.zeros((), tau.dtype), tau)
+    return freqs, tau
 
 
 def detrend(data, *, axis: int = -1, type: str = "linear"):

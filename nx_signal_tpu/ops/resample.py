@@ -242,7 +242,8 @@ def decimate(x, q: int, *, n: int = None, ftype: str = "iir", axis: int = -1,
     """Downsample by integer factor `q` after anti-alias filtering —
     scipy.signal.decimate semantics: ftype='iir' uses an order-8 Chebyshev-I
     filter (0.05 dB ripple, cutoff 0.8/q) applied zero-phase with filtfilt
-    by default; ftype='fir' uses a 30*q+1-tap Hamming firwin at 1/q.
+    by default; ftype='fir' uses a 20*q+1-tap Hamming firwin at 1/q applied
+    in centered polyphase form (group delay compensated).
 
     New relative to the reference. The IIR path runs as log-depth
     associative-scan biquads, the FIR path as the MXU Toeplitz convolver —

@@ -89,7 +89,13 @@ FUNCTION_TYPES = {
         "wiener": "filters",
         "firwin": "filters",
         "freqz": "filters",
+        "sosfreqz": "filters",
+        "group_delay": "filters",
         "detrend": "filters",
+    },
+    "ops.czt": {
+        "czt": "transforms",
+        "zoom_fft": "transforms",
     },
     "ops.iir": {
         "lfilter": "filters",
