@@ -58,6 +58,12 @@ from nx_signal_tpu.ops.iir_design import (
     iirnotch,
     iirpeak,
 )
+from nx_signal_tpu.ops.find_peaks import (
+    Peaks,
+    find_peaks,
+    peak_prominences,
+    peak_widths,
+)
 from nx_signal_tpu.ops.lambert_w import lambert_w
 from nx_signal_tpu.ops.peak_finding import argrelextrema, argrelmax, argrelmin
 from nx_signal_tpu.ops.mixing import demodulate_channel, mix_down
@@ -97,5 +103,6 @@ __all__ = [
     "mix_down", "demodulate_channel", "mixing", "detrend",
     # peak finding & special
     "argrelmin", "argrelmax", "argrelextrema", "lambert_w",
+    "find_peaks", "peak_prominences", "peak_widths", "Peaks",
     "__version__",
 ]

@@ -135,6 +135,12 @@ FUNCTION_TYPES = {
         "argrelmax": "peak_finding",
         "argrelextrema": "peak_finding",
     },
+    "ops.find_peaks": {
+        "find_peaks": "peak_finding",
+        "peak_prominences": "peak_finding",
+        "peak_widths": "peak_finding",
+        "Peaks": "peak_finding",
+    },
     "ops.lambert_w": {
         "lambert_w": "special",
     },
