@@ -41,7 +41,7 @@ from nx_signal_tpu.spectral.stft import STFTResult, _apply_scaling, _resolve_fft
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 from nx_signal_tpu.parallel.mesh import BLOCK_AXIS, CHANNEL_AXIS
 
-__all__ = ["sharded_convolve_same", "sharded_stft", "sharded_istft", "sharded_pfb_analyze"]
+__all__ = ["sharded_convolve_same", "sharded_stft", "sharded_istft", "sharded_pfb_analyze", "sharded_sosfilt"]
 
 
 def _shift_from_left(x, n_block):
@@ -391,4 +391,114 @@ def sharded_pfb_analyze(x, n_channels: int, *, mesh, taps_per_channel: int = 8,
         out_specs=P(CHANNEL_AXIS, BLOCK_AXIS, None),
     )
     out = fn(x)[:, :num_frames, :]
+    return out[0] if squeeze else out
+
+
+def _sos_state_space(sos):
+    """One-sample cascade state space (A, B, C, D) of an (S, 6) sos array,
+    host-side f64 numpy: state = [z00, z01, z10, z11, ...] (per-section
+    DF2T states in sosfilt order), x -> y with z' = A z + B x,
+    y = C z + D x. Used by sharded_sosfilt to chain device blocks."""
+    import numpy as np
+
+    sos = np.asarray(sos, dtype=np.float64)
+    n_sections = sos.shape[0]
+    n_state = 2 * n_sections
+    a_mat = np.zeros((n_state, n_state))
+    b_vec = np.zeros(n_state)
+    c_cur = np.zeros(n_state)  # current inter-section signal: u = D x + C z
+    d_cur = 1.0
+    for s in range(n_sections):
+        b0, b1, b2, a0, a1, a2 = sos[s]
+        b0, b1, b2, a1, a2 = b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
+        i0, i1 = 2 * s, 2 * s + 1
+        # DF2T: y = b0 u + z0;  z0' = (b1 - a1 b0) u - a1 z0 + z1;
+        #                       z1' = (b2 - a2 b0) u - a2 z0
+        bu0, bu1 = b1 - a1 * b0, b2 - a2 * b0
+        a_mat[i0] += bu0 * c_cur
+        a_mat[i0, i0] += -a1
+        a_mat[i0, i1] += 1.0
+        a_mat[i1] += bu1 * c_cur
+        a_mat[i1, i0] += -a2
+        b_vec[i0] = bu0 * d_cur
+        b_vec[i1] = bu1 * d_cur
+        new_c = b0 * c_cur
+        new_c[i0] += 1.0
+        c_cur, d_cur = new_c, b0 * d_cur
+    return a_mat, b_vec, c_cur, d_cur
+
+
+def sharded_sosfilt(sos, x, *, mesh):
+    """Causal IIR (cascaded biquads) sharded over channels AND time blocks —
+    the parallel-in-time IIR (greenfield; neither the reference nor scipy
+    distributes IIR state).
+
+    The sequential dependency is broken with exact affine superposition:
+    y(x, z_in) = y(x, 0) + ZIR(z_in) and z_out = A^L z_in + z_out(x, 0).
+    Each device filters its block from zero state (local, parallel biquad
+    scans — ops/iir.py), the tiny per-block final states are all_gathered
+    and chained through the host-precomputed block transition matrix
+    T = A^L (a B-step scan over B = n_block devices), and each device adds
+    its incoming state's zero-input response as ONE tall-skinny MXU matmul
+    against the precomputed observability matrix G[n] = C A^n. Total
+    communication: one (2*n_sections)-float all_gather. Matches the
+    single-device `sosfilt` to f.p. accuracy (the block-local scans
+    associate sums differently, so not bitwise).
+    """
+    import numpy as np
+
+    sos_np = np.asarray(sos, dtype=np.float64)
+    if sos_np.ndim != 2 or sos_np.shape[1] != 6:
+        raise ValueError("sos array must be shape (n_sections, 6)")
+    from nx_signal_tpu.ops.iir import _lfilter_last_axis
+
+    x, squeeze = _norm_2d(x)
+    x = _float_cast(x)
+    n_channel, n_block = mesh.shape[CHANNEL_AXIS], mesh.shape[BLOCK_AXIS]
+    _check_divisible("channels", x.shape[0], n_channel)
+    length = x.shape[1]
+    block_len = -(-length // n_block)
+    if block_len * n_block != length:
+        x = jnp.pad(x, [(0, 0), (0, block_len * n_block - length)])
+    n_sections = sos_np.shape[0]
+    n_state = 2 * n_sections
+
+    a_mat, _, c_vec, _ = _sos_state_space(sos_np)
+    t_blk = np.linalg.matrix_power(a_mat, block_len)  # (2S, 2S)
+    obs = np.empty((block_len, n_state))
+    row = c_vec
+    for i in range(block_len):  # G[n] = C A^n, f64 host build
+        obs[i] = row
+        row = row @ a_mat
+    t_dev = jnp.asarray(t_blk.astype(DEFAULT_FLOAT))
+    obs_t = jnp.asarray(obs.T.astype(DEFAULT_FLOAT))  # (2S, L)
+    sos_dev = jnp.asarray(sos_np.astype(DEFAULT_FLOAT))
+
+    def local(x_blk):
+        c_local = x_blk.shape[0]
+        out = x_blk
+        zf_secs = []
+        zi0 = jnp.zeros((c_local, 2), x_blk.dtype)
+        for s in range(n_sections):
+            out, zf = _lfilter_last_axis(sos_dev[s, :3], sos_dev[s, 3:], out, zi0)
+            zf_secs.append(zf)
+        zf0 = jnp.concatenate(zf_secs, axis=-1)  # (C, 2S), sosfilt order
+
+        gathered = lax.all_gather(zf0, BLOCK_AXIS)  # (B, C, 2S)
+
+        def chain(z_in, zf_b):
+            z_out = z_in @ t_dev.T + zf_b
+            return z_out, z_in
+
+        _, z_ins = lax.scan(chain, jnp.zeros_like(zf0), gathered)
+        my = lax.axis_index(BLOCK_AXIS)
+        z_in = z_ins[my]  # (C, 2S) incoming state for this block
+        return out + jnp.matmul(z_in, obs_t, precision="highest")
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(CHANNEL_AXIS, BLOCK_AXIS),
+        out_specs=P(CHANNEL_AXIS, BLOCK_AXIS),
+    )
+    out = fn(x)[:, :length]
     return out[0] if squeeze else out

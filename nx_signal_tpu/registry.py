@@ -181,6 +181,7 @@ FUNCTION_TYPES = {
         "sharded_stft": "parallel",
         "sharded_istft": "parallel",
         "sharded_pfb_analyze": "parallel",
+        "sharded_sosfilt": "parallel",
     },
     "parallel.estimation": {
         "sharded_csd": "parallel",
