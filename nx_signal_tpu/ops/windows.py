@@ -13,6 +13,7 @@ kernels needed. Everything here is jit-compatible with `n` static.
 import math
 
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.special import i0 as _bessel_i0
 
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
@@ -25,6 +26,23 @@ __all__ = [
     "hamming",
     "hann",
     "kaiser",
+    "general_cosine",
+    "general_hamming",
+    "blackmanharris",
+    "nuttall",
+    "flattop",
+    "bohman",
+    "cosine",
+    "barthann",
+    "parzen",
+    "lanczos",
+    "gaussian",
+    "general_gaussian",
+    "tukey",
+    "exponential",
+    "taylor",
+    "chebwin",
+    "dpss",
     "get_window",
 ]
 
@@ -114,6 +132,275 @@ def kaiser(n: int, *, beta: float = 12.0, periodic: bool = True, eps: float = 0.
     return w[:n] if periodic else w
 
 
+# --- Extended window family (beyond the reference's seven) -----------------
+#
+# The reference covers only the seven windows above (windows.ex). scipy.signal
+# users expect the full windows module; these follow scipy.signal.windows
+# semantics exactly. All are design-time math on tiny tensors: computed in
+# float64 on host (so they fold into jit traces as constants — n is static
+# anyway) and cast to the requested dtype. The periodic/symmetric handling is
+# the reference's DFT-even trick (windows.ex:170-198): compute the symmetric
+# window of length n+1 and drop the last sample.
+
+
+def _host_window(n: int, periodic: bool, dtype, build):
+    """Shared symmetric->periodic plumbing for host-computed windows."""
+    if n == 0:
+        return jnp.zeros((0,), dtype=dtype)
+    if n == 1:
+        return jnp.ones((1,), dtype=dtype)  # scipy convention for M=1
+    length = n + 1 if periodic else n
+    w = np.asarray(build(length), dtype=np.float64)
+    return jnp.asarray(w[:n], dtype=dtype)
+
+
+def general_cosine(n: int, coefs, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
+    """Generic weighted cosine-sum window sum_k a_k cos(k th), th in [-pi, pi] —
+    scipy.signal.windows.general_cosine semantics (centered phase convention:
+    all-positive coefficients peak at the center). Not in the
+    reference; generalizes windows.ex:160-199."""
+    def build(length):
+        fac = np.linspace(-np.pi, np.pi, length)
+        w = np.zeros(length)
+        for k, a in enumerate(coefs):
+            w += a * np.cos(k * fac)
+        return w
+    return _host_window(n, periodic, dtype, build)
+
+
+def general_hamming(n: int, alpha: float, *, periodic: bool = True,
+                    dtype=DEFAULT_FLOAT):
+    """Generalized Hamming alpha - (1-alpha) cos —
+    scipy.signal.windows.general_hamming semantics. Not in the reference."""
+    return general_cosine(n, [alpha, 1.0 - alpha], periodic=periodic, dtype=dtype)
+
+
+def blackmanharris(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
+    """4-term Blackman-Harris window (-92 dB sidelobes) —
+    scipy.signal.windows.blackmanharris semantics. Not in the reference."""
+    return general_cosine(n, [0.35875, 0.48829, 0.14128, 0.01168],
+                          periodic=periodic, dtype=dtype)
+
+
+def nuttall(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
+    """Nuttall 4-term minimum-sidelobe window —
+    scipy.signal.windows.nuttall semantics. Not in the reference."""
+    return general_cosine(n, [0.3635819, 0.4891775, 0.1365995, 0.0106411],
+                          periodic=periodic, dtype=dtype)
+
+
+def flattop(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
+    """Flat-top window (amplitude-accurate spectral measurement) —
+    scipy.signal.windows.flattop semantics. Not in the reference."""
+    return general_cosine(
+        n,
+        [0.21557895, 0.41663158, 0.277263158, 0.083578947, 0.006947368],
+        periodic=periodic, dtype=dtype,
+    )
+
+
+def bohman(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
+    """Bohman window (1-|x|)cos(pi|x|) + sin(pi|x|)/pi —
+    scipy.signal.windows.bohman semantics. Not in the reference."""
+    def build(length):
+        fac = np.abs(np.linspace(-1.0, 1.0, length)[1:-1])
+        w = (1.0 - fac) * np.cos(np.pi * fac) + np.sin(np.pi * fac) / np.pi
+        return np.concatenate(([0.0], w, [0.0]))
+    return _host_window(n, periodic, dtype, build)
+
+
+def cosine(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
+    """Half-cycle sine window sin(pi (i+1/2) / L) —
+    scipy.signal.windows.cosine semantics. Not in the reference."""
+    return _host_window(
+        n, periodic, dtype,
+        lambda length: np.sin(np.pi / length * (np.arange(length) + 0.5)),
+    )
+
+
+def barthann(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
+    """Bartlett-Hann window — scipy.signal.windows.barthann semantics.
+    Not in the reference."""
+    def build(length):
+        fac = np.abs(np.arange(length) / (length - 1.0) - 0.5)
+        return 0.62 - 0.48 * fac + 0.38 * np.cos(2.0 * np.pi * fac)
+    return _host_window(n, periodic, dtype, build)
+
+
+def parzen(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
+    """Parzen (de la Vallee Poussin) piecewise-cubic window —
+    scipy.signal.windows.parzen semantics. Not in the reference."""
+    def build(length):
+        idx = np.arange(-(length - 1) / 2.0, (length - 1) / 2.0 + 0.5, 1.0)
+        r = np.abs(idx) / (length / 2.0)
+        return np.where(np.abs(idx) <= (length - 1) / 4.0,
+                        1.0 - 6.0 * r**2 + 6.0 * r**3, 2.0 * (1.0 - r) ** 3)
+    return _host_window(n, periodic, dtype, build)
+
+
+def lanczos(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
+    """Lanczos (sinc) window sinc(2i/(L-1) - 1) —
+    scipy.signal.windows.lanczos semantics. Not in the reference."""
+    return _host_window(
+        n, periodic, dtype,
+        lambda length: np.sinc(2.0 * np.arange(length) / (length - 1.0) - 1.0),
+    )
+
+
+def gaussian(n: int, std: float, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
+    """Gaussian window exp(-i^2 / (2 std^2)), centered —
+    scipy.signal.windows.gaussian semantics. Not in the reference."""
+    def build(length):
+        idx = np.arange(length) - (length - 1) / 2.0
+        return np.exp(-(idx**2) / (2.0 * std * std))
+    return _host_window(n, periodic, dtype, build)
+
+
+def general_gaussian(n: int, p: float, sig: float, *, periodic: bool = True,
+                     dtype=DEFAULT_FLOAT):
+    """Generalized Gaussian exp(-1/2 |i/sig|^(2p)) —
+    scipy.signal.windows.general_gaussian semantics. Not in the reference."""
+    def build(length):
+        idx = np.arange(length) - (length - 1) / 2.0
+        return np.exp(-0.5 * np.abs(idx / sig) ** (2.0 * p))
+    return _host_window(n, periodic, dtype, build)
+
+
+def tukey(n: int, alpha: float = 0.5, *, periodic: bool = True,
+          dtype=DEFAULT_FLOAT):
+    """Tukey (tapered-cosine) window — scipy.signal.windows.tukey semantics:
+    cosine tapers over alpha/2 of the span at each end, flat middle.
+    Not in the reference."""
+    def build(length):
+        if alpha <= 0:
+            return np.ones(length)
+        if alpha >= 1.0:
+            return 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(length)
+                                       / (length - 1.0)))
+        idx = np.arange(length)
+        width = int(np.floor(alpha * (length - 1) / 2.0))
+        n1 = idx[: width + 1]
+        n3 = idx[length - width - 1:]
+        w1 = 0.5 * (1 + np.cos(np.pi * (-1 + 2.0 * n1 / alpha / (length - 1))))
+        w3 = 0.5 * (1 + np.cos(np.pi * (-2.0 / alpha + 1
+                                        + 2.0 * n3 / alpha / (length - 1))))
+        return np.concatenate((w1, np.ones(length - 2 * width - 2), w3))
+    return _host_window(n, periodic, dtype, build)
+
+
+def exponential(n: int, center=None, tau: float = 1.0, *,
+                periodic: bool = True, dtype=DEFAULT_FLOAT):
+    """Exponential (Poisson) window exp(-|i - center| / tau) —
+    scipy.signal.windows.exponential semantics, including the rule that an
+    explicit center requires the periodic (non-symmetric) form.
+    Not in the reference."""
+    if not periodic and center is not None:
+        raise ValueError("If periodic is False, center must be None.")
+    def build(length):
+        c = (length - 1) / 2.0 if center is None else center
+        return np.exp(-np.abs(np.arange(length) - c) / tau)
+    return _host_window(n, periodic, dtype, build)
+
+
+def taylor(n: int, nbar: int = 4, sll: float = 30.0, *, norm: bool = True,
+           periodic: bool = True, dtype=DEFAULT_FLOAT):
+    """Taylor window (radar: near-constant sidelobes at -sll dB with nbar
+    near-in sidelobes) — scipy.signal.windows.taylor semantics. The cosine-sum
+    coefficients F_m come from the Chebyshev-matching product formula.
+    Not in the reference."""
+    def build(length):
+        big_b = 10.0 ** (sll / 20.0)
+        big_a = np.arccosh(big_b) / np.pi
+        s2 = nbar**2 / (big_a**2 + (nbar - 0.5) ** 2)
+        ma = np.arange(1, nbar, dtype=np.float64)
+        coefs = np.zeros(max(nbar - 1, 0))
+        m2 = ma * ma
+        for mi in range(len(ma)):
+            numer = (-1.0) ** mi * np.prod(
+                1.0 - m2[mi] / s2 / (big_a**2 + (ma - 0.5) ** 2))
+            denom = 2.0 * np.prod(1.0 - m2[mi] / m2[:mi]) * np.prod(
+                1.0 - m2[mi] / m2[mi + 1:])
+            coefs[mi] = numer / denom
+
+        def weight(pos):
+            pos = np.atleast_1d(pos)
+            return 1.0 + 2.0 * np.dot(
+                coefs,
+                np.cos(2.0 * np.pi * ma[:, None]
+                       * (pos[None, :] - length / 2.0 + 0.5) / length))
+
+        w = weight(np.arange(length))
+        if norm:
+            w = w / weight((length - 1) / 2.0)
+        return w
+    return _host_window(n, periodic, dtype, build)
+
+
+def chebwin(n: int, at: float = 100.0, *, periodic: bool = True,
+            dtype=DEFAULT_FLOAT):
+    """Dolph-Chebyshev window with exactly `at` dB of equiripple sidelobe
+    attenuation — scipy.signal.windows.chebwin semantics (Chebyshev polynomial
+    sampled in the frequency domain, inverse DFT, peak-normalized).
+    Not in the reference."""
+    def build(length):
+        order = length - 1
+        beta = np.cosh(np.arccosh(10.0 ** (abs(at) / 20.0)) / order)
+        x = beta * np.cos(np.pi * np.arange(length) / length)
+        # T_order(x) evaluated stably on all three branches of |x| vs 1
+        p = np.zeros(length)
+        gt, lt = x > 1, x < -1
+        mid = ~gt & ~lt
+        p[gt] = np.cosh(order * np.arccosh(x[gt]))
+        p[lt] = (2 * (length % 2) - 1) * np.cosh(order * np.arccosh(-x[lt]))
+        p[mid] = np.cos(order * np.arccos(x[mid]))
+        if length % 2:
+            w = np.real(np.fft.fft(p))
+            half = (length + 1) // 2
+            w = w[:half]
+            w = np.concatenate((w[half - 1:0:-1], w))
+        else:
+            p = p * np.exp(1j * np.pi / length * np.arange(length))
+            w = np.real(np.fft.fft(p))
+            half = length // 2 + 1
+            w = np.concatenate((w[half - 1:0:-1], w[1:half]))
+        return w / np.max(w)
+    return _host_window(n, periodic, dtype, build)
+
+
+def dpss(n: int, half_bandwidth: float, n_windows=None, *,
+         periodic: bool = False, dtype=DEFAULT_FLOAT):
+    """Discrete prolate spheroidal (Slepian) sequences, unit-energy
+    normalization — scipy.signal.windows.dpss(..., norm=2) semantics,
+    including the polarity conventions (even-order windows sum positive,
+    odd-order windows start positive). Returns shape (n,) when `n_windows`
+    is None, else (n_windows, n). Eigenvectors of the symmetric tridiagonal
+    DPSS operator, solved densely on host (design-time). Not in the
+    reference."""
+    if not 0 < half_bandwidth < n / 2.0:
+        raise ValueError("half_bandwidth must be in (0, n/2)")
+    k_max = 1 if n_windows is None else int(n_windows)
+    if not 0 < k_max <= n:
+        raise ValueError(f"n_windows must be in [1, n], got {n_windows}")
+    length = n + 1 if periodic else n
+    frac = half_bandwidth / length
+    t = np.arange(length, dtype=np.float64)
+    diag = ((length - 1 - 2.0 * t) / 2.0) ** 2 * np.cos(2.0 * np.pi * frac)
+    off = t[1:] * (length - t[1:]) / 2.0
+    mat = np.diag(diag) + np.diag(off, 1) + np.diag(off, -1)
+    _, vecs = np.linalg.eigh(mat)
+    wins = vecs[:, ::-1][:, :k_max].T.copy()  # (k_max, length), unit norm
+    fix_even = wins[::2].sum(axis=1) < 0
+    wins[::2][fix_even] *= -1
+    thresh = max(1e-7, 1.0 / length)
+    for i, w in enumerate(wins[1::2]):
+        sig = w[w * w > thresh**2]
+        if sig.size and sig[0] < 0:
+            wins[2 * i + 1] *= -1
+    wins = wins[:, :n]
+    out = jnp.asarray(wins, dtype=dtype)
+    return out[0] if n_windows is None else out
+
+
 _WINDOW_BUILDERS = {
     "rectangular": lambda n, periodic, dtype: rectangular(n, dtype=dtype),
     "bartlett": lambda n, periodic, dtype: bartlett(n, dtype=dtype),
@@ -121,28 +408,66 @@ _WINDOW_BUILDERS = {
     "blackman": lambda n, periodic, dtype: blackman(n, periodic=periodic, dtype=dtype),
     "hamming": lambda n, periodic, dtype: hamming(n, periodic=periodic, dtype=dtype),
     "hann": lambda n, periodic, dtype: hann(n, periodic=periodic, dtype=dtype),
+    "blackmanharris": lambda n, periodic, dtype: blackmanharris(
+        n, periodic=periodic, dtype=dtype),
+    "nuttall": lambda n, periodic, dtype: nuttall(n, periodic=periodic, dtype=dtype),
+    "flattop": lambda n, periodic, dtype: flattop(n, periodic=periodic, dtype=dtype),
+    "bohman": lambda n, periodic, dtype: bohman(n, periodic=periodic, dtype=dtype),
+    "cosine": lambda n, periodic, dtype: cosine(n, periodic=periodic, dtype=dtype),
+    "barthann": lambda n, periodic, dtype: barthann(n, periodic=periodic, dtype=dtype),
+    "parzen": lambda n, periodic, dtype: parzen(n, periodic=periodic, dtype=dtype),
+    "lanczos": lambda n, periodic, dtype: lanczos(n, periodic=periodic, dtype=dtype),
+    "tukey": lambda n, periodic, dtype: tukey(n, periodic=periodic, dtype=dtype),
+    "exponential": lambda n, periodic, dtype: exponential(
+        n, periodic=periodic, dtype=dtype),
+    "taylor": lambda n, periodic, dtype: taylor(n, periodic=periodic, dtype=dtype),
+    "chebwin": lambda n, periodic, dtype: chebwin(n, periodic=periodic, dtype=dtype),
+}
+
+# Windows whose spec carries positional parameters: name -> constructor taking
+# (n, *params, periodic=..., dtype=...).
+_PARAMETRIC_WINDOWS = {
+    "gaussian": gaussian,
+    "general_gaussian": general_gaussian,
+    "general_cosine": general_cosine,
+    "general_hamming": general_hamming,
+    "tukey": tukey,
+    "exponential": exponential,
+    "taylor": taylor,
+    "chebwin": chebwin,
+    "dpss": dpss,
 }
 
 
 def get_window(window, n: int, *, periodic: bool = False, dtype=DEFAULT_FLOAT):
-    """Build a window from a spec: a name string, or ('kaiser', beta).
+    """Build a window from a spec: a name string, or a (name, *params) tuple
+    such as ('kaiser', beta), ('gaussian', std), ('tukey', alpha),
+    ('chebwin', attenuation_db), ('dpss', half_bandwidth).
 
-    The firwin dispatch analog (reference: lib/nx_signal/filters.ex:254-279);
-    defaults to symmetric windows as filter design requires.
+    The firwin dispatch analog (reference: lib/nx_signal/filters.ex:254-279),
+    widened to the scipy.signal.get_window surface; defaults to symmetric
+    windows as filter design requires.
     """
     if isinstance(window, (tuple, list)):
         name, *params = window
         if name == "kaiser":
             (beta,) = params
             return kaiser(n, beta=beta, periodic=periodic, dtype=dtype)
+        if name in _PARAMETRIC_WINDOWS:
+            return _PARAMETRIC_WINDOWS[name](n, *params, periodic=periodic,
+                                             dtype=dtype)
         raise ValueError(
-            f"unknown window {window!r}, supported: 'hamming', 'hann', 'blackman', "
-            "'bartlett', 'triangular', 'rectangular', ('kaiser', beta)"
+            f"unknown window {window!r}, supported: "
+            f"{sorted(set(_WINDOW_BUILDERS) | set(_PARAMETRIC_WINDOWS))} "
+            "or (name, *params) with name in "
+            f"{sorted(set(_PARAMETRIC_WINDOWS) | {'kaiser'})}"
         )
     if window not in _WINDOW_BUILDERS:
         raise ValueError(
-            f"unknown window {window!r}, supported: 'hamming', 'hann', 'blackman', "
-            "'bartlett', 'triangular', 'rectangular', ('kaiser', beta)"
+            f"unknown window {window!r}, supported: "
+            f"{sorted(set(_WINDOW_BUILDERS) | set(_PARAMETRIC_WINDOWS))} "
+            "or (name, *params) with name in "
+            f"{sorted(set(_PARAMETRIC_WINDOWS) | {'kaiser'})}"
         )
     if window == "rectangular":
         return rectangular(n, dtype=dtype) if jnp.issubdtype(dtype, jnp.integer) \

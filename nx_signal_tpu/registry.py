@@ -59,6 +59,23 @@ FUNCTION_TYPES = {
         "hamming": "windowing",
         "hann": "windowing",
         "kaiser": "windowing",
+        "general_cosine": "windowing",
+        "general_hamming": "windowing",
+        "blackmanharris": "windowing",
+        "nuttall": "windowing",
+        "flattop": "windowing",
+        "bohman": "windowing",
+        "cosine": "windowing",
+        "barthann": "windowing",
+        "parzen": "windowing",
+        "lanczos": "windowing",
+        "gaussian": "windowing",
+        "general_gaussian": "windowing",
+        "tukey": "windowing",
+        "exponential": "windowing",
+        "taylor": "windowing",
+        "chebwin": "windowing",
+        "dpss": "windowing",
         "get_window": "windowing",
     },
     "ops.waveforms": {

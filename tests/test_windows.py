@@ -60,6 +60,67 @@ def test_kaiser_reference_eps_parity():
     assert_all_close(w, [5.277619e-5, 0.21566667, 1.0, 0.21566667], atol=1e-3)
 
 
+EXTENDED = [
+    ("blackmanharris", (), sw.blackmanharris, ()),
+    ("nuttall", (), sw.nuttall, ()),
+    ("flattop", (), sw.flattop, ()),
+    ("bohman", (), sw.bohman, ()),
+    ("cosine", (), sw.cosine, ()),
+    ("barthann", (), sw.barthann, ()),
+    ("parzen", (), sw.parzen, ()),
+    ("lanczos", (), sw.lanczos, ()),
+    ("gaussian", (2.5,), sw.gaussian, (2.5,)),
+    ("general_gaussian", (1.5, 3.0), sw.general_gaussian, (1.5, 3.0)),
+    ("general_hamming", (0.7,), sw.general_hamming, (0.7,)),
+    ("general_cosine", ([0.4, 0.5, 0.1],), sw.general_cosine, ([0.4, 0.5, 0.1],)),
+    ("tukey", (0.4,), sw.tukey, (0.4,)),
+    ("exponential", (None, 3.0), sw.exponential, (None, 3.0)),
+    ("taylor", (4, 30.0), sw.taylor, (4, 30.0)),
+    ("chebwin", (80.0,), sw.chebwin, (80.0,)),
+]
+
+
+@pytest.mark.parametrize("n", [2, 3, 8, 16, 17, 64, 512])
+@pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.parametrize("name,args,scipy_fn,scipy_args", EXTENDED,
+                         ids=[e[0] for e in EXTENDED])
+def test_extended_windows(n, periodic, name, args, scipy_fn, scipy_args):
+    w = getattr(windows, name)(n, *args, periodic=periodic)
+    expected = scipy_fn(n, *scipy_args, sym=not periodic)
+    assert w.dtype == np.float32
+    assert_all_close(w, expected, atol=2e-6, rtol=2e-6)
+
+
+@pytest.mark.parametrize("n,nw,k", [(16, 2.5, 3), (65, 4.0, 5), (128, 3.0, 1)])
+def test_dpss(n, nw, k):
+    got = windows.dpss(n, nw, k)
+    expected = sw.dpss(n, nw, k, norm=2)
+    assert got.shape == (k, n)
+    assert_all_close(got, expected, atol=1e-6)
+    # n_windows=None returns the first sequence alone
+    assert_all_close(windows.dpss(n, nw), expected[0], atol=1e-6)
+
+
+def test_exponential_center_rules():
+    with pytest.raises(ValueError, match="center must be None"):
+        windows.exponential(8, center=2.0, periodic=False)
+    assert_all_close(windows.exponential(8, center=2.0, tau=1.5),
+                     sw.exponential(8, 2.0, 1.5, sym=False), atol=1e-6)
+
+
+def test_get_window_extended_dispatch():
+    assert_all_close(windows.get_window("flattop", 32),
+                     sw.flattop(32, sym=True), atol=1e-6)
+    assert_all_close(windows.get_window(("gaussian", 4.0), 32),
+                     sw.gaussian(32, 4.0, sym=True), atol=1e-6)
+    assert_all_close(windows.get_window(("tukey", 0.25), 32, periodic=True),
+                     sw.tukey(32, 0.25, sym=False), atol=1e-6)
+    assert_all_close(windows.get_window(("chebwin", 60.0), 33),
+                     sw.chebwin(33, 60.0, sym=True), atol=1e-6)
+    assert_all_close(windows.get_window(("dpss", 3.0), 33),
+                     sw.dpss(33, 3.0, norm=2), atol=1e-6)
+
+
 def test_get_window_dispatch():
     assert_all_close(windows.get_window("hann", 8), sw.hann(8, sym=True), atol=1e-6)
     assert_all_close(
