@@ -110,6 +110,15 @@ FUNCTION_TYPES = {
         "group_delay": "filters",
         "detrend": "filters",
     },
+    "ops.fir_design": {
+        "kaiser_beta": "filters",
+        "kaiser_atten": "filters",
+        "kaiserord": "filters",
+        "firwin2": "filters",
+        "firls": "filters",
+        "remez": "filters",
+        "minimum_phase": "filters",
+    },
     "ops.czt": {
         "czt": "transforms",
         "zoom_fft": "transforms",
