@@ -34,7 +34,8 @@ from nx_signal_tpu.utils.dtypes import (
 )
 from nx_signal_tpu.utils.shapes import fft_fast_length
 
-__all__ = ["convolve", "correlate", "fftconvolve", "oaconvolve", "fir_convolve_1d"]
+__all__ = ["convolve", "correlate", "fftconvolve", "oaconvolve",
+           "fir_convolve_1d", "convolve2d", "correlate2d"]
 
 _MODES = ("full", "same", "valid")
 
@@ -66,6 +67,84 @@ def correlate(in1, in2, *, mode="full", method="direct"):
     if is_complex_dtype(in2.dtype):
         kernel = jnp.conj(kernel)
     return convolve(in1, kernel, mode=mode, method=method)
+
+
+_BOUNDARIES = {"fill": "constant", "wrap": "wrap", "symm": "symmetric"}
+
+
+def convolve2d(in1, in2, *, mode="full", boundary="fill", fillvalue=0):
+    """2-D convolution with boundary handling —
+    scipy.signal.convolve2d semantics: `boundary` is 'fill' (pad with
+    `fillvalue`), 'wrap' (circular), or 'symm' (symmetric reflection
+    including the edge sample). Implemented as boundary padding by the full
+    kernel overhang followed by a valid lax.conv (MXU) and the scipy mode
+    slices. Not in the reference (its convolve covers only zero boundaries,
+    convolution.ex:95-211)."""
+    _check_mode_method(mode, "direct")
+    if boundary not in _BOUNDARIES:
+        raise ValueError(
+            f"expected boundary to be one of ['fill', 'wrap', 'symm'], "
+            f"got: {boundary}"
+        )
+    in1, in2 = jnp.asarray(in1), jnp.asarray(in2)
+    if in1.ndim != 2 or in2.ndim != 2:
+        raise ValueError("convolve2d inputs must both be rank 2")
+    m, n = in1.shape
+    p, q = in2.shape
+    if mode == "valid" and ((m - p) * (n - q) < 0):
+        raise ValueError(
+            "For 'valid' mode, one must be at least as large as the other "
+            "in every dimension"
+        )
+    if mode == "valid" and (m < p or n < q):
+        in1, in2 = in2, in1
+        m, n, p, q = p, q, m, n
+
+    if boundary == "fill" and fillvalue == 0:
+        full = convolve(in1, in2, mode="full")
+    else:
+        kwargs = {"constant_values": fillvalue} if boundary == "fill" else {}
+        padded = jnp.pad(in1, [(p - 1, p - 1), (q - 1, q - 1)],
+                         mode=_BOUNDARIES[boundary], **kwargs)
+        full = convolve(padded, in2, mode="valid")
+    if mode == "full":
+        return full
+    if mode == "same":
+        r0, c0 = (p - 1) // 2, (q - 1) // 2
+        return full[r0:r0 + m, c0:c0 + n]
+    return full[p - 1:m, q - 1:n]
+
+
+def correlate2d(in1, in2, *, mode="full", boundary="fill", fillvalue=0):
+    """2-D cross-correlation with boundary handling —
+    scipy.signal.correlate2d semantics: full convolution with the flipped
+    (conjugated, if complex) kernel, but with correlation's own 'same'
+    anchor — the window origin sits at index k//2 of the kernel, one sample
+    later than convolution's (k-1)//2 for even kernel dims. When 'valid'
+    mode requires swapping (in2 larger everywhere), the swapped result is
+    reversed (scipy's pinned behavior: reversed but NOT conjugated). Not in
+    the reference."""
+    _check_mode_method(mode, "direct")
+    in1, in2 = jnp.asarray(in1), jnp.asarray(in2)
+    if in1.ndim != 2 or in2.ndim != 2:
+        raise ValueError("correlate2d inputs must both be rank 2")
+    m, n = in1.shape
+    p, q = in2.shape
+    if mode == "valid" and (m < p or n < q):
+        swapped = correlate2d(in2, in1, mode=mode, boundary=boundary,
+                              fillvalue=fillvalue)
+        return jnp.flip(swapped, axis=(0, 1))
+    kernel = jnp.flip(in2, axis=(0, 1))
+    if is_complex_dtype(in2.dtype):
+        kernel = jnp.conj(kernel)
+    full = convolve2d(in1, kernel, mode="full", boundary=boundary,
+                      fillvalue=fillvalue)
+    if mode == "full":
+        return full
+    if mode == "same":
+        r0, c0 = p // 2, q // 2
+        return full[r0:r0 + m, c0:c0 + n]
+    return full[p - 1:m, q - 1:n]
 
 
 def _float_cast(x):

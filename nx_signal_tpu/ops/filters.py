@@ -13,14 +13,15 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from nx_signal_tpu.ops.convolution import correlate
+from nx_signal_tpu.ops.convolution import correlate, fir_convolve_1d
 from nx_signal_tpu.ops.waveforms import sinc
 from nx_signal_tpu.ops.windows import get_window
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
 __all__ = ["median", "wiener", "firwin", "freqz", "sosfreqz", "group_delay",
-           "detrend"]
+           "detrend", "savgol_coeffs", "savgol_filter"]
 
 
 def median(t, *, kernel_shape):
@@ -219,6 +220,119 @@ def group_delay(b, a=None, *, n_freqs: int = 512, sampling_rate: float = 2.0,
     # scipy's singularity guard: zero the delay where the response vanishes
     tau = jnp.where(jnp.abs(den) == 0.0, jnp.zeros((), tau.dtype), tau)
     return freqs, tau
+
+
+def _savgol_coeffs_np(window_length, polyorder, deriv, delta, pos, use):
+    """f64 host math behind savgol_coeffs (design-time)."""
+    if polyorder >= window_length:
+        raise ValueError("polyorder must be less than window_length")
+    halflen, rem = divmod(window_length, 2)
+    if pos is None:
+        pos = halflen - 0.5 if rem == 0 else halflen
+    if not 0 <= pos < window_length:
+        raise ValueError("pos must be nonnegative and less than window_length")
+    if use not in ("conv", "dot"):
+        raise ValueError("use must be 'conv' or 'dot'")
+    if deriv > polyorder:
+        return np.zeros(window_length)
+    x = np.arange(-pos, window_length - pos, dtype=np.float64)
+    if use == "conv":
+        x = x[::-1]
+    order = np.arange(polyorder + 1)[:, None]
+    a = x[None, :] ** order
+    y = np.zeros(polyorder + 1)
+    y[deriv] = math.factorial(deriv) / (delta**deriv)
+    return np.linalg.lstsq(a, y, rcond=None)[0]
+
+
+def savgol_coeffs(window_length: int, polyorder: int, *, deriv: int = 0,
+                  delta: float = 1.0, pos=None, use: str = "conv",
+                  dtype=DEFAULT_FLOAT):
+    """Savitzky-Golay FIR coefficients — scipy.signal.savgol_coeffs
+    semantics: the least-squares polynomial-fit weights for the `deriv`-th
+    derivative at position `pos` of a length-`window_length` window, in
+    'conv' (reversed, for convolution) or 'dot' orientation. f64 host
+    design math. Not in the reference."""
+    return jnp.asarray(
+        _savgol_coeffs_np(window_length, polyorder, deriv, delta, pos, use),
+        dtype=dtype,
+    )
+
+
+def _savgol_edge_matrix(window_length, polyorder, deriv, delta, positions):
+    """(len(positions), window_length) matrix mapping a raw edge window to
+    the polyfit-interpolated derivative values at `positions` — the
+    mode='interp' edge handling collapsed into one static matmul."""
+    idx = np.arange(window_length, dtype=np.float64)
+    a = idx[:, None] ** np.arange(polyorder + 1)[None, :]
+    pinv = np.linalg.pinv(a)  # (polyorder+1, window_length)
+    j = np.arange(polyorder + 1)
+    # d-th derivative of sum c_j t^j: sum_{j>=d} c_j j!/(j-d)! t^(j-d)
+    ff = np.where(j >= deriv,
+                  [math.factorial(k) / math.factorial(max(k - deriv, 0))
+                   if k >= deriv else 0.0 for k in j], 0.0)
+    t = np.asarray(positions, dtype=np.float64)[:, None]
+    powers = np.where(j[None, :] >= deriv, t ** np.maximum(j - deriv, 0), 0.0)
+    v = powers * ff[None, :]
+    return (v @ pinv) / (delta**deriv)
+
+
+def savgol_filter(x, window_length: int, polyorder: int, *, deriv: int = 0,
+                  delta: float = 1.0, axis: int = -1, mode: str = "interp",
+                  cval: float = 0.0):
+    """Savitzky-Golay smoothing/differentiation filter —
+    scipy.signal.savgol_filter semantics (window_length must be odd here).
+
+    TPU mapping: the sliding polynomial fit is a static FIR, applied with
+    the blocked-Toeplitz MXU matmul (ops/convolution.py: fir_convolve_1d);
+    mode='interp' edge polyfits collapse into two host-precomputed
+    (halflen, window_length) matrices, so the whole op is three matmuls.
+    Not in the reference."""
+    x = jnp.asarray(x)
+    if not (jnp.issubdtype(x.dtype, jnp.floating)
+            or jnp.issubdtype(x.dtype, jnp.complexfloating)):
+        x = x.astype(DEFAULT_FLOAT)
+    if window_length % 2 != 1:
+        raise ValueError("window_length must be odd")
+    if polyorder >= window_length:
+        raise ValueError("polyorder must be less than window_length")
+    if mode not in ("interp", "mirror", "nearest", "constant", "wrap"):
+        raise ValueError(
+            "mode must be 'mirror', 'constant', 'nearest', 'wrap' or 'interp'"
+        )
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    halflen = window_length // 2
+    coeffs = _savgol_coeffs_np(window_length, polyorder, deriv, delta, None,
+                               "conv")
+    taps = jnp.asarray(coeffs, dtype=x.real.dtype)
+
+    if mode == "interp":
+        if window_length > n:
+            raise ValueError(
+                "If mode is 'interp', window_length must be less than or "
+                "equal to the size of x."
+            )
+        interior = fir_convolve_1d(x, taps, mode="valid")
+        left_m = jnp.asarray(
+            _savgol_edge_matrix(window_length, polyorder, deriv, delta,
+                                np.arange(halflen)), dtype=x.real.dtype)
+        right_m = jnp.asarray(
+            _savgol_edge_matrix(window_length, polyorder, deriv, delta,
+                                np.arange(window_length - halflen,
+                                          window_length)),
+            dtype=x.real.dtype)
+        left = x[..., :window_length] @ left_m.T
+        right = x[..., n - window_length:] @ right_m.T
+        return jnp.moveaxis(
+            jnp.concatenate([left, interior, right], axis=-1), -1, axis)
+
+    pad_map = {"mirror": "reflect", "nearest": "edge", "wrap": "wrap",
+               "constant": "constant"}
+    kwargs = {"constant_values": cval} if mode == "constant" else {}
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(halflen, halflen)],
+                 mode=pad_map[mode], **kwargs)
+    return jnp.moveaxis(fir_convolve_1d(xp, taps, mode="valid"), -1, axis)
 
 
 def detrend(data, *, axis: int = -1, type: str = "linear"):

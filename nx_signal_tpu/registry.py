@@ -41,6 +41,8 @@ FUNCTION_TYPES = {
         "welch": "time_frequency",
         "csd": "time_frequency",
         "coherence": "time_frequency",
+        "lombscargle": "time_frequency",
+        "vectorstrength": "time_frequency",
     },
     "spectral.mel": {
         "mel_filters": "time_frequency",
@@ -93,6 +95,8 @@ FUNCTION_TYPES = {
         "fftconvolve": "convolution",
         "oaconvolve": "convolution",
         "fir_convolve_1d": "convolution",
+        "convolve2d": "convolution",
+        "correlate2d": "convolution",
     },
     "ops.transforms": {
         "fft_nd": "transforms",
@@ -109,6 +113,8 @@ FUNCTION_TYPES = {
         "sosfreqz": "filters",
         "group_delay": "filters",
         "detrend": "filters",
+        "savgol_coeffs": "filters",
+        "savgol_filter": "filters",
     },
     "ops.fir_design": {
         "kaiser_beta": "filters",

@@ -25,7 +25,72 @@ from nx_signal_tpu.spectral.framing import as_windowed
 from nx_signal_tpu.spectral.stft import stft
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
-__all__ = ["periodogram", "welch", "csd", "coherence"]
+__all__ = ["periodogram", "welch", "csd", "coherence", "lombscargle",
+           "vectorstrength"]
+
+
+def lombscargle(x, y, freqs, *, precenter: bool = False,
+                normalize: bool = False):
+    """Lomb-Scargle periodogram of unevenly sampled data —
+    scipy.signal.lombscargle semantics (classic Townsend recurrence-free
+    form with the per-frequency time offset tau that makes the sinusoid
+    basis orthogonal).
+
+    TPU mapping: the (n_freqs, n_samples) phase matrix w x^T is built once
+    and every sum is a row reduction / matvec — the whole periodogram is a
+    handful of MXU-shaped products, not scipy's per-frequency loop. Not in
+    the reference (no unevenly-sampled support there)."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    freqs = jnp.asarray(freqs)
+    if x.ndim != 1 or y.ndim != 1 or x.shape != y.shape:
+        raise ValueError("x and y must be 1-D arrays of the same length")
+    if freqs.ndim != 1:
+        raise ValueError("freqs must be 1-D")
+    dtype = jnp.result_type(x.dtype, y.dtype, freqs.dtype, DEFAULT_FLOAT)
+    x, y, freqs = x.astype(dtype), y.astype(dtype), freqs.astype(dtype)
+    if precenter:
+        y = y - jnp.mean(y)
+
+    phase = freqs[:, None] * x[None, :]  # (M, N)
+    c2, s2 = jnp.cos(2.0 * phase), jnp.sin(2.0 * phase)
+    # tan(2 w tau) = sum sin(2wx) / sum cos(2wx)
+    tau = jnp.arctan2(jnp.sum(s2, axis=1), jnp.sum(c2, axis=1)) / (
+        2.0 * freqs)
+    arg = phase - (freqs * tau)[:, None]
+    c, s = jnp.cos(arg), jnp.sin(arg)
+    yc = c @ y
+    ys = s @ y
+    cc = jnp.sum(c * c, axis=1)
+    ss = jnp.sum(s * s, axis=1)
+    pgram = 0.5 * (yc * yc / cc + ys * ys / ss)
+    if normalize:
+        pgram = pgram * (2.0 / jnp.sum(y * y))
+    return pgram
+
+
+def vectorstrength(events, period):
+    """Vector strength (and phase) of events relative to one or more
+    periods — scipy.signal.vectorstrength semantics: each event is a unit
+    phasor exp(i 2 pi t / T); strength is the mean phasor magnitude, phase
+    its angle. Not in the reference."""
+    events = jnp.asarray(events)
+    period = jnp.asarray(period)
+    if events.ndim != 1:
+        raise ValueError("events must be 1-D")
+    scalar = period.ndim == 0
+    period_v = jnp.atleast_1d(period)
+    if period_v.ndim != 1:
+        raise ValueError("period must be a scalar or 1-D")
+    dtype = jnp.result_type(events.dtype, period_v.dtype, DEFAULT_FLOAT)
+    ang = 2.0 * jnp.pi * events.astype(dtype)[None, :] / \
+        period_v.astype(dtype)[:, None]
+    vectors = jnp.mean(jnp.exp(1j * ang), axis=1)
+    strength = jnp.abs(vectors)
+    phase = jnp.angle(vectors)
+    if scalar:
+        return strength[0], phase[0]
+    return strength, phase
 
 
 def _median_bias(n: int) -> float:
