@@ -26,7 +26,8 @@ import numpy as np
 
 __all__ = [
     "butter", "cheby1", "cheby2", "ellip", "bessel", "iirfilter",
-    "iirnotch", "iirpeak",
+    "iirnotch", "iirpeak", "iircomb", "iirdesign",
+    "buttord", "cheb1ord", "cheb2ord", "ellipord",
     "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk", "bilinear_zpk",
     "zpk2tf", "tf2zpk", "zpk2sos", "tf2sos", "sos2tf",
@@ -511,6 +512,288 @@ def bessel(n, wn, btype="lowpass", analog=False, output="ba", fs=None):
     semantics."""
     return iirfilter(n, wn, btype=btype, analog=analog, ftype="bessel",
                      output=output, fs=fs)
+
+
+# ------------------------------------------------------- order selection
+
+def _ellipk(m):
+    """Complete elliptic integral K(m) via the arithmetic-geometric mean:
+    K(m) = pi / (2 agm(1, sqrt(1-m))). f64-accurate for m in [0, 1)."""
+    a, b = 1.0, math.sqrt(1.0 - m)
+    for _ in range(60):
+        if abs(a - b) < 1e-17 * a:
+            break
+        a, b = 0.5 * (a + b), math.sqrt(a * b)
+    return math.pi / (2.0 * a)
+
+
+def _ord_validate(wp, ws, analog, fs):
+    wp = np.atleast_1d(np.asarray(wp, dtype=np.float64))
+    ws = np.atleast_1d(np.asarray(ws, dtype=np.float64))
+    if fs is not None:
+        if analog:
+            raise ValueError("fs cannot be specified for an analog filter")
+        wp, ws = 2.0 * wp / fs, 2.0 * ws / fs
+    if wp.shape != ws.shape or wp.size not in (1, 2):
+        raise ValueError("wp and ws must both be scalars or both pairs")
+    if not analog and (np.any(wp <= 0) or np.any(wp >= 1)
+                       or np.any(ws <= 0) or np.any(ws >= 1)):
+        raise ValueError("digital band edges must satisfy 0 < w < 1 "
+                         "(Nyquist = 1, or fs/2 when fs is given)")
+    # filter type: 1 lowpass, 2 highpass, 3 bandpass, 4 bandstop
+    if wp.size == 1:
+        ftype = 1 if wp[0] < ws[0] else 2
+    else:
+        if wp[0] < ws[0] and wp[1] > ws[1]:
+            ftype = 4
+        elif wp[0] > ws[0] and wp[1] < ws[1]:
+            ftype = 3
+        else:
+            raise ValueError("passband and stopband edges must nest "
+                             "(bandpass: ws outside wp; bandstop: inside)")
+    return wp, ws, ftype
+
+
+def _ord_selectivity(passb, stopb, ftype):
+    """Equivalent lowpass-prototype selectivity ratio for each filter type."""
+    if ftype == 1:
+        return float(stopb[0] / passb[0])
+    if ftype == 2:
+        return float(passb[0] / stopb[0])
+    if ftype == 3:
+        nat = (stopb**2 - passb[0] * passb[1]) / (
+            stopb * (passb[0] - passb[1]))
+    else:
+        nat = (stopb * (passb[0] - passb[1])) / (
+            stopb**2 - passb[0] * passb[1])
+    return float(np.min(np.abs(nat)))
+
+
+def _ord_n(nat, gpass, gstop, kind):
+    """Required (real-valued) order of the lowpass prototype."""
+    gstop_l = 10.0 ** (0.1 * abs(gstop))
+    gpass_l = 10.0 ** (0.1 * abs(gpass))
+    if kind == "butter":
+        return math.log10((gstop_l - 1.0) / (gpass_l - 1.0)) / (
+            2.0 * math.log10(nat))
+    if kind == "cheby":
+        return math.acosh(math.sqrt((gstop_l - 1.0) / (gpass_l - 1.0))) / \
+            math.acosh(nat)
+    # elliptic: ratio of complete elliptic integral quotients
+    arg1 = math.sqrt((gpass_l - 1.0) / (gstop_l - 1.0))
+    arg0 = 1.0 / nat
+    return (_ellipk(arg0**2) * _ellipk(1.0 - arg1**2)) / (
+        _ellipk(1.0 - arg0**2) * _ellipk(arg1**2))
+
+
+def _bandstop_optimize(passb, stopb, gpass, gstop, kind):
+    """Bandstop passband edges can be moved inward without violating the
+    spec; minimize the required order over each movable edge (scipy uses
+    fminbound — here a golden-section search to 1e-10)."""
+    gr = (math.sqrt(5.0) - 1.0) / 2.0
+
+    def order_with_edge(ind, val):
+        pb = passb.copy()
+        pb[ind] = val
+        nat = _ord_selectivity(pb, stopb, 4)
+        return _ord_n(nat, gpass, gstop, kind)
+
+    def golden(ind, lo, hi):
+        a, b = lo, hi
+        c, d = b - gr * (b - a), a + gr * (b - a)
+        fc, fd = order_with_edge(ind, c), order_with_edge(ind, d)
+        for _ in range(200):
+            if abs(b - a) < 1e-10 * max(1.0, abs(b)):
+                break
+            if fc < fd:
+                b, d, fd = d, c, fc
+                c = b - gr * (b - a)
+                fc = order_with_edge(ind, c)
+            else:
+                a, c, fc = c, d, fd
+                d = a + gr * (b - a)
+                fd = order_with_edge(ind, d)
+        return 0.5 * (a + b)
+
+    passb = passb.copy()
+    passb[0] = golden(0, passb[0], stopb[0] - 1e-12)
+    passb[1] = golden(1, stopb[1] + 1e-12, passb[1])
+    return passb
+
+
+def _ord_common(wp, ws, gpass, gstop, analog, fs, kind):
+    wp, ws, ftype = _ord_validate(wp, ws, analog, fs)
+    if analog:
+        passb, stopb = wp.copy(), ws.copy()
+    else:
+        passb = np.tan(np.pi * wp / 2.0)
+        stopb = np.tan(np.pi * ws / 2.0)
+    if ftype == 4:
+        passb = _bandstop_optimize(passb, stopb, gpass, gstop, kind)
+    nat = _ord_selectivity(passb, stopb, ftype)
+    order = int(math.ceil(_ord_n(nat, gpass, gstop, kind)))
+    return wp, ws, ftype, passb, stopb, nat, order
+
+
+def _unwarp(w_natural, analog, fs, scalar):
+    if not analog:
+        wn = (2.0 / math.pi) * np.arctan(w_natural)
+    else:
+        wn = np.asarray(w_natural, dtype=np.float64)
+    if fs is not None:
+        wn = wn * fs / 2.0
+    wn = np.atleast_1d(wn)
+    return float(wn[0]) if scalar else wn
+
+
+def buttord(wp, ws, gpass, gstop, analog=False, fs=None):
+    """Minimum Butterworth order (and the -gpass natural frequency wn to
+    pass to `butter`) meeting gpass/gstop dB specs —
+    scipy.signal.buttord semantics for all four band types, including the
+    bandstop passband-edge optimization. Not in the reference."""
+    scalar = np.ndim(wp) == 0
+    wp, ws, ftype, passb, stopb, nat, order = _ord_common(
+        wp, ws, gpass, gstop, analog, fs, "butter")
+    gpass_l = 10.0 ** (0.1 * abs(gpass))
+    if order == 0:
+        w0 = 1.0
+    else:
+        w0 = (gpass_l - 1.0) ** (-1.0 / (2.0 * order))
+    if ftype == 1:
+        wnat = w0 * passb
+    elif ftype == 2:
+        wnat = passb / w0
+    elif ftype == 3:
+        discr = math.sqrt((passb[1] - passb[0]) ** 2
+                          + 4.0 * w0**2 * passb[0] * passb[1])
+        wnat = np.sort(np.abs(np.array([
+            ((passb[1] - passb[0]) + discr) / (2.0 * w0),
+            ((passb[1] - passb[0]) - discr) / (2.0 * w0),
+        ])))
+    else:
+        w0v = np.array([-w0, w0])
+        wnat = np.sort(np.abs(
+            -w0v * (passb[1] - passb[0]) / 2.0
+            + np.sqrt(w0v**2 / 4.0 * (passb[1] - passb[0]) ** 2
+                      + passb[0] * passb[1])))
+    return order, _unwarp(wnat, analog, fs, scalar)
+
+
+def cheb1ord(wp, ws, gpass, gstop, analog=False, fs=None):
+    """Minimum Chebyshev-I order and the passband edge wn —
+    scipy.signal.cheb1ord semantics. Not in the reference."""
+    scalar = np.ndim(wp) == 0
+    wp, ws, ftype, passb, stopb, nat, order = _ord_common(
+        wp, ws, gpass, gstop, analog, fs, "cheby")
+    # Chebyshev I keeps the (possibly optimized) passband edge.
+    return order, _unwarp(passb, analog, fs, scalar)
+
+
+def cheb2ord(wp, ws, gpass, gstop, analog=False, fs=None):
+    """Minimum Chebyshev-II order and the stopband-matched wn —
+    scipy.signal.cheb2ord semantics: wn is backed out so the response hits
+    exactly -gstop dB at the stopband edge. Not in the reference."""
+    scalar = np.ndim(wp) == 0
+    wp, ws, ftype, passb, stopb, nat, order = _ord_common(
+        wp, ws, gpass, gstop, analog, fs, "cheby")
+    gstop_l = 10.0 ** (0.1 * abs(gstop))
+    gpass_l = 10.0 ** (0.1 * abs(gpass))
+    new_freq = 1.0 / math.cosh(
+        math.acosh(math.sqrt((gstop_l - 1.0) / (gpass_l - 1.0))) / order)
+    if ftype == 1:
+        wnat = passb / new_freq
+    elif ftype == 2:
+        wnat = passb * new_freq
+    elif ftype == 3:
+        w0 = (new_freq / 2.0 * (passb[0] - passb[1])
+              + math.sqrt(new_freq**2 * (passb[1] - passb[0]) ** 2 / 4.0
+                          + passb[1] * passb[0]))
+        wnat = np.array([w0, passb[1] * passb[0] / w0])
+    else:
+        w0 = (1.0 / (2.0 * new_freq) * (passb[0] - passb[1])
+              + math.sqrt((passb[1] - passb[0]) ** 2 / (4.0 * new_freq**2)
+                          + passb[1] * passb[0]))
+        wnat = np.array([w0, passb[0] * passb[1] / w0])
+    wnat = np.sort(np.abs(np.atleast_1d(wnat)))
+    return order, _unwarp(wnat, analog, fs, scalar)
+
+
+def ellipord(wp, ws, gpass, gstop, analog=False, fs=None):
+    """Minimum elliptic order and the passband edge wn —
+    scipy.signal.ellipord semantics (complete-elliptic-integral degree
+    equation, K(m) by AGM). Not in the reference."""
+    scalar = np.ndim(wp) == 0
+    wp, ws, ftype, passb, stopb, nat, order = _ord_common(
+        wp, ws, gpass, gstop, analog, fs, "ellip")
+    return order, _unwarp(passb, analog, fs, scalar)
+
+
+_ORD_FOR_FTYPE = {
+    "butter": buttord,
+    "cheby1": cheb1ord,
+    "cheby2": cheb2ord,
+    "ellip": ellipord,
+}
+
+
+def iirdesign(wp, ws, gpass, gstop, analog=False, ftype="ellip", output="ba",
+              fs=None):
+    """Complete IIR design from band specs — scipy.signal.iirdesign
+    semantics: pick the minimum order with the matching *ord function, then
+    design with `iirfilter`. Not in the reference."""
+    if ftype not in _ORD_FOR_FTYPE:
+        raise ValueError(
+            f"ftype must be one of {sorted(_ORD_FOR_FTYPE)}, got {ftype!r}"
+        )
+    wp_a = np.atleast_1d(np.asarray(wp, dtype=np.float64))
+    ws_a = np.atleast_1d(np.asarray(ws, dtype=np.float64))
+    if wp_a.size == 1:
+        btype = "lowpass" if wp_a[0] < ws_a[0] else "highpass"
+    elif wp_a[0] > ws_a[0]:
+        btype = "bandpass"
+    else:
+        btype = "bandstop"
+    order, wn = _ORD_FOR_FTYPE[ftype](wp, ws, gpass, gstop, analog=analog,
+                                      fs=fs)
+    return iirfilter(order, wn, rp=gpass, rs=gstop, btype=btype,
+                     analog=analog, ftype=ftype, output=output, fs=fs)
+
+
+def iircomb(w0, q, ftype="notch", fs=2.0, *, pass_zero: bool = False):
+    """Comb filter notching (or peaking) at w0 and all its harmonics —
+    scipy.signal.iircomb semantics: order N = fs/w0 must be an integer;
+    the single-section prototype gains place -3 dB points w0/q apart.
+    `pass_zero=True` shifts the comb to odd harmonics (notches between the
+    harmonics of w0). Returns (b, a). Not in the reference."""
+    if ftype not in ("notch", "peak"):
+        raise ValueError("ftype must be 'notch' or 'peak'")
+    w0 = float(w0)
+    if not 0 < w0 < fs / 2.0:
+        raise ValueError("w0 must be between 0 and fs/2")
+    n = fs / w0
+    if abs(n - round(n)) > 1e-9 * n:
+        raise ValueError("w0 must divide fs evenly")
+    n = int(round(n))
+    w0_rad = (2.0 * math.pi * w0) / fs
+    w_delta = w0_rad / q
+    if (ftype == "notch" and not pass_zero) or (ftype == "peak" and pass_zero):
+        g0, g = 1.0, 0.0
+    else:
+        g0, g = 0.0, 1.0
+    gb = 1.0 / math.sqrt(2.0)
+    beta = math.sqrt((gb**2 - g0**2) / (g**2 - gb**2)) * math.tan(
+        n * w_delta / 4.0)
+    ax = (1.0 - beta) / (1.0 + beta)
+    bx = (g0 + g * beta) / (1.0 + beta)
+    cx = (g0 - g * beta) / (1.0 + beta)
+    negative = (ftype == "notch") == pass_zero
+    b = np.zeros(n + 1)
+    a = np.zeros(n + 1)
+    b[0] = bx
+    b[-1] = -cx if negative else cx
+    a[0] = 1.0
+    a[-1] = -ax if negative else ax
+    return b, a
 
 
 def _design_notch_peak(w0, q, kind, fs=2.0):
