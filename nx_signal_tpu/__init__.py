@@ -51,9 +51,15 @@ from nx_signal_tpu.ops.iir import (
 from nx_signal_tpu.ops.iir_design import (
     bessel,
     butter,
+    buttord,
+    cheb1ord,
+    cheb2ord,
     cheby1,
     cheby2,
     ellip,
+    ellipord,
+    iircomb,
+    iirdesign,
     iirfilter,
     iirnotch,
     iirpeak,
@@ -96,7 +102,8 @@ __all__ = [
     "firwin", "median", "wiener",
     "lfilter", "lfilter_zi", "filtfilt", "sosfilt", "sosfilt_zi",
     "sosfiltfilt", "butter", "cheby1", "cheby2", "ellip", "bessel",
-    "iirfilter", "iirnotch", "iirpeak", "iir", "iir_design",
+    "iirfilter", "iirnotch", "iirpeak", "iircomb", "iirdesign",
+    "buttord", "cheb1ord", "cheb2ord", "ellipord", "iir", "iir_design",
     "freqz", "sosfreqz", "group_delay", "czt", "zoom_fft",
     # resampling & mixing
     "upfirdn", "resample_poly", "pfb_analyze", "resample", "decimate",

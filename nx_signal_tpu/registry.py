@@ -146,6 +146,12 @@ FUNCTION_TYPES = {
         "iirfilter": "filters",
         "iirnotch": "filters",
         "iirpeak": "filters",
+        "iircomb": "filters",
+        "iirdesign": "filters",
+        "buttord": "filters",
+        "cheb1ord": "filters",
+        "cheb2ord": "filters",
+        "ellipord": "filters",
         "buttap": "filters",
         "cheb1ap": "filters",
         "cheb2ap": "filters",

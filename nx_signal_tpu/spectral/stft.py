@@ -103,6 +103,11 @@ def stft(data, window, *, sampling_rate=100, fft_length="power_of_two",
     if sampling_rate is None:
         raise ValueError("missing sampling_rate option")
     n_fft = _resolve_fft_length(frame_length, fft_length)
+    if not 0 <= overlap_length < frame_length:
+        raise ValueError(
+            "overlap_length must satisfy 0 <= overlap_length < frame_length "
+            f"(got overlap {overlap_length} for frame {frame_length})"
+        )
     stride = frame_length - overlap_length
 
     if method not in ("auto", "fft", "matmul"):

@@ -9,6 +9,7 @@ logic around it is exact.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
