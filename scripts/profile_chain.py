@@ -108,14 +108,31 @@ def main():
     dt = timeit(f_dir, x)
     rec("fir_direct_toeplitz", dt, flops=fir_flops, bytes_=8 * N)
 
-    # --- framed DFT alone (the STFT core, onesided)
+    # --- framed DFT alone (the STFT core, onesided); default = materialized
     st_flops = 2.0 * CHANNELS * num_frames * FRAME * (2 * BINS)
     st_bytes = (4 * N * (FRAME // HOP)            # C=4 reads of x
                 + CHANNELS * num_frames * 2 * BINS * 4)  # write z
     f_dft = jax.jit(lambda t: framed_dft(
         t, window, stride=HOP, n_fft=NFFT, onesided=True, precision=PREC))
     dt = timeit(f_dft, x)
-    rec("framed_dft(blocked matmul)", dt, flops=st_flops, bytes_=st_bytes)
+    rec("framed_dft(materialized)", dt, flops=st_flops, bytes_=st_bytes)
+
+    # --- blocked-accumulation form (the round-1 default, for comparison)
+    def dft_blocked(t):
+        acc = blocked_frame_matmul(
+            t, weights, window_length=FRAME, stride=HOP,
+            num_frames=num_frames, precision=PREC, materialize=False)
+        return lax.complex(acc[..., :BINS], acc[..., BINS:])
+    f_dftb = jax.jit(dft_blocked)
+    dt = timeit(f_dftb, x)
+    rec("framed_dft(blocked accum)", dt, flops=st_flops, bytes_=st_bytes)
+
+    # --- materialized + direct power epilogue (the new chain STFT stage)
+    f_dpow = jax.jit(lambda t: framed_dft(
+        t, window, stride=HOP, n_fft=NFFT, onesided=True, precision=PREC,
+        output="power"))
+    dt = timeit(f_dpow, x)
+    rec("framed_dft(power out)", dt, flops=st_flops, bytes_=st_bytes)
 
     # --- framed DFT + power epilogue (what the chain consumes)
     f_dftp = jax.jit(lambda t: jnp.abs(framed_dft(
@@ -180,6 +197,28 @@ def main():
         precision=PREC))
     dt = timeit(f_chain_dir, x)
     rec("chain_direct_fir+dft", dt, flops=fir_flops + st_flops, bytes_=16 * N)
+
+    # --- steady-state: 8 chain steps inside ONE dispatch via lax.scan —
+    # amortizes the ~1.6 ms tunnel launch overhead to measure the device's
+    # actual sustained throughput (what a production stream loop sees).
+    def chain_step(carry, _):
+        y, p = stft_fir_chain(
+            carry, taps, window, fft_length=NFFT, overlap_length=FRAME - HOP,
+            sampling_rate=float(RATE), fir_method="oa", onesided=True,
+            precision=PREC)
+        # feed the filtered signal back so no step is dead-code-eliminated
+        return y, jnp.sum(p)
+    f_scan = jax.jit(lambda t: lax.scan(chain_step, t, None, length=8))
+    out = f_scan(x)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = f_scan(x)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / 8)
+    rec("chain_steady_state(scan x8)", best, flops=fir_flops + st_flops,
+        bytes_=16 * N, note="launch overhead amortized")
 
     print(json.dumps(results))
 
