@@ -92,6 +92,12 @@ def blocked_frame_matmul(x, weights, *, window_length: int, stride: int,
             block = block.reshape(*batch, num_frames, stride)
             blocks.append(block if w_r == stride else block[..., :w_r])
         frames = jnp.concatenate(blocks, axis=-1)
+        if batch:
+            # flatten leading batch axes into M: one large GEMM tiles the
+            # MXU better than a stack of per-channel matmuls sharing the RHS
+            flat = frames.reshape(-1, frames.shape[-1])
+            out = jnp.matmul(flat, weights, precision=precision)
+            return out.reshape(*batch, num_frames, weights.shape[-1])
         return jnp.matmul(frames, weights, precision=precision)
     acc = None
     for r, w_r in enumerate(widths):

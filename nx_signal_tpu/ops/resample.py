@@ -25,6 +25,66 @@ def _upfirdn_out_len(n_in: int, k: int, up: int, down: int) -> int:
     return -(-((n_in - 1) * up + k) // down)
 
 
+def _phase_bank(h, up: int):
+    """Phase filter bank H[p, t] = h[p + t*up], reversed in t so a plain
+    frame-window dot computes the correlation sum. Returns (bank (up, T), T)."""
+    k = h.shape[0]
+    num_phases = -(-k // up)  # taps per phase (T)
+    h_pad = jnp.pad(h, (0, num_phases * up - k))
+    return h_pad.reshape(num_phases, up).T[:, ::-1], num_phases
+
+
+def _upfirdn_dtype(h, x):
+    dtype = jnp.promote_types(h.dtype, x.dtype)
+    if not (jnp.issubdtype(dtype, jnp.floating) or is_complex_dtype(dtype)):
+        dtype = DEFAULT_FLOAT
+    return dtype
+
+
+def _upfirdn_phase_outputs(ext, bank, up: int, down: int, *, n_offset: int,
+                           n_count: int):
+    """Outputs n = n_offset .. n_offset+n_count-1 of the upfirdn correlation
+    out[n] = sum_t H[p_n, t] * x[q_n - t], p_n = (n*down) % up,
+    q_n = (n*down)//up, computed from an already-extended signal `ext` whose
+    index convention is ext[q + T - 1] = x[q] (i.e. the caller prepends the
+    T-1 samples of left context — zeros at the stream edge, halo samples in
+    a sharded block). The local index ℓ = n - n_offset; outputs are grouped
+    by ℓ mod up, each group one strided-frame matrix times a phase filter
+    (MXU matvec); no stuffed zeros are ever materialized or multiplied.
+
+    This same core serves the single-device `upfirdn` (n_offset=0) and the
+    per-device body of parallel.sharded_upfirdn / sharded_resample_poly
+    (n_offset = the global output offset, identical on every device because
+    out_block*down == block_in*up makes the phase pattern device-periodic).
+    """
+    t_taps = bank.shape[1]
+    batch = ext.shape[:-1]
+    j_max = (n_count - 1) // up  # most frames any residue class needs
+    outs = []
+    for r in range(min(up, n_count)):
+        n = n_offset + r
+        p = (n * down) % up
+        # absolute in ext's indexing (window for output n is
+        # ext[q_n : q_n + T] by the ext[q + T - 1] = x[q] convention)
+        offset = (n * down) // up
+        n_frames = (n_count - 1 - r) // up + 1  # locals ℓ = j*up + r < n_count
+        frames = as_windowed(
+            ext[..., offset:], window_length=t_taps, stride=down
+        )[..., :n_frames, :]
+        outs.append(frames @ bank[p])
+    if up == 1:
+        return outs[0]
+    # Interleave residue classes: out[j*up + r] = outs[r][j]
+    padded = [
+        jnp.pad(o, [(0, 0)] * len(batch) + [(0, j_max + 1 - o.shape[-1])])
+        for o in outs
+    ]
+    while len(padded) < up:
+        padded.append(jnp.zeros_like(padded[0]))
+    stacked = jnp.stack(padded, axis=-1)  # (..., J, up)
+    return stacked.reshape(*batch, (j_max + 1) * up)[..., :n_count]
+
+
 def upfirdn(h, x, up: int = 1, down: int = 1):
     """Upsample by `up` (conceptually zero-stuffing), FIR filter with `h`,
     downsample by `down` — scipy.signal.upfirdn semantics over the last axis
@@ -45,50 +105,46 @@ def upfirdn(h, x, up: int = 1, down: int = 1):
     k = h.shape[0]
     n_in = x.shape[-1]
     n_out = _upfirdn_out_len(n_in, k, up, down)
-    num_phases = -(-k // up)  # taps per phase (T)
 
-    dtype = jnp.promote_types(h.dtype, x.dtype)
-    if not (jnp.issubdtype(dtype, jnp.floating) or is_complex_dtype(dtype)):
-        dtype = DEFAULT_FLOAT
+    dtype = _upfirdn_dtype(h, x)
     h = h.astype(dtype)
     x = x.astype(dtype)
+    bank, t_taps = _phase_bank(h, up)
 
-    # Phase filter bank H[p, t] = h[p + t*up], reversed in t so a plain
-    # frame-window dot computes the correlation sum.
-    h_pad = jnp.pad(h, (0, num_phases * up - k))
-    bank = h_pad.reshape(num_phases, up).T[:, ::-1]  # (up, T), t reversed
-
-    # Left-pad T-1 zeros so window j of stride-down frames at offset o is
-    # exactly [x[q-T+1], ..., x[q]] for q = j*down + o.
-    t_taps = num_phases
+    # Left-pad T-1 zeros (ext[q + T - 1] = x[q]) plus whatever right zeros
+    # the final windows read past the signal end.
     batch = x.shape[:-1]
-    j_max = (n_out - 1) // up  # most frames any residue class needs
     q_max = ((n_out - 1) * down) // up
     pad_right = max(0, q_max + 1 - n_in)
-    xp = jnp.pad(x, [(0, 0)] * len(batch) + [(t_taps - 1, pad_right)])
+    ext = jnp.pad(x, [(0, 0)] * len(batch) + [(t_taps - 1, pad_right)])
+    return _upfirdn_phase_outputs(ext, bank, up, down, n_offset=0,
+                                  n_count=n_out)
 
-    outs = []
-    for r in range(min(up, n_out)):
-        p = (r * down) % up
-        offset = (r * down) // up
-        n_frames = (n_out - 1 - r) // up + 1  # outputs n = j*up + r < n_out
-        # frames[j] = xp[j*down + offset : ... + T] (original samples
-        # x[q-T+1 .. q], q = j*down + offset)
-        frames = as_windowed(
-            xp[..., offset:], window_length=t_taps, stride=down
-        )[..., :n_frames, :]
-        outs.append(frames @ bank[p])
-    if up == 1:
-        return outs[0]
-    # Interleave residue classes: out[j*up + r] = outs[r][j]
-    padded = [
-        jnp.pad(o, [(0, 0)] * len(batch) + [(0, j_max + 1 - o.shape[-1])])
-        for o in outs
-    ]
-    while len(padded) < up:
-        padded.append(jnp.zeros_like(padded[0]))
-    stacked = jnp.stack(padded, axis=-1)  # (..., J, up)
-    return stacked.reshape(*batch, (j_max + 1) * up)[..., :n_out]
+
+def _resample_poly_design(up: int, down: int, window, taps):
+    """Shared resample_poly setup: gcd-reduce the ratio, design (or accept)
+    the odd-length anti-alias prototype, apply scipy's group-delay
+    pre-padding. Returns (up, down, h_padded, n_pre_remove)."""
+    if up < 1 or down < 1:
+        raise ValueError(f"up and down must be >= 1, got: up={up}, down={down}")
+    g = math.gcd(int(up), int(down))
+    up, down = int(up) // g, int(down) // g
+    if taps is None:
+        max_rate = max(up, down)
+        half_len = 10 * max_rate
+        h = firwin(2 * half_len + 1, [1.0 / max_rate], window=window)
+    else:
+        h = jnp.asarray(taps)
+        if h.shape[0] % 2 != 1:
+            raise ValueError("resample_poly prototype filter must have odd length")
+        half_len = (h.shape[0] - 1) // 2
+    h = h * up
+    # Zero-pad the filter front so its group delay lands on an output-grid
+    # sample, then drop the delay (scipy's alignment).
+    n_pre_pad = (down - half_len % down) % down
+    h = jnp.concatenate([jnp.zeros(n_pre_pad, h.dtype), h])
+    n_pre_remove = (half_len + n_pre_pad) // down
+    return up, down, h, n_pre_remove
 
 
 def resample_poly(x, up: int, down: int, *, window=("kaiser", 5.0), taps=None):
@@ -101,29 +157,11 @@ def resample_poly(x, up: int, down: int, *, window=("kaiser", 5.0), taps=None):
     x = jnp.asarray(x)
     if up < 1 or down < 1:
         raise ValueError(f"up and down must be >= 1, got: up={up}, down={down}")
-    g = math.gcd(int(up), int(down))
-    up, down = int(up) // g, int(down) // g
+    if int(up) == int(down):
+        return x
+    up, down, h, n_pre_remove = _resample_poly_design(up, down, window, taps)
     n_in = x.shape[-1]
     n_out = -(-n_in * up // down)
-    if up == 1 and down == 1:
-        return x
-
-    if taps is None:
-        max_rate = max(up, down)
-        half_len = 10 * max_rate
-        h = firwin(2 * half_len + 1, [1.0 / max_rate], window=window)
-    else:
-        h = jnp.asarray(taps)
-        if h.shape[0] % 2 != 1:
-            raise ValueError("resample_poly prototype filter must have odd length")
-        half_len = (h.shape[0] - 1) // 2
-    h = h * up
-
-    # Zero-pad the filter front so its group delay lands on an output-grid
-    # sample, then drop the delay (scipy's alignment).
-    n_pre_pad = (down - half_len % down) % down
-    h = jnp.concatenate([jnp.zeros(n_pre_pad, h.dtype), h])
-    n_pre_remove = (half_len + n_pre_pad) // down
 
     y = upfirdn(h, x, up, down)
     return y[..., n_pre_remove : n_pre_remove + n_out]

@@ -41,7 +41,7 @@ from nx_signal_tpu.spectral.stft import STFTResult, _apply_scaling, _resolve_fft
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 from nx_signal_tpu.parallel.mesh import BLOCK_AXIS, CHANNEL_AXIS
 
-__all__ = ["sharded_convolve_same", "sharded_stft", "sharded_istft", "sharded_pfb_analyze", "sharded_sosfilt"]
+__all__ = ["sharded_convolve_same", "sharded_oaconvolve_same", "sharded_stft", "sharded_istft", "sharded_pfb_analyze", "sharded_sosfilt", "sharded_upfirdn", "sharded_resample_poly"]
 
 
 def _shift_from_left(x, n_block):
@@ -501,4 +501,167 @@ def sharded_sosfilt(sos, x, *, mesh):
         out_specs=P(CHANNEL_AXIS, BLOCK_AXIS),
     )
     out = fn(x)[:, :length]
+    return out[0] if squeeze else out
+
+
+def sharded_oaconvolve_same(x, taps, *, mesh):
+    """'same'-mode overlap-add FFT convolution, sharded over channels and
+    time blocks — the FFT-method sibling of `sharded_convolve_same` for long
+    filters where the Toeplitz matmul loses to O(N log N).
+
+    Identical halo geometry to sharded_convolve_same (each device fetches
+    the 'same'-split (K-1) halos and runs a local 'valid' convolution); the
+    local method is ops.convolution.oaconvolve, so agreement with the
+    single-device `oaconvolve(x, taps, mode='same')` is to FFT accuracy
+    (~1e-6 relative), not bitwise — the overlap-add block phase differs per
+    device. Fills the BASELINE config-2 workload at pod scale.
+    """
+    from nx_signal_tpu.ops.convolution import oaconvolve
+
+    x, squeeze = _norm_2d(x)
+    taps = jnp.asarray(taps)
+    (k,) = taps.shape
+    n_channel, n_block = mesh.shape[CHANNEL_AXIS], mesh.shape[BLOCK_AXIS]
+    _check_divisible("channels", x.shape[0], n_channel)
+    length = x.shape[1]
+    block_len = -(-length // n_block)
+    if block_len * n_block != length:
+        x = jnp.pad(x, [(0, 0), (0, block_len * n_block - length)])
+    pad_right = (k - 1) // 2
+    pad_left = (k - 1) - pad_right
+    if max(pad_left, pad_right) > block_len:
+        raise ValueError(
+            f"filter halo ({k - 1}) exceeds the per-device block ({block_len}); "
+            "use fewer blocks or a shorter filter"
+        )
+    kernel2d = taps[None, :]
+
+    def local(x_blk):
+        parts = []
+        if pad_left:
+            parts.append(_shift_from_left(x_blk[:, -pad_left:], n_block))
+        parts.append(x_blk)
+        if pad_right:
+            parts.append(_shift_from_right(x_blk[:, :pad_right], n_block))
+        ext = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+        return oaconvolve(ext, kernel2d, mode="valid")
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(CHANNEL_AXIS, BLOCK_AXIS),
+        out_specs=P(CHANNEL_AXIS, BLOCK_AXIS),
+    )
+    out = fn(x)[:, :length]
+    return out[0] if squeeze else out
+
+
+def _sharded_upfirdn_body(x, bank, t_taps, up, down, *, mesh, n_offset,
+                          out_total):
+    """Shared shard_map body of sharded_upfirdn / sharded_resample_poly.
+
+    Geometry: the global input is padded to n_block equal blocks with
+    block_in % down == 0, so every device owns out_block = block_in*up/down
+    outputs and d*out_block*down = d*block_in*up ≡ 0 (mod up) — the
+    polyphase phase pattern ((n_offset + ℓ)*down) % up is therefore
+    IDENTICAL on every device and the local kernel is pure SPMD. Output ℓ's
+    window ends at own-block input index q'_ℓ = ((n_offset + ℓ)*down)//up,
+    so each device needs a (T-1)-sample LEFT halo (q'_0 >= 0) and a right
+    halo of max(0, q'_{last} + 1 - block_in) samples (nonzero only when
+    n_offset > 0, i.e. the resample_poly group-delay slice). ppermute
+    zero-fill at the stream edges matches upfirdn's zero padding exactly.
+    """
+    n_channel, n_block = mesh.shape[CHANNEL_AXIS], mesh.shape[BLOCK_AXIS]
+    _check_divisible("channels", x.shape[0], n_channel)
+    length = x.shape[1]
+    # The block split must cover OUT_TOTAL outputs (upfirdn's output runs
+    # (T-1 filter-tail samples past the input end), so size blocks by
+    # max(input length, the input extent the last output reads); the extra
+    # zeros match upfirdn's right zero-padding exactly.
+    required_in = max(length, -(-(n_offset + out_total) * down // up))
+    block_in = -(-required_in // (n_block * down)) * down
+    if block_in * n_block != length:
+        x = jnp.pad(x, [(0, 0), (0, block_in * n_block - length)])
+    out_block = block_in * up // down
+    halo_left = t_taps - 1
+    q_last = ((n_offset + out_block - 1) * down) // up
+    halo_right = max(0, q_last + 1 - block_in)
+    if max(halo_left, halo_right) > block_in:
+        raise ValueError(
+            f"polyphase halo ({max(halo_left, halo_right)}) exceeds the "
+            f"per-device block ({block_in}); use fewer blocks or a shorter "
+            "filter"
+        )
+
+    from nx_signal_tpu.ops.resample import _upfirdn_phase_outputs
+
+    def local(x_blk):
+        parts = []
+        if halo_left:
+            parts.append(_shift_from_left(x_blk[:, -halo_left:], n_block))
+        parts.append(x_blk)
+        if halo_right:
+            parts.append(_shift_from_right(x_blk[:, :halo_right], n_block))
+        ext = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+        return _upfirdn_phase_outputs(ext, bank, up, down, n_offset=n_offset,
+                                      n_count=out_block)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(CHANNEL_AXIS, BLOCK_AXIS),
+        out_specs=P(CHANNEL_AXIS, BLOCK_AXIS),
+    )
+    return fn(x)[:, :out_total]
+
+
+def sharded_upfirdn(h, x, up: int = 1, down: int = 1, *, mesh):
+    """Block+channel-sharded `ops.resample.upfirdn`: polyphase
+    upsample-filter-downsample over a ('channel', 'block') mesh. Every
+    output sample is the same T-tap phase dot over the same input values as
+    the single-device path (left halo supplies the cross-block context), so
+    results match `upfirdn(h, x, up, down)` up to matmul determinism.
+    """
+    from nx_signal_tpu.ops.resample import (
+        _phase_bank, _upfirdn_dtype, _upfirdn_out_len)
+
+    h = jnp.asarray(h)
+    if h.ndim != 1:
+        raise ValueError(f"h must be 1-D, got rank {h.ndim}")
+    if up < 1 or down < 1:
+        raise ValueError(f"up and down must be >= 1, got: up={up}, down={down}")
+    x, squeeze = _norm_2d(x)
+    dtype = _upfirdn_dtype(h, x)
+    h, x = h.astype(dtype), x.astype(dtype)
+    bank, t_taps = _phase_bank(h, up)
+    n_out = _upfirdn_out_len(x.shape[1], h.shape[0], up, down)
+    out = _sharded_upfirdn_body(x, bank, t_taps, up, down, mesh=mesh,
+                                n_offset=0, out_total=n_out)
+    return out[0] if squeeze else out
+
+
+def sharded_resample_poly(x, up: int, down: int, *, mesh,
+                          window=("kaiser", 5.0), taps=None):
+    """Block+channel-sharded `ops.resample.resample_poly` —
+    scipy.signal.resample_poly semantics at pod scale (BASELINE config 4:
+    48 kHz -> 16 kHz on 64 channels x 10 min, channel-sharded on one host;
+    the block axis adds time-block scaling on top).
+
+    The group-delay slice [n_pre_remove, n_pre_remove + n_out) is absorbed
+    into the polyphase output offset (n_offset), which keeps the per-device
+    phase pattern device-independent — see _sharded_upfirdn_body.
+    """
+    from nx_signal_tpu.ops.resample import (
+        _phase_bank, _resample_poly_design, _upfirdn_dtype)
+
+    x, squeeze = _norm_2d(x)
+    if up < 1 or down < 1:
+        raise ValueError(f"up and down must be >= 1, got: up={up}, down={down}")
+    if int(up) == int(down):
+        return x[0] if squeeze else x
+    up, down, h, n_pre_remove = _resample_poly_design(up, down, window, taps)
+    dtype = _upfirdn_dtype(h, x)
+    h, x = h.astype(dtype), x.astype(dtype)
+    bank, t_taps = _phase_bank(h, up)
+    n_out = -(-x.shape[1] * up // down)
+    out = _sharded_upfirdn_body(x, bank, t_taps, up, down, mesh=mesh,
+                                n_offset=n_pre_remove, out_total=n_out)
     return out[0] if squeeze else out

@@ -216,10 +216,13 @@ FUNCTION_TYPES = {
     },
     "parallel.sharded": {
         "sharded_convolve_same": "parallel",
+        "sharded_oaconvolve_same": "parallel",
         "sharded_stft": "parallel",
         "sharded_istft": "parallel",
         "sharded_pfb_analyze": "parallel",
         "sharded_sosfilt": "parallel",
+        "sharded_upfirdn": "parallel",
+        "sharded_resample_poly": "parallel",
     },
     "parallel.estimation": {
         "sharded_csd": "parallel",
@@ -242,6 +245,10 @@ FUNCTION_TYPES = {
         "stream_wav": "io",
         "WavReader": "io",
         "RingBuffer": "io",
+    },
+    "io.checkpoint": {
+        "save_state": "io",
+        "load_state": "io",
     },
 }
 

@@ -30,31 +30,40 @@ FRAME, HOP, NFFT = 512, 128, 512
 def main():
     taps = firwin(255, [2000.0], sampling_rate=float(RATE))
     window = hann(FRAME)
-    results = {}
-    for channels in (16, 32, 64, 128):
-        n = channels * SECONDS * RATE
-        x = jnp.asarray(
+    configs = (16, 32, 64, 128)
+    xs, fns = {}, {}
+    for channels in configs:
+        xs[channels] = jnp.asarray(
             np.random.default_rng(0).normal(size=(channels, SECONDS * RATE)),
             jnp.float32)
-
-        f = jax.jit(lambda t: stft_fir_chain(
+        fns[channels] = jax.jit(lambda t: stft_fir_chain(
             t, taps, window, fft_length=NFFT, overlap_length=FRAME - HOP,
             sampling_rate=float(RATE), onesided=True, return_filtered=False,
             precision="high"))
-        out = f(x)
-        jax.block_until_ready(out)
-        steps = max(4, 512 // channels)
-        best = float("inf")
-        for _ in range(3):
+        jax.block_until_ready(fns[channels](xs[channels]))  # compile+warm
+
+    # Interleave configs across rounds so tunnel throughput drift (~±15%,
+    # CLAUDE.md) hits all configs equally; report the per-config median.
+    times = {c: [] for c in configs}
+    for _ in range(5):
+        for channels in configs:
+            f, x = fns[channels], xs[channels]
+            steps = max(2, 128 // channels)
             t0 = time.perf_counter()
             for _ in range(steps):
                 out = f(x)
             jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / steps)
-        ms = best * 1e3
-        msps = n / best / 1e6
-        results[channels] = {"ms": round(ms, 3), "Msamples/s": round(msps, 1)}
-        print(f"channels={channels:4d}  {ms:8.3f} ms/step  {msps:9.1f} Ms/s",
+            times[channels].append((time.perf_counter() - t0) / steps)
+    results = {}
+    for channels in configs:
+        dt = sorted(times[channels])[len(times[channels]) // 2]
+        n = channels * SECONDS * RATE
+        results[channels] = {"ms": round(dt * 1e3, 3),
+                             "Msamples/s": round(n / dt / 1e6, 1),
+                             "all_ms": [round(t * 1e3, 2)
+                                        for t in times[channels]]}
+        print(f"channels={channels:4d}  {dt * 1e3:8.3f} ms/step  "
+              f"{n / dt / 1e6:9.1f} Ms/s  {results[channels]['all_ms']}",
               flush=True)
     print(json.dumps(results))
 
