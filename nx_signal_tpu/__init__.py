@@ -28,18 +28,47 @@ from nx_signal_tpu.ops import (
     waveforms,
     windows,
 )
-from nx_signal_tpu.ops import iir, iir_design
-from nx_signal_tpu.ops.convolution import convolve, correlate, fftconvolve, oaconvolve
+from nx_signal_tpu.ops import iir, iir_design, ltisys
+from nx_signal_tpu.ops.convolution import (
+    choose_conv_method,
+    convolve,
+    correlate,
+    correlation_lags,
+    deconvolve,
+    fftconvolve,
+    oaconvolve,
+)
 from nx_signal_tpu.ops.czt import czt, zoom_fft
 from nx_signal_tpu.ops.filters import (
     detrend,
     firwin,
     freqz,
+    gammatone,
     group_delay,
+    max_len_seq,
+    medfilt,
+    medfilt2d,
     median,
+    order_filter,
     sosfreqz,
     wiener,
 )
+from nx_signal_tpu.ops.ltisys import (
+    abcd_normalize,
+    bilinear,
+    cont2discrete,
+    invres,
+    invresz,
+    normalize,
+    residue,
+    residuez,
+    ss2tf,
+    ss2zpk,
+    tf2ss,
+    unique_roots,
+    zpk2ss,
+)
+from nx_signal_tpu.ops.transforms import envelope, hilbert, hilbert2
 from nx_signal_tpu.ops.iir import (
     filtfilt,
     lfilter,
@@ -84,7 +113,14 @@ from nx_signal_tpu.spectral.framing import as_windowed, overlap_and_add
 from nx_signal_tpu.spectral.mel import mel_filters, stft_to_mel
 from nx_signal_tpu.spectral.estimation import coherence, csd, periodogram, welch
 from nx_signal_tpu.spectral.spectrogram import spectrogram
-from nx_signal_tpu.spectral.stft import STFTResult, fft_frequencies, istft, stft
+from nx_signal_tpu.spectral.stft import (
+    STFTResult,
+    check_cola,
+    check_nola,
+    fft_frequencies,
+    istft,
+    stft,
+)
 
 __version__ = "0.1.0"
 
@@ -95,16 +131,22 @@ __all__ = [
     # spectral pipeline
     "stft", "istft", "STFTResult", "fft_frequencies", "as_windowed",
     "overlap_and_add", "mel_filters", "stft_to_mel", "spectrogram",
-    "periodogram", "welch", "csd", "coherence",
+    "periodogram", "welch", "csd", "coherence", "check_cola", "check_nola",
     # convolution family
-    "convolve", "correlate", "fftconvolve", "oaconvolve",
+    "convolve", "correlate", "correlation_lags", "deconvolve",
+    "choose_conv_method", "fftconvolve", "oaconvolve",
     # filters & design
-    "firwin", "median", "wiener",
+    "firwin", "median", "medfilt", "medfilt2d", "order_filter", "wiener",
+    "gammatone", "max_len_seq",
     "lfilter", "lfilter_zi", "filtfilt", "sosfilt", "sosfilt_zi",
     "sosfiltfilt", "butter", "cheby1", "cheby2", "ellip", "bessel",
     "iirfilter", "iirnotch", "iirpeak", "iircomb", "iirdesign",
     "buttord", "cheb1ord", "cheb2ord", "ellipord", "iir", "iir_design",
     "freqz", "sosfreqz", "group_delay", "czt", "zoom_fft",
+    # LTI systems
+    "ltisys", "normalize", "bilinear", "tf2ss", "ss2tf", "zpk2ss", "ss2zpk",
+    "abcd_normalize", "cont2discrete", "unique_roots", "residue", "residuez",
+    "invres", "invresz", "hilbert", "hilbert2", "envelope",
     # resampling & mixing
     "upfirdn", "resample_poly", "pfb_analyze", "resample", "decimate",
     "mix_down", "demodulate_channel", "mixing", "detrend",

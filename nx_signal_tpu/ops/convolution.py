@@ -34,7 +34,7 @@ from nx_signal_tpu.utils.dtypes import (
 )
 from nx_signal_tpu.utils.shapes import fft_fast_length
 
-__all__ = ["convolve", "correlate", "fftconvolve", "oaconvolve",
+__all__ = ["convolve", "correlate", "correlation_lags", "deconvolve", "choose_conv_method", "fftconvolve", "oaconvolve",
            "fir_convolve_1d", "convolve2d", "correlate2d"]
 
 _MODES = ("full", "same", "valid")
@@ -455,3 +455,83 @@ def oaconvolve(in1, in2, *, mode="full", block_length=None):
     full_shape = [max(a, b) for a, b in zip(s1[:-1], s2[:-1])] + [full_len]
     out = jnp.broadcast_to(out, full_shape) if list(out.shape) != full_shape else out
     return _apply_mode(out, s1, s2, mode)
+
+
+def correlation_lags(in1_len: int, in2_len: int, mode: str = "full"):
+    """Lag indices for the output of `correlate(in1, in2, mode=mode)` —
+    scipy.signal.correlation_lags semantics: lag k corresponds to
+    correlation between in1 and in2 shifted by k samples. Host-side numpy
+    (shape math, not tensor compute). Not in the reference."""
+    import numpy as np
+
+    in1_len, in2_len = int(in1_len), int(in2_len)
+    if in1_len < 1 or in2_len < 1:
+        raise ValueError("input lengths must be >= 1")
+    if mode == "full":
+        return np.arange(-in2_len + 1, in1_len)
+    if mode == "same":
+        lags = np.arange(-in2_len + 1, in1_len)
+        mid = lags.size // 2
+        lag_bound = in1_len // 2
+        if in1_len % 2 == 0:
+            return lags[mid - lag_bound : mid + lag_bound]
+        return lags[mid - lag_bound : mid + lag_bound + 1]
+    if mode == "valid":
+        if in1_len >= in2_len:
+            return np.arange(in1_len - in2_len + 1)
+        return np.arange(in1_len - in2_len, 1)
+    raise ValueError(
+        f"invalid mode, expected one of 'full', 'same', 'valid', got: {mode}"
+    )
+
+
+def deconvolve(signal, divisor):
+    """Polynomial/impulse-response deconvolution: find (quotient, remainder)
+    with signal = convolve(divisor, quotient) + remainder —
+    scipy.signal.deconvolve semantics via inverse filtering: the quotient is
+    the impulse response of the IIR filter b=signal, a=divisor truncated to
+    N - D + 1 samples. 1-D only, f64 host-grade accuracy through the scan
+    lfilter. Not in the reference."""
+    from nx_signal_tpu.ops.iir import lfilter
+
+    num = jnp.atleast_1d(jnp.asarray(signal))
+    den = jnp.atleast_1d(jnp.asarray(divisor))
+    if num.ndim != 1 or den.ndim != 1:
+        raise ValueError("deconvolve requires 1-D signal and divisor")
+    n = num.shape[0] - den.shape[0] + 1
+    if n <= 0:
+        quot = jnp.zeros((0,), num.dtype)
+        return quot, num
+    impulse = jnp.zeros((n,), num.dtype).at[0].set(1.0)
+    quot = lfilter(num, den, impulse)
+    rem = num - convolve(den, quot, mode="full")
+    return quot, rem
+
+
+def choose_conv_method(in1, in2, mode: str = "full"):
+    """Pick 'direct' or 'fft' for `convolve` by operand size —
+    scipy.signal.choose_conv_method's contract with a TPU-calibrated rule:
+    the MXU direct path (Toeplitz matmul / lax.conv) wins far past scipy's
+    CPU crossover (measured ~25x over lax.conv for long-1D FIR,
+    kernels/dft.py), so the FFT method is chosen only when the smaller
+    operand is large in every convolved axis. Integer inputs always use
+    'direct' (exact, like scipy)."""
+    in1 = jnp.asarray(in1)
+    in2 = jnp.asarray(in2)
+    if jnp.issubdtype(in1.dtype, jnp.integer) and jnp.issubdtype(in2.dtype, jnp.integer):
+        return "direct"
+    if in1.ndim != in2.ndim:
+        return "direct"  # fftconvolve requires equal ranks
+    small = min(
+        (np_prod_positive(in1.shape), np_prod_positive(in2.shape))
+    )
+    # TPU crossover: the direct MXU path amortizes until the smaller
+    # operand carries ~4k taps (vs scipy's low hundreds on CPU).
+    return "fft" if small >= 4096 else "direct"
+
+
+def np_prod_positive(shape):
+    out = 1
+    for s in shape:
+        out *= max(1, int(s))
+    return out

@@ -20,8 +20,9 @@ from nx_signal_tpu.ops.waveforms import sinc
 from nx_signal_tpu.ops.windows import get_window
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
-__all__ = ["median", "wiener", "firwin", "freqz", "sosfreqz", "group_delay",
-           "detrend", "savgol_coeffs", "savgol_filter"]
+__all__ = ["median", "medfilt", "medfilt2d", "order_filter", "wiener",
+           "firwin", "freqz", "sosfreqz", "group_delay", "gammatone",
+           "max_len_seq", "detrend", "savgol_coeffs", "savgol_filter"]
 
 
 def median(t, *, kernel_shape):
@@ -361,3 +362,198 @@ def detrend(data, *, axis: int = -1, type: str = "linear"):
     denom = jnp.sum(t * t)
     slope = jnp.sum((x - mean) * t, axis=axis, keepdims=True) / denom
     return x - mean - slope * t
+
+
+def order_filter(a, domain, rank: int):
+    """N-D order-statistic filter — scipy.signal.order_filter semantics:
+    at each position, collect the neighborhood samples selected by the
+    nonzero entries of `domain` (all dimensions odd, window centered,
+    edges zero-padded) and output the rank-th smallest.
+
+    TPU-native form: one shifted static slice per selected domain position
+    stacked on a new axis, then a single vectorized sort — no gathers, and
+    the sort length is the (static) number of selected positions. Not in
+    the reference (its `median` is the anchored-window variant above)."""
+    a = jnp.asarray(a)
+    dom = np.asarray(domain)
+    if dom.ndim != a.ndim:
+        raise ValueError("domain rank must match input rank")
+    if any(s % 2 != 1 for s in dom.shape):
+        raise ValueError(
+            "Each dimension of domain argument should have an odd number of "
+            "elements."
+        )
+    rank = int(rank)
+    positions = np.argwhere(dom != 0)
+    if not 0 <= rank < len(positions):
+        raise ValueError(
+            f"rank ({rank}) must be within [0, {len(positions)}) — the "
+            "number of nonzero domain elements"
+        )
+    halves = [s // 2 for s in dom.shape]
+    padded = jnp.pad(a, [(h, h) for h in halves])
+    shifted = [
+        padded[tuple(
+            slice(int(p[d]), int(p[d]) + a.shape[d]) for d in range(a.ndim)
+        )]
+        for p in positions
+    ]
+    stack = jnp.stack(shifted, axis=0)
+    return jnp.sort(stack, axis=0)[rank]
+
+
+def medfilt(volume, kernel_size=None):
+    """N-D median filter with centered windows and zero-padded edges —
+    scipy.signal.medfilt semantics (kernel_size odd in every dimension,
+    default 3). The reference's `median` (above) is the anchored-forward
+    variant; this is the scipy-centered one, built on order_filter."""
+    volume = jnp.asarray(volume)
+    if kernel_size is None:
+        kernel_size = 3
+    if np.isscalar(kernel_size):
+        kernel_size = (int(kernel_size),) * volume.ndim
+    kernel_size = tuple(int(k) for k in kernel_size)
+    if len(kernel_size) != volume.ndim:
+        raise ValueError("kernel_size must have one element per dimension")
+    if any(k % 2 != 1 for k in kernel_size):
+        raise ValueError("Each element of kernel_size should be odd.")
+    domain = np.ones(kernel_size, dtype=bool)
+    size = int(np.prod(kernel_size))
+    return order_filter(volume, domain, (size - 1) // 2)
+
+
+def medfilt2d(input, kernel_size=3):
+    """2-D median filter — scipy.signal.medfilt2d semantics (a 2-D
+    specialization of medfilt; scipy ships it as the fast path)."""
+    input = jnp.asarray(input)
+    if input.ndim != 2:
+        raise ValueError("input must be 2-D")
+    return medfilt(input, kernel_size)
+
+
+def gammatone(freq, ftype: str, order: int = None, numtaps: int = None,
+              fs: float = None):
+    """Gammatone auditory filter design — scipy.signal.gammatone semantics.
+
+    ftype='fir': sampled gammatone impulse response
+    t^(order-1) e^(-2 pi bw t) cos(2 pi f t), unit gain at the center
+    frequency (order default 4, numtaps default max(15, 15 ms)).
+    ftype='iir': Slaney's 8th-order digital gammatone — four identical
+    conjugate pole pairs at e^(-bw T +/- j 2 pi f T); assembled here by
+    polynomial multiplication of the repeated biquad rather than scipy's
+    hand-expanded coefficient table. Not in the reference."""
+    if fs is None:
+        fs = 2.0
+    fs = float(fs)
+    freq = float(freq)
+    if not 0 < freq <= fs / 2:
+        raise ValueError(f"The frequency must be between 0 and {fs / 2} "
+                         f"(nyquist), but given {freq}.")
+    erb = 24.7 + freq / 9.26449  # Glasberg & Moore equivalent bandwidth
+    if ftype == "fir":
+        if order is None:
+            order = 4
+        order = int(order)
+        if numtaps is None:
+            numtaps = max(int(fs * 0.015), 15)
+        numtaps = int(numtaps)
+        if not 0 < order <= 24:
+            raise ValueError("Invalid order: order must be > 0 and <= 24.")
+        t = np.arange(numtaps, dtype=np.float64) / fs
+        bw = 1.019 * erb
+        b = t ** (order - 1) * np.exp(-2.0 * np.pi * bw * t) \
+            * np.cos(2.0 * np.pi * freq * t)
+        scale = 2.0 * (2.0 * np.pi * bw) ** order / math.factorial(order - 1) / fs
+        # design-time coefficients stay f64 numpy (the iir_design convention)
+        return b * scale, np.ones(1)
+    if ftype != "iir":
+        raise ValueError(f"ftype must be 'fir' or 'iir', got {ftype!r}")
+    t_s = 1.0 / fs
+    bw = 2.0 * np.pi * 1.019 * erb
+    fr = 2.0 * np.pi * freq * t_s
+    bw_t = bw * t_s
+    # normalization gain at the center frequency (product over the four
+    # first-order sections' responses)
+    g1 = -2.0 * np.exp(2j * fr) * t_s
+    g2 = 2.0 * np.exp(-bw_t + 1j * fr) * t_s
+    g3 = math.sqrt(3.0 + 2.0 ** 1.5) * math.sin(fr)
+    g4 = math.sqrt(3.0 - 2.0 ** 1.5) * math.sin(fr)
+    g5 = np.exp(2j * fr)
+    g = ((g1 + g2 * (math.cos(fr) - g4))
+         * (g1 + g2 * (math.cos(fr) + g4))
+         * (g1 + g2 * (math.cos(fr) - g3))
+         * (g1 + g2 * (math.cos(fr) + g3)))
+    g = g / ((-2.0 / np.exp(2.0 * bw_t) - 2.0 * g5
+              + 2.0 * (1.0 + g5) / np.exp(bw_t)) ** 4)
+    g = abs(g)
+    # numerator: binomial envelope decaying at e^{-bw T} rotating at fr
+    decay = np.exp(-bw_t)
+    b = np.array([math.comb(4, q) * (-1) ** q * np.cos(q * fr) * decay ** q
+                  for q in range(5)]) * t_s ** 4 / g
+    # denominator: the conjugate pole pair to the 4th power
+    biquad = np.array([1.0, -2.0 * decay * np.cos(fr), decay ** 2])
+    a = np.ones(1)
+    for _ in range(4):
+        a = np.convolve(a, biquad)
+    return b, a
+
+
+def max_len_seq(nbits: int, state=None, length: int = None, taps=None):
+    """Maximum-length sequence (m-sequence) via a Fibonacci LFSR —
+    scipy.signal.max_len_seq semantics: returns (seq of 0/1 int8,
+    final_state). Default taps tables for nbits 2..32; the LFSR runs as a
+    jax.lax.scan (compiled loop) over the requested length. Not in the
+    reference; the standard SDR/system-identification excitation."""
+    from jax import lax
+
+    _taps = {
+        32: [31, 30, 10], 31: [28], 30: [29, 24, 23], 29: [27],
+        28: [25], 27: [26, 25, 22], 26: [25, 24, 20], 25: [22],
+        24: [23, 22, 17], 23: [18], 22: [21], 21: [19], 20: [17],
+        19: [18, 17, 14], 18: [11], 17: [14], 16: [15, 13, 4], 15: [14],
+        14: [13, 12, 2], 13: [12, 11, 8], 12: [11, 10, 4], 11: [9],
+        10: [7], 9: [5], 8: [7, 6, 1], 7: [6], 6: [5], 5: [3],
+        4: [3], 3: [2], 2: [1],
+    }
+    nbits = int(nbits)
+    if taps is None:
+        if nbits not in _taps:
+            raise ValueError(f"nbits must be between 2 and 32 when taps is "
+                             f"None, got {nbits}")
+        taps = _taps[nbits]
+    taps = np.unique(np.asarray(taps, dtype=np.int64))[::-1]
+    if np.any(taps < 0) or np.any(taps > nbits) or taps.size < 1:
+        raise ValueError("taps must be non-empty with values between "
+                         "zero and nbits (inclusive)")
+    n_max = (2 ** nbits) - 1
+    length = n_max if length is None else int(length)
+    if length < 0:
+        raise ValueError("length must be greater than or equal to 0")
+    if state is None:
+        state = np.ones(nbits, dtype=np.int8)
+    else:
+        state = (np.asarray(state) != 0).astype(np.int8)
+    if state.ndim != 1 or state.shape[0] != nbits:
+        raise ValueError("state must be a 1-D array of size nbits")
+    if np.all(state == 0):
+        raise ValueError("state must not be all zeros")
+
+    # scipy's in-place circular-buffer LFSR: for each output,
+    # out = state[idx]; state[idx] ^= xor of state[(idx + t) % nbits] over
+    # the taps; idx advances cyclically.
+    s = jnp.asarray(state.astype(np.uint8))
+    offs = jnp.asarray((np.asarray(taps) % nbits).astype(np.int32))
+
+    def body(carry, _):
+        s, idx = carry
+        out = s[idx]
+        fb = out
+        for j in range(offs.shape[0]):
+            fb = fb ^ s[(idx + offs[j]) % nbits]
+        s = s.at[idx].set(fb)
+        return (s, (idx + 1) % nbits), out
+
+    (s_fin, idx_fin), seq = lax.scan(body, (s, jnp.asarray(0, jnp.int32)),
+                                     None, length=length)
+    final_state = jnp.roll(s_fin, -idx_fin)
+    return seq.astype(jnp.int8), np.asarray(final_state).astype(np.int8)

@@ -1,0 +1,539 @@
+"""LTI system representations: tf/ss conversions, discretization, partial
+fractions — the scipy.signal system-theory surface the DSP chain's filter
+design feeds into. Not in the reference (nx_signal stops at firwin); these
+complete the filter-design workflow for users coming from scipy.
+
+All functions are host-side f64 numpy (design-time math on tiny systems,
+like ops/iir_design.py); the resulting coefficients feed the jitted
+application paths (ops/iir.py lfilter/sosfilt).
+
+`expm` is implemented in-repo (Pade-13 scaling-and-squaring, Higham 2005)
+because the framework does not depend on scipy at runtime — scipy is the
+test oracle only.
+"""
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "normalize", "bilinear", "tf2ss", "ss2tf", "zpk2ss", "ss2zpk",
+    "abcd_normalize", "cont2discrete", "unique_roots", "residue",
+    "residuez", "invres", "invresz",
+]
+
+
+# ------------------------------------------------------------ helpers
+
+def _atleast_poly(c):
+    c = np.atleast_1d(np.asarray(c, dtype=np.complex128))
+    if c.ndim != 1:
+        raise ValueError("polynomial coefficients must be 1-D")
+    return c
+
+
+def _real_if_close(c, tol: float = 1e4):
+    return np.real_if_close(c, tol=tol)
+
+
+def _expm(a):
+    """Matrix exponential by Pade-13 scaling-and-squaring (Higham 2005),
+    f64/c128. Small design-time matrices only."""
+    a = np.asarray(a, dtype=np.promote_types(np.asarray(a).dtype, np.float64))
+    n = a.shape[0]
+    if a.shape != (n, n):
+        raise ValueError("expm requires a square matrix")
+    norm = np.linalg.norm(a, 1)
+    theta13 = 5.371920351148152
+    s = max(0, int(math.ceil(math.log2(norm / theta13))) if norm > theta13 else 0)
+    a_s = a / (2.0 ** s)
+    b = [64764752532480000.0, 32382376266240000.0, 7771770303897600.0,
+         1187353796428800.0, 129060195264000.0, 10559470521600.0,
+         670442572800.0, 33522128640.0, 1323241920.0, 40840800.0,
+         960960.0, 16380.0, 182.0, 1.0]
+    ident = np.eye(n, dtype=a_s.dtype)
+    a2 = a_s @ a_s
+    a4 = a2 @ a2
+    a6 = a2 @ a4
+    u = a_s @ (a6 @ (b[13] * a6 + b[11] * a4 + b[9] * a2)
+               + b[7] * a6 + b[5] * a4 + b[3] * a2 + b[1] * ident)
+    v = (a6 @ (b[12] * a6 + b[10] * a4 + b[8] * a2)
+         + b[6] * a6 + b[4] * a4 + b[2] * a2 + b[0] * ident)
+    r = np.linalg.solve(v - u, v + u)
+    for _ in range(s):
+        r = r @ r
+    return r
+
+
+# ------------------------------------------------------------ tf <-> ss
+
+def normalize(b, a):
+    """Normalize a transfer function to a[0] == 1, trimming leading-zero
+    numerator coefficients — scipy.signal.normalize semantics (b may be
+    2-D for multi-output)."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64)) + 0j \
+        if np.iscomplexobj(b) else np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=b.dtype))
+    if a.ndim != 1:
+        raise ValueError("Denominator polynomial must be rank-1 array.")
+    if b.ndim > 2:
+        raise ValueError("Numerator polynomial must be rank-1 or rank-2 array.")
+    if np.all(a == 0):
+        raise ValueError("Denominator must have at least one nonzero element.")
+    b2 = np.atleast_2d(b)
+    if b2.shape[-1] > a.shape[0]:
+        leading = b2[:, : b2.shape[-1] - a.shape[0]]
+        if not np.allclose(leading, 0):
+            raise ValueError("Improper transfer function. "
+                             "`num` is longer than `den`.")
+        b2 = b2[:, b2.shape[-1] - a.shape[0]:]
+    # strip leading zero columns shared by every row (keep at least 1)
+    while b2.shape[-1] > 1 and np.allclose(b2[:, 0], 0):
+        b2 = b2[:, 1:]
+    a0 = a[0]
+    out_b = b2 / a0
+    out_a = a / a0
+    if b.ndim == 1:
+        out_b = out_b[0]
+    return out_b, out_a
+
+
+def bilinear(b, a, fs: float = 1.0):
+    """Tustin (bilinear) transform of an analog (b, a) transfer function —
+    scipy.signal.bilinear semantics. Routed through the zpk bilinear
+    transform (ops/iir_design.py: bilinear_zpk) for numerical robustness."""
+    from nx_signal_tpu.ops.iir_design import bilinear_zpk, tf2zpk, zpk2tf
+
+    z, p, k = tf2zpk(b, a)
+    zd, pd, kd = bilinear_zpk(z, p, k, fs=float(fs))
+    return zpk2tf(zd, pd, kd)
+
+
+def tf2ss(num, den):
+    """Transfer function -> controller-canonical state space —
+    scipy.signal.tf2ss semantics."""
+    num, den = normalize(num, den)
+    num2 = np.atleast_2d(num)
+    n = den.shape[0]
+    k = num2.shape[-1]
+    if k < n:
+        num2 = np.hstack([np.zeros((num2.shape[0], n - k), num2.dtype), num2])
+    dtype = np.promote_types(num2.dtype, den.dtype)
+    if n == 1:
+        a = np.zeros((0, 0), dtype)
+        b = np.zeros((0, num2.shape[0]), dtype)[:, :1] if False else np.zeros((0, 1), dtype)
+        c = np.zeros((num2.shape[0], 0), dtype)
+        d = num2[:, :1].astype(dtype)
+        return a, b, c, d
+    a = np.vstack([-den[1:][None, :], np.eye(n - 2, n - 1, dtype=dtype)]).astype(dtype)
+    b = np.eye(n - 1, 1, dtype=dtype)
+    c = (num2[:, 1:] - np.outer(num2[:, 0], den[1:])).astype(dtype)
+    d = num2[:, :1].astype(dtype)
+    return a, b, c, d
+
+
+def ss2tf(a, b, c, d, input: int = 0):
+    """State space -> transfer function (num rows per output, shared den) —
+    scipy.signal.ss2tf semantics: den = poly(A),
+    num_k = poly(A - B_i C_k) + (D_ki - 1) den."""
+    a, b, c, d = abcd_normalize(a, b, c, d)
+    nin = d.shape[1]
+    if input >= nin:
+        raise ValueError("System does not have the input specified.")
+    b = b[:, input: input + 1]
+    d = d[:, input: input + 1]
+    den = np.atleast_1d(np.poly(a)) if a.size else np.ones(1)
+    if b.size == 0 and c.size == 0:
+        num = np.ravel(d)
+        return np.atleast_2d(num), den
+    num_states = a.shape[0]
+    dtype = np.promote_types(np.promote_types(a.dtype, b.dtype),
+                             np.promote_types(c.dtype, d.dtype))
+    num = np.empty((c.shape[0], num_states + 1), dtype)
+    for k in range(c.shape[0]):
+        ck, dk = c[k: k + 1, :], d[k, 0]
+        num[k] = np.poly(a - b @ ck) + (dk - 1.0) * den
+    return num, den
+
+
+def zpk2ss(z, p, k):
+    """Zeros/poles/gain -> state space — scipy.signal.zpk2ss semantics."""
+    from nx_signal_tpu.ops.iir_design import zpk2tf
+
+    return tf2ss(*zpk2tf(z, p, k))
+
+
+def ss2zpk(a, b, c, d, input: int = 0):
+    """State space -> zeros/poles/gain — scipy.signal.ss2zpk semantics."""
+    from nx_signal_tpu.ops.iir_design import tf2zpk
+
+    num, den = ss2tf(a, b, c, d, input=input)
+    num = np.atleast_2d(num)
+    if num.shape[0] != 1:
+        raise ValueError("ss2zpk supports single-output systems; select "
+                         "one row of ss2tf's numerator for MIMO")
+    return tf2zpk(num[0], den)
+
+
+def abcd_normalize(a=None, b=None, c=None, d=None):
+    """Validate/shape-reconcile state-space matrices, inferring missing
+    zero matrices where sizes allow — scipy.signal.abcd_normalize
+    semantics."""
+    def shape_or_none(m):
+        return m.shape if m is not None else (None, None)
+
+    a = np.atleast_2d(np.asarray(a, dtype=np.float64)) if a is not None else None
+    b = np.atleast_2d(np.asarray(b, dtype=np.float64)) if b is not None else None
+    c = np.atleast_2d(np.asarray(c, dtype=np.float64)) if c is not None else None
+    d = np.atleast_2d(np.asarray(d, dtype=np.float64)) if d is not None else None
+
+    p = None  # states
+    for m, axis in ((a, 0), (a, 1), (b, 0), (c, 1)):
+        if m is not None:
+            p = m.shape[axis]
+            break
+    q = b.shape[1] if b is not None else (d.shape[1] if d is not None else None)
+    r = c.shape[0] if c is not None else (d.shape[0] if d is not None else None)
+    if p is None or q is None or r is None:
+        raise ValueError("Not enough information on the system.")
+    a = np.zeros((p, p)) if a is None else a
+    b = np.zeros((p, q)) if b is None else b
+    c = np.zeros((r, p)) if c is None else c
+    d = np.zeros((r, q)) if d is None else d
+    if a.shape != (p, p):
+        raise ValueError("A must be square.")
+    if b.shape != (p, q):
+        raise ValueError(f"B must have shape {(p, q)}, got {b.shape}")
+    if c.shape != (r, p):
+        raise ValueError(f"C must have shape {(r, p)}, got {c.shape}")
+    if d.shape != (r, q):
+        raise ValueError(f"D must have shape {(r, q)}, got {d.shape}")
+    return a, b, c, d
+
+
+# ------------------------------------------------------------ cont2discrete
+
+def cont2discrete(system, dt: float, method: str = "zoh", alpha=None):
+    """Discretize a continuous LTI system — scipy.signal.cont2discrete
+    semantics. `system` is (num, den), (z, p, k), or (A, B, C, D); returns
+    the same representation with `dt` appended. Methods: zoh (block-matrix
+    expm), foh, gbt(alpha), bilinear/tustin (gbt 1/2), euler/forward_diff
+    (gbt 0), backward_diff (gbt 1), impulse."""
+    if len(system) == 2:
+        sysd = cont2discrete(tf2ss(*system), dt, method=method, alpha=alpha)
+        return ss2tf(*sysd[:-1]) + (dt,)
+    if len(system) == 3:
+        sysd = cont2discrete(zpk2ss(*system), dt, method=method, alpha=alpha)
+        return ss2zpk(*sysd[:-1]) + (dt,)
+    if len(system) != 4:
+        raise ValueError("First argument must either be a tuple of 2 (tf), "
+                         "3 (zpk), or 4 (ss) arrays.")
+    a, b, c, d = map(lambda m: np.asarray(m, dtype=np.float64), system)
+    n = a.shape[0]
+    if method == "gbt" and alpha is None:
+        raise ValueError("Alpha parameter must be specified for the "
+                         "generalized bilinear transform (gbt) method")
+    if method in ("bilinear", "tustin"):
+        method, alpha = "gbt", 0.5
+    elif method in ("euler", "forward_diff"):
+        method, alpha = "gbt", 0.0
+    elif method == "backward_diff":
+        method, alpha = "gbt", 1.0
+
+    if method == "gbt":
+        if alpha < 0 or alpha > 1:
+            raise ValueError("Alpha parameter must be within the interval "
+                             "[0,1] for the gbt method")
+        ima = np.eye(n) - alpha * dt * a
+        ad = np.linalg.solve(ima, np.eye(n) + (1.0 - alpha) * dt * a)
+        bd = np.linalg.solve(ima, dt * b)
+        cd = np.linalg.solve(ima.T, c.T).T
+        dd = d + alpha * (c @ bd)
+    elif method == "zoh":
+        em = np.block([
+            [a, b],
+            [np.zeros((b.shape[1], n)), np.zeros((b.shape[1], b.shape[1]))],
+        ])
+        ms = _expm(em * dt)
+        ad = ms[:n, :n]
+        bd = ms[:n, n:]
+        cd, dd = c, d
+    elif method == "foh":
+        nb = b.shape[1]
+        em = np.block([
+            [a, b, np.zeros((n, nb))],
+            [np.zeros((nb, n + nb)), np.eye(nb)],
+            [np.zeros((nb, n + 2 * nb))],
+        ])
+        ms = _expm(em * dt)
+        phi = ms[:n, :n]
+        gamma1 = ms[:n, n: n + nb]
+        gamma2 = ms[:n, n + nb:]
+        ad = phi
+        bd = gamma1 + phi @ gamma2 / dt - gamma2 / dt
+        cd = c
+        dd = d + c @ (gamma2 / dt)
+    elif method == "impulse":
+        if not np.allclose(d, 0):
+            raise ValueError("Impulse method is only applicable "
+                             "to strictly proper systems")
+        ad = _expm(a * dt)
+        bd = ad @ b * dt
+        cd = c
+        dd = c @ b * dt
+    else:
+        raise ValueError(f"Unknown transformation method '{method}'")
+    return ad, bd, cd, dd, dt
+
+
+# ------------------------------------------------------------ partial fractions
+
+def unique_roots(p, tol: float = 1e-3, rtype: str = "min"):
+    """Cluster close roots into (unique values, multiplicities) —
+    scipy.signal.unique_roots semantics: roots within `tol` of a cluster
+    join it; the representative is the cluster min/max/mean per `rtype`."""
+    p = np.atleast_1d(np.asarray(p))
+    if rtype in ("max", "maximum"):
+        reduce = np.max
+    elif rtype in ("min", "minimum"):
+        reduce = np.min
+    elif rtype in ("avg", "mean"):
+        reduce = np.mean
+    else:
+        raise ValueError("`rtype` must be one of "
+                         "{'max', 'maximum', 'min', 'minimum', 'avg', 'mean'}")
+    points = np.empty((len(p), 2))
+    points[:, 0] = np.real(p)
+    points[:, 1] = np.imag(p)
+    # greedy clustering in input order (scipy uses cKDTree grouping; for
+    # design-scale root counts the O(n^2) sweep is identical in effect)
+    assigned = np.full(len(p), -1, dtype=int)
+    clusters = []
+    for i in range(len(p)):
+        if assigned[i] >= 0:
+            continue
+        members = [i]
+        assigned[i] = len(clusters)
+        for j in range(i + 1, len(p)):
+            if assigned[j] < 0 and abs(p[i] - p[j]) < tol:
+                members.append(j)
+                assigned[j] = len(clusters)
+        clusters.append(members)
+    uniq, mult = [], []
+    for members in clusters:
+        vals = p[members]
+        if np.iscomplexobj(vals) and reduce in (np.min, np.max):
+            # order complex clusters by real part then imaginary (total
+            # order so min/max are well-defined, matching scipy)
+            order = np.lexsort((vals.imag, vals.real))
+            rep = vals[order[0]] if reduce is np.min else vals[order[-1]]
+        else:
+            rep = reduce(vals)
+        uniq.append(rep)
+        mult.append(len(members))
+    return np.asarray(uniq), np.asarray(mult)
+
+
+def _taylor_shift(c, r):
+    """Coefficients (descending) of p(t + r) given p's coefficients — the
+    Taylor shift used to read series expansions at a root."""
+    c = np.asarray(c)
+    n = len(c)
+    out = c.copy()
+    # synthetic division (Horner-Ruffini) n times
+    res = np.empty(n, dtype=np.complex128)
+    work = c.astype(np.complex128).copy()
+    for k in range(n):
+        # divide work by (t - (-r))? We expand around r: p(s), s = t + r
+        # repeatedly evaluate/deflate at r
+        rem = work[0]
+        for i in range(1, len(work)):
+            rem = rem * r + work[i]
+        res[n - 1 - k] = rem
+        # deflate: work <- quotient of work / (s - r)
+        q = np.empty(len(work) - 1, dtype=np.complex128)
+        acc = work[0]
+        for i in range(len(work) - 1):
+            q[i] = acc
+            acc = acc * r + work[i + 1]
+        work = q
+        if len(work) == 0:
+            res[: n - 1 - k] = 0.0
+            break
+    return res  # descending coeffs of p(t + r): res[0] t^{n-1} ... res[-1]
+
+
+def _series_div(num_asc, den_asc, nterms):
+    """First `nterms` ascending Taylor coefficients of num/den (den[0] != 0)."""
+    out = np.empty(nterms, dtype=np.complex128)
+    num = list(num_asc) + [0.0] * max(0, nterms - len(num_asc))
+    for k in range(nterms):
+        acc = num[k]
+        for j in range(k):
+            acc -= out[j] * (den_asc[k - j] if k - j < len(den_asc) else 0.0)
+        out[k] = acc / den_asc[0]
+    return out
+
+
+def _partial_fractions(b, a, tol, rtype, domain):
+    """Shared residue/residuez core. domain 's': b(x)/a(x) in descending
+    powers of s. domain 'z': b and a are ascending in w = z^-1."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.complex128))
+    a = np.atleast_1d(np.asarray(a, dtype=np.complex128))
+    if np.all(a == 0):
+        raise ValueError("Denominator `a` is zero.")
+    # strip leading zeros of a (descending coeff convention here)
+    a = np.trim_zeros(a, "f")
+    b = np.trim_zeros(b, "f") if np.any(b) else np.zeros(1, np.complex128)
+
+    # direct (polynomial) part
+    if len(b) >= len(a):
+        k, b = np.polydiv(b, a)
+        b = np.trim_zeros(b, "f") if np.any(b) else np.zeros(1, np.complex128)
+    else:
+        k = np.zeros(0, np.complex128)
+
+    poles = np.roots(a)
+    uniq, mult = unique_roots(poles, tol=tol, rtype=rtype)
+    residues = []
+    ordered_poles = []
+    a0 = a[0]
+    for i, (r, m) in enumerate(zip(uniq, mult)):
+        # h(s) = (s - r)^m * b(s)/a(s) is analytic at r; its Taylor
+        # coefficients h_j at r give res_q = h_{m-q}
+        denom = np.ones(1, np.complex128)
+        for j, (r2, m2) in enumerate(zip(uniq, mult)):
+            if j == i:
+                continue
+            for _ in range(m2):
+                denom = np.convolve(denom, np.array([1.0, -r2]))
+        denom = denom * a0
+        num_shift = _taylor_shift(b, r)[::-1]       # ascending at r
+        den_shift = _taylor_shift(denom, r)[::-1]   # ascending at r
+        h = _series_div(num_shift, den_shift, int(m))
+        for q in range(1, int(m) + 1):
+            residues.append(h[m - q])
+            ordered_poles.append(r)
+    return (np.asarray(residues), np.asarray(ordered_poles),
+            np.asarray(k))
+
+
+def residue(b, a, tol: float = 1e-3, rtype: str = "avg"):
+    """Partial-fraction expansion b(s)/a(s) = k(s) + sum r_i/(s-p_i)^n —
+    scipy.signal.residue semantics (repeated poles listed with increasing
+    power). Series-division at each pole cluster instead of scipy's
+    derivative recurrences; identical values for well-separated roots."""
+    r, p, k = _partial_fractions(b, a, tol, rtype, "s")
+    return _real_if_close(r), p, _real_if_close(k).astype(np.float64) \
+        if k.size else np.array([], dtype=np.float64)
+
+
+def residuez(b, a, tol: float = 1e-3, rtype: str = "avg"):
+    """Partial fractions of b(z)/a(z) in powers of z^-1:
+    sum r_i/(1 - p_i z^-1)^n + k(z^-1) — scipy.signal.residuez semantics."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.complex128))
+    a = np.atleast_1d(np.asarray(a, dtype=np.complex128))
+    if np.all(a == 0):
+        raise ValueError("Denominator `a` is zero.")
+    if a[0] == 0:
+        raise ValueError("First coefficient of determinant `a` must be "
+                         "non-zero.")
+    # In w = z^-1 (ascending order = the given order), the direct part is
+    # the ascending-series quotient; poles of a(z) are the z-poles.
+    gain = a[0]
+    poles = np.roots(a)
+    uniq, mult = unique_roots(poles, tol=tol, rtype=rtype)
+    n_direct = len(b) - len(a)
+    if n_direct >= 0:
+        # long division of reversed (ascending w) polynomials
+        k_rev, b_rev = np.polydiv(b[::-1], a[::-1])
+        k = k_rev[::-1]
+        b = b_rev[::-1]
+        b = np.trim_zeros(b, "f") if np.any(b) else np.zeros(1, np.complex128)
+    else:
+        k = np.zeros(0, np.complex128)
+    residues = []
+    ordered_poles = []
+    for i, (p_i, m) in enumerate(zip(uniq, mult)):
+        if p_i == 0:
+            raise ValueError("residuez: pole at z = 0")
+        w0 = 1.0 / p_i
+        m = int(m)
+        # h(w) = (1 - p w)^m B(w)/A(w) analytic at w0;
+        # res_q = h_{m-q} / (-p)^{m-q}
+        denom = np.ones(1, np.complex128) * gain
+        for j, (p2, m2) in enumerate(zip(uniq, mult)):
+            if j == i:
+                continue
+            for _ in range(int(m2)):
+                # A(w) factor (1 - p2 w) -> descending in w: [-p2, 1]
+                denom = np.convolve(denom, np.array([-p2, 1.0]))
+        # b is ascending in w already; convert to descending for the shift
+        num_desc = b[::-1]
+        num_shift = _taylor_shift(num_desc, w0)[::-1]
+        den_shift = _taylor_shift(denom, w0)[::-1]
+        h = _series_div(num_shift, den_shift, m)
+        for q in range(1, m + 1):
+            residues.append(h[m - q] / (-p_i) ** (m - q))
+        ordered_poles.extend([p_i] * m)
+    return (_real_if_close(np.asarray(residues)), np.asarray(ordered_poles),
+            _real_if_close(np.asarray(k)))
+
+
+def invres(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
+    """Inverse of `residue`: reassemble (b, a) from residues/poles/direct —
+    scipy.signal.invres semantics."""
+    r = np.atleast_1d(np.asarray(r, dtype=np.complex128))
+    p = np.atleast_1d(np.asarray(p, dtype=np.complex128))
+    k = np.atleast_1d(np.asarray(k, dtype=np.complex128)) if np.size(k) \
+        else np.zeros(0, np.complex128)
+    uniq, mult = unique_roots(p, tol=tol, rtype=rtype)
+    a = np.ones(1, np.complex128)
+    for u, m in zip(uniq, mult):
+        for _ in range(int(m)):
+            a = np.convolve(a, np.array([1.0, -u]))
+    b = np.zeros(1, np.complex128)
+    if k.size and np.any(k):
+        b = np.convolve(k, a)
+    idx = 0
+    for i, (u, m) in enumerate(zip(uniq, mult)):
+        m = int(m)
+        for q in range(1, m + 1):
+            # term r/(s-u)^q contributes r * a(s)/(s-u)^q
+            term = np.ones(1, np.complex128)
+            for j, (u2, m2) in enumerate(zip(uniq, mult)):
+                reps = int(m2) - (q if j == i else 0)
+                for _ in range(reps):
+                    term = np.convolve(term, np.array([1.0, -u2]))
+            b = np.polyadd(b, r[idx] * term)
+            idx += 1
+    return _real_if_close(b), _real_if_close(a)
+
+
+def invresz(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
+    """Inverse of `residuez` — scipy.signal.invresz semantics."""
+    r = np.atleast_1d(np.asarray(r, dtype=np.complex128))
+    p = np.atleast_1d(np.asarray(p, dtype=np.complex128))
+    k = np.atleast_1d(np.asarray(k, dtype=np.complex128)) if np.size(k) \
+        else np.zeros(0, np.complex128)
+    uniq, mult = unique_roots(p, tol=tol, rtype=rtype)
+    # work in w = z^-1, ASCENDING coefficient order
+    a_asc = np.ones(1, np.complex128)
+    for u, m in zip(uniq, mult):
+        for _ in range(int(m)):
+            a_asc = np.convolve(a_asc, np.array([1.0, -u]))  # (1 - u w)
+    b_asc = np.zeros(1, np.complex128)
+    if k.size and np.any(k):
+        b_asc = np.convolve(k, a_asc)
+    idx = 0
+    for i, (u, m) in enumerate(zip(uniq, mult)):
+        m = int(m)
+        for q in range(1, m + 1):
+            term = np.ones(1, np.complex128)
+            for j, (u2, m2) in enumerate(zip(uniq, mult)):
+                reps = int(m2) - (q if j == i else 0)
+                for _ in range(reps):
+                    term = np.convolve(term, np.array([1.0, -u2]))
+            b_asc = np.polyadd(b_asc[::-1], (r[idx] * term)[::-1])[::-1]
+            idx += 1
+    return _real_if_close(b_asc), _real_if_close(a_asc)

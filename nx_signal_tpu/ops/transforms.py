@@ -7,7 +7,7 @@ FFT; per-axis pad/truncate semantics are preserved via the `s` argument.
 
 import jax.numpy as jnp
 
-__all__ = ["fft_nd", "ifft_nd", "rfft_nd", "irfft_nd", "hilbert"]
+__all__ = ["fft_nd", "ifft_nd", "rfft_nd", "irfft_nd", "hilbert", "hilbert2", "envelope"]
 
 
 def _norm_axes_lengths(x, axes, lengths):
@@ -78,3 +78,115 @@ def hilbert(x, *, n: int = None, axis: int = -1):
     shape = [1] * x.ndim
     shape[axis] = n_fft
     return jnp.fft.ifft(spectrum * h.reshape(shape), axis=axis)
+
+
+def hilbert2(x, *, n=None):
+    """2-D analytic signal over the last two axes —
+    scipy.signal.hilbert2 semantics: fft2, zero the negative-frequency
+    half-planes (doubling the positive ones), ifft2. `n` is an optional
+    (n0, n1) FFT shape. Real input required. Not in the reference."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise ValueError("x must be real")
+    if x.ndim < 2:
+        raise ValueError("x must have at least 2 dimensions")
+    if n is None:
+        shape = (x.shape[-2], x.shape[-1])
+    else:
+        shape = (int(n[0]), int(n[1])) if not jnp.isscalar(n) else (int(n), int(n))
+        if shape[0] < 1 or shape[1] < 1:
+            raise ValueError("n must be positive")
+    zf = jnp.fft.fft2(x, s=shape, axes=(-2, -1))
+
+    def half_filter(m):
+        # single-orthant factor (1 + s_N): DC 1, strictly-positive bins
+        # below Nyquist 2, Nyquist AND negative bins 0 — scipy zeroes the
+        # even-N Nyquist bin here (unlike 1-D hilbert, which keeps it at 1)
+        h = jnp.zeros((m,), zf.real.dtype)
+        h = h.at[0].set(1.0)
+        h = h.at[1 : (m + 1) // 2].set(2.0)
+        return h
+
+    h = half_filter(shape[0])[:, None] * half_filter(shape[1])[None, :]
+    return jnp.fft.ifft2(zf * h, axes=(-2, -1))
+
+
+def envelope(z, bp_in=(1, None), *, n_out=None, squared=False,
+             residual="lowpass", axis=-1):
+    """Envelope (and residual) of a signal — scipy.signal.envelope
+    semantics: band-limit the spectrum to the `bp_in` bin range, take the
+    analytic/baseband magnitude as the envelope (optionally squared,
+    optionally resampled to `n_out`), and return the out-of-band rest as
+    the residual ('lowpass' keeps only bins below the band; 'all' keeps
+    everything outside; None returns just the envelope). Returns the
+    envelope alone, or stack([envelope, residual]) along a new axis 0.
+    Not in the reference."""
+    z = jnp.asarray(z)
+    if not (-z.ndim <= axis < z.ndim):
+        raise ValueError(f"Invalid parameter axis={axis} for z.shape={z.shape}!")
+    if z.shape[axis] <= 0:
+        raise ValueError(f"z.shape[axis] not > 0 for z.shape={z.shape}")
+    if len(bp_in) != 2 or not all(b is None or isinstance(b, int) for b in bp_in):
+        raise ValueError(f"bp_in={bp_in!r} isn't a 2-tuple of (int | None)")
+    if n_out is not None and (not isinstance(n_out, int) or n_out <= 0):
+        raise ValueError(f"n_out={n_out!r} is not a positive integer or None")
+    if residual not in ("lowpass", "all", None):
+        raise ValueError(f"residual={residual!r} not in ['lowpass', 'all', None]")
+
+    n = z.shape[axis]
+    n_out = n if n_out is None else n_out
+    fak = n_out / n
+    lo = bp_in[0] if bp_in[0] is not None else -(n // 2)
+    hi = bp_in[1] if bp_in[1] is not None else (n + 1) // 2
+    if not (-(n // 2) <= lo < hi <= (n + 1) // 2):
+        raise ValueError(f"-n//2 <= bp_in[0] < bp_in[1] <= (n+1)//2 does not "
+                         f"hold for n={n} and bp_in={bp_in}")
+
+    z = jnp.moveaxis(z, axis, -1)
+    complex_input = jnp.issubdtype(z.dtype, jnp.complexfloating)
+    if complex_input:
+        zf = jnp.fft.fft(z)
+    else:
+        half = jnp.fft.rfft(z)
+        zf = jnp.zeros(z.shape, dtype=half.dtype)
+        zf = zf.at[..., : n // 2 + 1].set(half)
+        # make the in-band signal analytic (double positive-frequency bins)
+        if lo > 0:
+            zf = zf.at[..., lo:hi].multiply(2)
+        elif hi > 0:
+            zf = zf.at[..., 1:hi].multiply(2)
+
+    if not (lo <= 0 < hi):
+        z_bb = jnp.fft.ifft(zf[..., lo:hi], n=n_out) * fak
+    else:
+        shifted = jnp.fft.fftshift(zf, axes=-1)
+        z_bb = jnp.fft.ifft(shifted[..., lo + n // 2 : hi + n // 2],
+                            n=n_out) * fak
+    env = (jnp.real(z_bb) ** 2 + jnp.imag(z_bb) ** 2) if squared \
+        else jnp.abs(z_bb)
+    env = jnp.moveaxis(env, -1, axis)
+    if residual is None:
+        return env
+
+    # zero the in-band bins, then (for 'lowpass') everything above the band
+    if not (lo <= 0 < hi):
+        zf = zf.at[..., lo:hi].set(0)
+    else:
+        zf = zf.at[..., :hi].set(0)
+        zf = zf.at[..., lo:].set(0)
+    if residual == "lowpass":
+        if hi > 0:
+            zf = zf.at[..., hi : (n + 1) // 2].set(0)
+        else:
+            zf = zf.at[..., lo:].set(0)
+            zf = zf.at[..., 0 : (n + 1) // 2].set(0)
+    if complex_input:
+        from nx_signal_tpu.ops.resample import resample
+
+        z_res = resample(jnp.fft.ifft(zf), n_out, axis=-1)
+    else:
+        m = min(n, n_out)
+        if n_out != n and m % 2 == 0:
+            zf = zf.at[..., m // 2].multiply(2.0 if n_out < n else 0.5)
+        z_res = fak * jnp.fft.irfft(zf, n=n_out)
+    return jnp.stack((env, jnp.moveaxis(z_res, -1, axis)), axis=0)

@@ -20,7 +20,7 @@ from nx_signal_tpu.spectral.framing import _ola_fold, as_windowed, pad_for_windo
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 from nx_signal_tpu.utils.shapes import next_power_of_two
 
-__all__ = ["stft", "istft", "fft_frequencies", "STFTResult"]
+__all__ = ["stft", "istft", "fft_frequencies", "STFTResult", "check_cola", "check_nola"]
 
 
 class STFTResult(NamedTuple):
@@ -230,3 +230,65 @@ def istft(z, window, *, fft_length=None, overlap_length=None, scaling=None,
     norm = _ola_fold(envelope_frames, stride, out_length)
     norm = jnp.where(norm > 1e-10, norm, jnp.ones((), dtype=norm.dtype))
     return result / norm
+
+
+def check_cola(window, nperseg: int, noverlap: int, tol: float = 1e-10):
+    """Whether the window/hop pair satisfies the Constant OverLap-Add
+    constraint (perfect reconstruction for the unnormalized inverse) —
+    scipy.signal.check_COLA semantics: the strided sums
+    sum_j w[k + j*step] must be equal (within tol) for all k in one hop
+    period. Host-side f64; `window` may be an array or a window name known
+    to ops.windows.get_window. Not in the reference (its istft always
+    NOLA-normalizes, nx_signal.ex:630-637)."""
+    import numpy as np
+
+    w = _check_window_arg(window, nperseg)
+    if not 0 <= noverlap < nperseg:
+        raise ValueError("noverlap must be less than nperseg.")
+    step = nperseg - noverlap
+    binsums = np.sum(
+        [w[i * step : (i + 1) * step] for i in range(nperseg // step)], axis=0
+    )
+    if nperseg % step != 0:
+        binsums[: nperseg % step] += w[-(nperseg % step):]
+    deviation = binsums - np.median(binsums)
+    return bool(np.max(np.abs(deviation)) < tol)
+
+
+def check_nola(window, nperseg: int, noverlap: int, tol: float = 1e-10):
+    """Whether the window/hop pair satisfies the NOnzero OverLap-Add
+    constraint (invertibility of the normalized inverse STFT) —
+    scipy.signal.check_NOLA semantics: min_k sum_j |w[k + j*step]|^2 > tol.
+    This is exactly the 1e-10 guard `istft` applies per sample
+    (reference: nx_signal.ex:635-637) evaluated as a predicate."""
+    import numpy as np
+
+    w = _check_window_arg(window, nperseg)
+    if not 0 <= noverlap < nperseg:
+        raise ValueError("noverlap must be less than nperseg")
+    if tol <= 0:
+        raise ValueError("tol must be positive")
+    step = nperseg - noverlap
+    binsums = np.sum(
+        [w[i * step : (i + 1) * step] ** 2 for i in range(nperseg // step)],
+        axis=0,
+    )
+    if nperseg % step != 0:
+        binsums[: nperseg % step] += w[-(nperseg % step):] ** 2
+    return bool(np.min(binsums) > tol)
+
+
+def _check_window_arg(window, nperseg: int):
+    import numpy as np
+
+    if isinstance(window, str) or (isinstance(window, tuple)):
+        from nx_signal_tpu.ops.windows import get_window
+
+        w = np.asarray(get_window(window, nperseg), dtype=np.float64)
+    else:
+        w = np.asarray(window, dtype=np.float64)
+    if w.ndim != 1:
+        raise ValueError("window must be 1-D")
+    if w.shape[0] != nperseg:
+        raise ValueError("window must have length of nperseg")
+    return w

@@ -37,3 +37,24 @@ def assert_all_close(actual, expected, atol=1e-4, rtol=1e-4, err_msg=""):
     np.testing.assert_allclose(
         np.asarray(actual), np.asarray(expected), atol=atol, rtol=rtol, err_msg=err_msg
     )
+
+
+# ---------------------------------------------------------------- test tiers
+# Fast tier: `pytest -m "not slow"` (~6 min) — run before every commit.
+# Full suite: ~42 min on the 2-vCPU image (timed 2026-08-19, 1263 tests).
+# Modules listed here are auto-marked slow (8-virtual-device shard_map
+# compiles dominate their runtime); individual tests can also opt in with
+# @pytest.mark.slow.
+SLOW_MODULES = {
+    "test_sharded",
+    "test_sharded_resample",
+    "test_sharded_estimation",
+    "test_guides",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
