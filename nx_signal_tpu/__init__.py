@@ -56,14 +56,25 @@ from nx_signal_tpu.ops.filters import (
 from nx_signal_tpu.ops.ltisys import (
     abcd_normalize,
     bilinear,
+    bode,
     cont2discrete,
+    dbode,
+    dfreqresp,
+    dimpulse,
+    dlsim,
+    dstep,
+    findfreqs,
+    freqresp,
+    impulse,
     invres,
     invresz,
+    lsim,
     normalize,
     residue,
     residuez,
     ss2tf,
     ss2zpk,
+    step,
     tf2ss,
     unique_roots,
     zpk2ss,
@@ -147,6 +158,8 @@ __all__ = [
     "ltisys", "normalize", "bilinear", "tf2ss", "ss2tf", "zpk2ss", "ss2zpk",
     "abcd_normalize", "cont2discrete", "unique_roots", "residue", "residuez",
     "invres", "invresz", "hilbert", "hilbert2", "envelope",
+    "dlsim", "dimpulse", "dstep", "lsim", "impulse", "step",
+    "findfreqs", "freqresp", "bode", "dfreqresp", "dbode",
     # resampling & mixing
     "upfirdn", "resample_poly", "pfb_analyze", "resample", "decimate",
     "mix_down", "demodulate_channel", "mixing", "detrend",

@@ -20,6 +20,8 @@ __all__ = [
     "normalize", "bilinear", "tf2ss", "ss2tf", "zpk2ss", "ss2zpk",
     "abcd_normalize", "cont2discrete", "unique_roots", "residue",
     "residuez", "invres", "invresz",
+    "dlsim", "dimpulse", "dstep", "lsim", "impulse", "step",
+    "findfreqs", "freqresp", "bode", "dfreqresp", "dbode",
 ]
 
 
@@ -537,3 +539,296 @@ def invresz(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
             b_asc = np.polyadd(b_asc[::-1], (r[idx] * term)[::-1])[::-1]
             idx += 1
     return _real_if_close(b_asc), _real_if_close(a_asc)
+
+
+# ------------------------------------------------------------ simulation
+
+def _to_ss(system):
+    """(num, den) | (z, p, k) | (A, B, C, D) -> normalized state space."""
+    if len(system) == 2:
+        return tf2ss(*system)
+    if len(system) == 3:
+        return zpk2ss(*system)
+    if len(system) == 4:
+        return abcd_normalize(*system)
+    raise ValueError("system must be a tuple of 2 (tf), 3 (zpk), or "
+                     "4 (ss) arrays")
+
+
+def _to_dss(system):
+    """Discrete system tuple (..., dt) -> (A, B, C, D, dt)."""
+    if len(system) < 3:
+        raise ValueError("discrete system tuples must end with dt")
+    *rep, dt = system
+    a, b, c, d = _to_ss(tuple(rep))
+    return a, b, c, d, float(dt)
+
+
+def dlsim(system, u, t=None, x0=None):
+    """Simulate a discrete-time LTI system — scipy.signal.dlsim semantics:
+    `system` is (num, den, dt), (z, p, k, dt), or (A, B, C, D, dt); `u` is
+    (n_steps,) or (n_steps, n_inputs). Returns (tout, yout, xout) for
+    state-space input, (tout, yout) otherwise. The recursion runs as a
+    jax.lax.scan (TPU-compiled) over the steps."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    a, b, c, d, dt = _to_dss(system)
+    u = np.atleast_1d(np.asarray(u, dtype=np.float64))
+    if u.ndim == 1:
+        u = u[:, None]
+    n_steps = u.shape[0]
+    if t is None:
+        tout = np.arange(n_steps, dtype=np.float64) * dt
+    else:
+        tout = np.asarray(t, dtype=np.float64)
+        if tout.shape[0] != n_steps:
+            raise ValueError("t must have the same length as u")
+    n_states = a.shape[0]
+    if x0 is None:
+        x0 = np.zeros(n_states, dtype=np.float64)
+    x0 = np.asarray(x0, dtype=np.float64).reshape(n_states)
+
+    aj, bj, cj, dj = map(jnp.asarray, (a, b, c, d))
+
+    def step_fn(x, u_k):
+        y = cj @ x + dj @ u_k
+        x_next = aj @ x + bj @ u_k
+        return x_next, (y, x)
+
+    _, (yout, xout) = lax.scan(step_fn, jnp.asarray(x0), jnp.asarray(u))
+    yout = np.asarray(yout)
+    xout = np.asarray(xout)
+    if len(system) == 5:
+        return tout, yout, xout
+    return tout, yout
+
+
+def dimpulse(system, x0=None, t=None, n=None):
+    """Discrete impulse response — scipy.signal.dimpulse semantics: returns
+    (tout, (y_per_input, ...))."""
+    a, b, c, d, dt = _to_dss(system)
+    if n is None:
+        n = 100 if t is None else len(np.atleast_1d(t))
+    n_inputs = b.shape[1]
+    youts = []
+    tout = None
+    for i in range(n_inputs):
+        u = np.zeros((n, n_inputs))
+        u[0, i] = 1.0
+        tout, y, _ = dlsim((a, b, c, d, dt), u, t=t, x0=x0)
+        youts.append(y)
+    return tout, tuple(youts)
+
+
+def dstep(system, x0=None, t=None, n=None):
+    """Discrete step response — scipy.signal.dstep semantics."""
+    a, b, c, d, dt = _to_dss(system)
+    if n is None:
+        n = 100 if t is None else len(np.atleast_1d(t))
+    n_inputs = b.shape[1]
+    youts = []
+    tout = None
+    for i in range(n_inputs):
+        u = np.zeros((n, n_inputs))
+        u[:, i] = 1.0
+        tout, y, _ = dlsim((a, b, c, d, dt), u, t=t, x0=x0)
+        youts.append(y)
+    return tout, tuple(youts)
+
+
+def _default_response_times(a, n):
+    """Time vector covering ~7 time constants of the slowest stable pole
+    (scipy's _default_response_times)."""
+    vals = np.linalg.eigvals(a) if a.size else np.array([-1.0])
+    r = np.min(np.abs(np.real(vals)))
+    if r == 0.0:
+        r = 1.0
+    tc = 1.0 / r
+    return np.linspace(0.0, 7.0 * tc, n)
+
+
+def lsim(system, u, t, x0=None, interp: bool = True):
+    """Simulate a continuous-time LTI system over uniformly spaced times —
+    scipy.signal.lsim semantics: exact ZOH (interp=False) or
+    linearly-interpolated-input (interp=True) discretization via the block
+    matrix exponential, then a jax.lax.scan recursion."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    a, b, c, d = _to_ss(system)
+    t = np.atleast_1d(np.asarray(t, dtype=np.float64))
+    if t.ndim != 1:
+        raise ValueError("t must be 1-D")
+    if t[0] != 0.0:
+        raise ValueError("Initial time must be zero")
+    n_steps = t.shape[0]
+    n_states, n_inputs = a.shape[0], b.shape[1]
+    if x0 is None:
+        x0 = np.zeros(n_states)
+    x0 = np.asarray(x0, dtype=np.float64).reshape(n_states)
+
+    no_input = u is None or (np.isscalar(u) and u == 0.0) or not np.any(u)
+    if no_input:
+        u_arr = np.zeros((n_steps, n_inputs))
+    else:
+        u_arr = np.atleast_1d(np.asarray(u, dtype=np.float64))
+        if u_arr.ndim == 1:
+            u_arr = u_arr[:, None]
+        if u_arr.shape[0] != n_steps:
+            raise ValueError("u must have the same number of rows as t")
+        if u_arr.shape[1] != n_inputs:
+            raise ValueError("System does not define that many inputs.")
+    if n_steps == 1:
+        y = x0 @ c.T + u_arr[0] @ d.T
+        return t, np.squeeze(y), np.squeeze(x0)
+
+    dt = t[1] - t[0]
+    if not np.allclose(np.diff(t), dt):
+        raise ValueError("Time steps are not equally spaced.")
+
+    if not interp:
+        m = np.vstack([np.hstack([a * dt, b * dt]),
+                       np.zeros((n_inputs, n_states + n_inputs))])
+        em = _expm(m.T)
+        ad = em[:n_states, :n_states]
+        bd0 = em[n_states:, :n_states]
+        bd1 = np.zeros_like(bd0)
+    else:
+        m = np.vstack([
+            np.hstack([a * dt, b * dt, np.zeros((n_states, n_inputs))]),
+            np.hstack([np.zeros((n_inputs, n_states + n_inputs)),
+                       np.eye(n_inputs)]),
+            np.zeros((n_inputs, n_states + 2 * n_inputs)),
+        ])
+        em = _expm(m.T)
+        ad = em[:n_states, :n_states]
+        bd1 = em[n_states + n_inputs:, :n_states]
+        bd0 = em[n_states:n_states + n_inputs, :n_states] - bd1
+
+    adj = jnp.asarray(ad)
+    bd0j, bd1j = jnp.asarray(bd0), jnp.asarray(bd1)
+    u_pairs = jnp.stack([jnp.asarray(u_arr[:-1]), jnp.asarray(u_arr[1:])],
+                        axis=1)
+
+    def step_fn(x, uu):
+        x_next = x @ adj + uu[0] @ bd0j + uu[1] @ bd1j
+        return x_next, x_next
+
+    _, xs = lax.scan(step_fn, jnp.asarray(x0), u_pairs)
+    xout = np.vstack([x0[None, :], np.asarray(xs)])
+    yout = np.squeeze(xout @ c.T) + np.squeeze(u_arr @ d.T)
+    return t, yout, np.squeeze(xout)
+
+
+def impulse(system, x0=None, t=None, n: int = None):
+    """Continuous impulse response — scipy.signal.impulse semantics: the
+    impulse enters as an initial state B (plus any x0)."""
+    a, b, c, d = _to_ss(system)
+    if n is None:
+        n = 100
+    if t is None:
+        t = _default_response_times(a, n)
+    else:
+        t = np.asarray(t, dtype=np.float64)
+    x = b.reshape(-1) if x0 is None else b.reshape(-1) + np.asarray(x0).reshape(-1)
+    _, y, _ = lsim((a, b, c, d), 0.0, t, x0=x, interp=False)
+    return t, y
+
+
+def step(system, x0=None, t=None, n: int = None):
+    """Continuous step response — scipy.signal.step semantics."""
+    a, b, c, d = _to_ss(system)
+    if n is None:
+        n = 100
+    if t is None:
+        t = _default_response_times(a, n)
+    else:
+        t = np.asarray(t, dtype=np.float64)
+    u = np.ones((t.shape[0], b.shape[1]))
+    _, y, _ = lsim((a, b, c, d), u, t, x0=x0, interp=True)
+    return t, y
+
+
+def findfreqs(num, den, n: int, kind: str = "ba"):
+    """Log-spaced frequency grid covering a system's interesting range —
+    scipy.signal.findfreqs semantics."""
+    if kind == "ba":
+        ep = np.atleast_1d(np.roots(np.atleast_1d(den))) + 0j
+        tz = np.atleast_1d(np.roots(np.atleast_1d(num))) + 0j
+    elif kind == "zp":
+        ep = np.atleast_1d(den) + 0j
+        tz = np.atleast_1d(num) + 0j
+    else:
+        raise ValueError("input must be one of {'ba', 'zp'}")
+    if len(ep) == 0:
+        ep = np.atleast_1d(-1000.0) + 0j
+    ez = np.r_[ep[ep.imag >= 0],
+               tz[(np.abs(tz) < 1e5) & (tz.imag >= 0)]]
+    integ = (np.abs(ez) < 1e-10).astype(float)
+    hfreq = np.round(np.log10(np.max(3.0 * np.abs(ez.real + integ)
+                                     + 1.5 * ez.imag)) + 0.5)
+    lfreq = np.round(np.log10(0.1 * np.min(np.abs((ez + integ).real)
+                                           + 2.0 * ez.imag)) - 0.5)
+    return np.logspace(lfreq, hfreq, n)
+
+
+def freqresp(system, w=None, n: int = 10000):
+    """Frequency response H(jw) of a continuous system —
+    scipy.signal.freqresp semantics. Returns (w, H)."""
+    if len(system) == 2:
+        num, den = np.atleast_1d(system[0]), np.atleast_1d(system[1])
+    elif len(system) == 3:
+        from nx_signal_tpu.ops.iir_design import zpk2tf
+
+        num, den = zpk2tf(*system)
+    elif len(system) == 4:
+        num, den = ss2tf(*system)
+        num = np.atleast_2d(num)[0]
+    else:
+        raise ValueError("system must be a tuple of 2, 3, or 4 arrays")
+    if w is None:
+        w = findfreqs(num, den, n)
+    else:
+        w = np.atleast_1d(np.asarray(w, dtype=np.float64))
+    s = 1j * w
+    h = np.polyval(np.atleast_1d(num), s) / np.polyval(np.atleast_1d(den), s)
+    return w, h
+
+
+def bode(system, w=None, n: int = 100):
+    """Bode magnitude/phase of a continuous system — scipy.signal.bode
+    semantics: returns (w, mag_dB, unwrapped phase_deg)."""
+    w, h = freqresp(system, w=w, n=n)
+    mag = 20.0 * np.log10(np.abs(h))
+    phase = np.unwrap(np.angle(h)) * 180.0 / np.pi
+    return w, mag, phase
+
+
+def dfreqresp(system, w=None, n: int = 10000, whole: bool = False):
+    """Frequency response of a discrete system — scipy.signal.dfreqresp
+    semantics: returns (w, H) with w in rad/sample."""
+    if len(system) == 3:
+        num, den, dt = np.atleast_1d(system[0]), np.atleast_1d(system[1]), system[2]
+    else:
+        a, b, c, d, dt = _to_dss(system)
+        num, den = ss2tf(a, b, c, d)
+        num = np.atleast_2d(num)[0]
+    if w is None:
+        span = 2.0 * np.pi if whole else np.pi
+        w = np.linspace(0.0, span, n, endpoint=False)
+    else:
+        w = np.atleast_1d(np.asarray(w, dtype=np.float64))
+    z = np.exp(1j * w)
+    h = np.polyval(np.atleast_1d(num), z) / np.polyval(np.atleast_1d(den), z)
+    return w, h
+
+
+def dbode(system, w=None, n: int = 100):
+    """Bode of a discrete system — scipy.signal.dbode semantics: w is
+    returned in rad/s (rad/sample divided by dt)."""
+    dt = system[-1]
+    w, h = dfreqresp(system, w=w, n=n)
+    mag = 20.0 * np.log10(np.abs(h))
+    phase = np.unwrap(np.angle(h)) * 180.0 / np.pi
+    return w / dt, mag, phase

@@ -330,3 +330,81 @@ class TestDeconvolveLags:
                                   np.ones(5, np.float32)) == "direct"
         assert choose_conv_method(np.ones(100000, np.float32),
                                   np.ones(8192, np.float32)) == "fft"
+
+
+class TestSimulation:
+    SYSD = ([1.0, 0.5], [1.0, -0.8], 0.1)
+    SYSC = ([1.0], [1.0, 2.0, 5.0])
+    A = np.array([[0.5, 0.1], [0.0, 0.3]])
+    B = np.array([[1.0], [0.5]])
+    C = np.array([[1.0, -1.0]])
+    D = np.array([[0.2]])
+
+    def test_dlsim_tf_and_ss(self):
+        u = np.sin(np.arange(50) * 0.3)
+        t1, y1 = lti.dlsim(self.SYSD, u)
+        t2, y2 = sps.dlsim(self.SYSD, u)
+        np.testing.assert_allclose(t1, np.squeeze(t2), atol=1e-12)
+        np.testing.assert_allclose(np.squeeze(y1), np.squeeze(y2), atol=1e-10)
+        ss = (self.A, self.B, self.C, self.D, 0.05)
+        t1, y1, x1 = lti.dlsim(ss, u, x0=[0.3, -0.2])
+        t2, y2, x2 = sps.dlsim(ss, u, x0=[0.3, -0.2])
+        np.testing.assert_allclose(y1, np.reshape(y2, y1.shape), atol=1e-10)
+        np.testing.assert_allclose(x1, x2, atol=1e-10)
+
+    def test_dimpulse_dstep(self):
+        ss = (self.A, self.B, self.C, self.D, 0.05)
+        t1, ys1 = lti.dimpulse(ss, n=40)
+        t2, ys2 = sps.dimpulse(ss, n=40)
+        np.testing.assert_allclose(ys1[0], np.reshape(ys2[0], ys1[0].shape),
+                                   atol=1e-10)
+        t1, ys1 = lti.dstep(self.SYSD, n=40)
+        t2, ys2 = sps.dstep(self.SYSD, n=40)
+        np.testing.assert_allclose(np.squeeze(ys1[0]), np.squeeze(ys2[0]),
+                                   atol=1e-10)
+
+    @pytest.mark.parametrize("interp", [True, False])
+    def test_lsim(self, interp):
+        t = np.linspace(0, 5, 101)
+        u = np.sin(2 * np.pi * 0.7 * t)
+        t1, y1, x1 = lti.lsim(self.SYSC, u, t, interp=interp)
+        t2, y2, x2 = sps.lsim(self.SYSC, u, t, interp=interp)
+        np.testing.assert_allclose(y1, y2, atol=1e-10)
+        np.testing.assert_allclose(x1, x2, atol=1e-10)
+
+    def test_lsim_validation(self):
+        with pytest.raises(ValueError, match="equally spaced"):
+            lti.lsim(self.SYSC, np.ones(3), np.array([0.0, 0.1, 0.5]))
+        with pytest.raises(ValueError, match="Initial time"):
+            lti.lsim(self.SYSC, np.ones(3), np.array([1.0, 1.1, 1.2]))
+
+    def test_impulse_step_default_times(self):
+        t1, y1 = lti.impulse(self.SYSC)
+        t2, y2 = sps.impulse(self.SYSC)
+        np.testing.assert_allclose(t1, t2, atol=1e-12)
+        np.testing.assert_allclose(y1, y2, atol=1e-8)
+        t1, y1 = lti.step(self.SYSC, n=120)
+        t2, y2 = sps.step(self.SYSC, N=120)
+        np.testing.assert_allclose(y1, y2, atol=1e-8)
+
+    def test_freqresp_bode_findfreqs(self):
+        w1, h1 = lti.freqresp(self.SYSC, n=200)
+        w2, h2 = sps.freqresp(self.SYSC, n=200)
+        np.testing.assert_allclose(w1, w2, atol=1e-12)
+        np.testing.assert_allclose(h1, h2, atol=1e-12)
+        np.testing.assert_allclose(
+            lti.findfreqs([1.0], [1.0, 2.0, 5.0], 15),
+            sps.findfreqs([1.0], [1.0, 2.0, 5.0], 15))
+        w1, m1, p1 = lti.bode(self.SYSC, n=50)
+        w2, m2, p2 = sps.bode(self.SYSC, n=50)
+        np.testing.assert_allclose(m1, m2, atol=1e-10)
+        np.testing.assert_allclose(p1, p2, atol=1e-10)
+
+    def test_dfreqresp_dbode(self):
+        w1, h1 = lti.dfreqresp(self.SYSD, n=128)
+        w2, h2 = sps.dfreqresp(self.SYSD, n=128)
+        np.testing.assert_allclose(h1, h2, atol=1e-12)
+        w1, m1, p1 = lti.dbode(self.SYSD, n=64)
+        w2, m2, p2 = sps.dbode(self.SYSD, n=64)
+        np.testing.assert_allclose(w1, w2, atol=1e-10)
+        np.testing.assert_allclose(m1, m2, atol=1e-10)
