@@ -79,6 +79,21 @@ from nx_signal_tpu.ops.ltisys import (
     unique_roots,
     zpk2ss,
 )
+from nx_signal_tpu.ops.splines import (
+    cspline1d,
+    cspline1d_eval,
+    cspline2d,
+    cubic_bspline,
+    gauss_spline,
+    qspline1d,
+    qspline1d_eval,
+    qspline2d,
+    quadratic_bspline,
+    sepfir2d,
+    spline_filter,
+    symiirorder1,
+    symiirorder2,
+)
 from nx_signal_tpu.ops.transforms import envelope, hilbert, hilbert2
 from nx_signal_tpu.ops.iir import (
     filtfilt,
@@ -160,6 +175,10 @@ __all__ = [
     "invres", "invresz", "hilbert", "hilbert2", "envelope",
     "dlsim", "dimpulse", "dstep", "lsim", "impulse", "step",
     "findfreqs", "freqresp", "bode", "dfreqresp", "dbode",
+    # splines
+    "gauss_spline", "cubic_bspline", "quadratic_bspline", "symiirorder1",
+    "symiirorder2", "cspline1d", "qspline1d", "cspline1d_eval",
+    "qspline1d_eval", "cspline2d", "qspline2d", "sepfir2d", "spline_filter",
     # resampling & mixing
     "upfirdn", "resample_poly", "pfb_analyze", "resample", "decimate",
     "mix_down", "demodulate_channel", "mixing", "detrend",

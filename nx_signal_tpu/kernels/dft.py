@@ -58,34 +58,53 @@ def good_matmul_fft_length(n_fft: int) -> bool:
 
 def blocked_frame_matmul(x, weights, *, window_length: int, stride: int,
                          num_frames: int, precision="highest",
-                         materialize: bool = True):
+                         strategy: str = "conv"):
     """Compute `as_windowed(x, window_length, stride)[:num_frames] @ weights`
     with gather-free framing (the C = ceil(window/stride) contiguous
     slice+reshape blocks of spectral/framing.py).
 
-    Two execution strategies, both MXU matmuls:
+    Execution strategies (all MXU; measured on v5e, scripts/
+    conv6_experiment.py + profile_chain.py, see ROOFLINE.md):
 
-    * `materialize=True` (default, fastest measured): build the
-      (num_frames, window_length) frame matrix from the C reshape-blocks
-      (one fused copy pass, C reads + one C*x-sized write) and run ONE
-      matmul with K = window_length. Profiled on v5e (scripts/
-      profile_chain.py): the single K=512 matmul sustains ~47 TF/s real vs
-      ~12 TF/s for the block-accumulated form — the C-1 extra partial-sum
-      read+write round-trips of the (num_frames, out) f32 accumulator cost
-      ~3x more HBM traffic than materializing the frames once.
+    * 'conv' (default, fastest): reshape the signal into NON-overlapping
+      (num_frames + C - 1, stride) hop blocks — a free view — and run ONE
+      `lax.conv` over the block axis with a C-tap kernel whose tap r holds
+      weight rows [r*stride, (r+1)*stride). The frame matrix is never
+      materialized: the C-fold input reuse happens inside the conv
+      emitter's VMEM window instead of through an HBM frames buffer.
+      Measured +33-49% over 'materialize' and bitwise-identical on TPU.
 
-    * `materialize=False`: never build the frame matrix; C separate
-      (num_frames, w_r) @ (w_r, out) matmuls accumulate in HBM. Lower peak
-      memory (no frames buffer) — use when the frame matrix would not fit.
+    * 'materialize': build the (num_frames, window_length) frame matrix
+      (C-fold HBM expansion) and run one K = window_length matmul. Still
+      ~4x better than 'blocked' (the single large-K GEMM sustains
+      ~47 TF/s real vs ~12).
+
+    * 'blocked': C separate (num_frames, w_r) @ (w_r, out) matmuls
+      accumulating in HBM. Lowest peak memory; slowest (partial-sum
+      round-trips).
     """
     x = jnp.asarray(x)
     weights = jnp.asarray(weights)
     widths = _frame_block_widths(window_length, stride)
-    needed = (num_frames + len(widths) - 1) * stride
+    c_blocks = len(widths)
+    needed = (num_frames + c_blocks - 1) * stride
     batch = x.shape[:-1]
     if needed > x.shape[-1]:
         x = jnp.pad(x, [(0, 0)] * len(batch) + [(0, needed - x.shape[-1])])
-    if materialize and len(widths) > 1:
+    if strategy == "conv" and c_blocks > 1:
+        out_cols = weights.shape[-1]
+        pad_rows = c_blocks * stride - window_length
+        w = jnp.pad(weights, [(0, pad_rows), (0, 0)]) if pad_rows else weights
+        kernel = w.reshape(c_blocks, stride, out_cols)          # WIO
+        blocks = x[..., :needed].reshape(*batch, num_frames + c_blocks - 1,
+                                         stride)
+        flat = blocks.reshape(-1, num_frames + c_blocks - 1, stride)
+        out = lax.conv_general_dilated(
+            flat, kernel, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"), precision=precision,
+        )
+        return out.reshape(*batch, num_frames, out_cols)
+    if strategy in ("conv", "materialize") and c_blocks > 1:
         blocks = []
         for r, w_r in enumerate(widths):
             block = x[..., r * stride : (r + num_frames) * stride]

@@ -108,20 +108,20 @@ def main():
     dt = timeit(f_dir, x)
     rec("fir_direct_toeplitz", dt, flops=fir_flops, bytes_=8 * N)
 
-    # --- framed DFT alone (the STFT core, onesided); default = materialized
+    # --- framed DFT alone (the STFT core, onesided); default = conv strategy
     st_flops = 2.0 * CHANNELS * num_frames * FRAME * (2 * BINS)
     st_bytes = (4 * N * (FRAME // HOP)            # C=4 reads of x
                 + CHANNELS * num_frames * 2 * BINS * 4)  # write z
     f_dft = jax.jit(lambda t: framed_dft(
         t, window, stride=HOP, n_fft=NFFT, onesided=True, precision=PREC))
     dt = timeit(f_dft, x)
-    rec("framed_dft(materialized)", dt, flops=st_flops, bytes_=st_bytes)
+    rec("framed_dft(conv strategy)", dt, flops=st_flops, bytes_=st_bytes)
 
     # --- blocked-accumulation form (the round-1 default, for comparison)
     def dft_blocked(t):
         acc = blocked_frame_matmul(
             t, weights, window_length=FRAME, stride=HOP,
-            num_frames=num_frames, precision=PREC, materialize=False)
+            num_frames=num_frames, precision=PREC, strategy="blocked")
         return lax.complex(acc[..., :BINS], acc[..., BINS:])
     f_dftb = jax.jit(dft_blocked)
     dt = timeit(f_dftb, x)
