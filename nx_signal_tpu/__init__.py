@@ -62,6 +62,7 @@ from nx_signal_tpu.ops.ltisys import (
     dfreqresp,
     dimpulse,
     dlsim,
+    dlti,
     dstep,
     findfreqs,
     freqresp,
@@ -69,6 +70,7 @@ from nx_signal_tpu.ops.ltisys import (
     invres,
     invresz,
     lsim,
+    lti,
     normalize,
     residue,
     residuez,
@@ -173,7 +175,7 @@ __all__ = [
     "ltisys", "normalize", "bilinear", "tf2ss", "ss2tf", "zpk2ss", "ss2zpk",
     "abcd_normalize", "cont2discrete", "unique_roots", "residue", "residuez",
     "invres", "invresz", "hilbert", "hilbert2", "envelope",
-    "dlsim", "dimpulse", "dstep", "lsim", "impulse", "step",
+    "dlsim", "dimpulse", "dstep", "lsim", "impulse", "step", "lti", "dlti",
     "findfreqs", "freqresp", "bode", "dfreqresp", "dbode",
     # splines
     "gauss_spline", "cubic_bspline", "quadratic_bspline", "symiirorder1",

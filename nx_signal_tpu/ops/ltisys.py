@@ -22,6 +22,7 @@ __all__ = [
     "residuez", "invres", "invresz",
     "dlsim", "dimpulse", "dstep", "lsim", "impulse", "step",
     "findfreqs", "freqresp", "bode", "dfreqresp", "dbode",
+    "lti", "dlti",
 ]
 
 
@@ -832,3 +833,129 @@ def dbode(system, w=None, n: int = 100):
     mag = 20.0 * np.log10(np.abs(h))
     phase = np.unwrap(np.angle(h)) * 180.0 / np.pi
     return w / dt, mag, phase
+
+
+# ------------------------------------------------------------ class wrappers
+
+class lti:
+    """Continuous-time LTI system — the scipy.signal.lti interface over the
+    functional API above. Construct from 2 (num, den), 3 (z, p, k), or
+    4 (A, B, C, D) arguments; the instance keeps the given representation
+    and converts on demand (scipy returns representation-specific
+    subclasses; here one class carries all three views)."""
+
+    dt = None
+
+    def __init__(self, *system):
+        if len(system) not in (2, 3, 4):
+            raise ValueError("lti takes 2 (tf), 3 (zpk), or 4 (ss) arguments")
+        self._system = tuple(system)
+
+    def __repr__(self):
+        kinds = {2: "tf", 3: "zpk", 4: "ss"}
+        return f"lti({kinds[len(self._system)]}, {self._system!r})"
+
+    # -- representations
+    def to_ss(self):
+        return _to_ss(self._system)
+
+    def to_tf(self):
+        if len(self._system) == 2:
+            return normalize(*self._system)
+        num, den = ss2tf(*self.to_ss())
+        return np.atleast_2d(num)[0], den
+
+    def to_zpk(self):
+        from nx_signal_tpu.ops.iir_design import tf2zpk
+
+        if len(self._system) == 3:
+            return self._system
+        return tf2zpk(*self.to_tf())
+
+    @property
+    def zeros(self):
+        return self.to_zpk()[0]
+
+    @property
+    def poles(self):
+        return self.to_zpk()[1]
+
+    # -- responses
+    def impulse(self, X0=None, T=None, N=None):
+        return impulse(self._system, x0=X0, t=T, n=N)
+
+    def step(self, X0=None, T=None, N=None):
+        return step(self._system, x0=X0, t=T, n=N)
+
+    def output(self, U, T, X0=None):
+        return lsim(self._system, U, T, x0=X0)
+
+    def freqresp(self, w=None, n: int = 10000):
+        return freqresp(self._system, w=w, n=n)
+
+    def bode(self, w=None, n: int = 100):
+        return bode(self._system, w=w, n=n)
+
+    def to_discrete(self, dt, method: str = "zoh", alpha=None):
+        sysd = cont2discrete(self._system, dt, method=method, alpha=alpha)
+        rep = list(sysd[:-1])
+        if len(rep) == 2:  # single-output tf comes back with a 2-D num row
+            rep[0] = np.atleast_2d(rep[0])[0]
+        return dlti(*rep, dt=sysd[-1])
+
+
+class dlti:
+    """Discrete-time LTI system — the scipy.signal.dlti interface over the
+    functional API above (dimpulse/dstep/dlsim/dfreqresp/dbode)."""
+
+    def __init__(self, *system, dt=True):
+        if len(system) not in (2, 3, 4):
+            raise ValueError("dlti takes 2 (tf), 3 (zpk), or 4 (ss) arguments")
+        self._system = tuple(system)
+        self.dt = 1.0 if dt is True else float(dt)
+
+    def __repr__(self):
+        kinds = {2: "tf", 3: "zpk", 4: "ss"}
+        return f"dlti({kinds[len(self._system)]}, {self._system!r}, dt={self.dt})"
+
+    def _full(self):
+        return self._system + (self.dt,)
+
+    def to_ss(self):
+        return _to_ss(self._system) + (self.dt,)
+
+    def to_tf(self):
+        if len(self._system) == 2:
+            return normalize(*self._system) + (self.dt,)
+        num, den = ss2tf(*_to_ss(self._system))
+        return np.atleast_2d(num)[0], den, self.dt
+
+    def to_zpk(self):
+        from nx_signal_tpu.ops.iir_design import tf2zpk
+
+        if len(self._system) == 3:
+            return self._system + (self.dt,)
+        return tf2zpk(*self.to_tf()[:2]) + (self.dt,)
+
+    @property
+    def zeros(self):
+        return self.to_zpk()[0]
+
+    @property
+    def poles(self):
+        return self.to_zpk()[1]
+
+    def impulse(self, x0=None, t=None, n=None):
+        return dimpulse(self._full(), x0=x0, t=t, n=n)
+
+    def step(self, x0=None, t=None, n=None):
+        return dstep(self._full(), x0=x0, t=t, n=n)
+
+    def output(self, u, t=None, x0=None):
+        return dlsim(self._full(), u, t=t, x0=x0)
+
+    def freqresp(self, w=None, n: int = 10000, whole: bool = False):
+        return dfreqresp(self._full(), w=w, n=n, whole=whole)
+
+    def bode(self, w=None, n: int = 100):
+        return dbode(self._full(), w=w, n=n)

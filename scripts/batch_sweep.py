@@ -30,7 +30,7 @@ FRAME, HOP, NFFT = 512, 128, 512
 def main():
     taps = firwin(255, [2000.0], sampling_rate=float(RATE))
     window = hann(FRAME)
-    configs = (16, 32, 64, 128)
+    configs = (16, 32, 64, 128, 256)
     xs, fns = {}, {}
     for channels in configs:
         xs[channels] = jnp.asarray(

@@ -408,3 +408,56 @@ class TestSimulation:
         w2, m2, p2 = sps.dbode(self.SYSD, n=64)
         np.testing.assert_allclose(w1, w2, atol=1e-10)
         np.testing.assert_allclose(m1, m2, atol=1e-10)
+
+
+class TestLtiClasses:
+    def test_lti_responses_vs_scipy(self):
+        ours = lti.lti([1.0], [1.0, 2.0, 5.0])
+        ref = sps.lti([1.0], [1.0, 2.0, 5.0])
+        np.testing.assert_allclose(ours.impulse()[1], ref.impulse()[1],
+                                   atol=1e-8)
+        np.testing.assert_allclose(ours.step()[1], ref.step()[1], atol=1e-8)
+        np.testing.assert_allclose(ours.bode(n=30)[1], ref.bode(n=30)[1],
+                                   atol=1e-9)
+        np.testing.assert_allclose(
+            np.sort_complex(np.asarray(ours.poles, complex)),
+            np.sort_complex(np.asarray(ref.poles, complex)), atol=1e-10)
+
+    def test_lti_output_ss_form(self):
+        a = np.array([[0.0, 1.0], [-5.0, -2.0]])
+        b = np.array([[0.0], [1.0]])
+        c = np.array([[1.0, 0.0]])
+        d = np.array([[0.0]])
+        t = np.linspace(0, 5, 101)
+        u = np.sin(t)
+        ours = lti.lti(a, b, c, d)
+        _, y1, _ = ours.output(u, t)
+        _, y2, _ = sps.lsim((a, b, c, d), u, t)
+        np.testing.assert_allclose(y1, y2, atol=1e-9)
+
+    def test_to_discrete_roundtrip(self):
+        sd = lti.lti([1.0], [1.0, 2.0, 5.0]).to_discrete(0.05)
+        sd2 = sps.lti([1.0], [1.0, 2.0, 5.0]).to_discrete(0.05)
+        np.testing.assert_allclose(sd.to_tf()[0],
+                                   np.atleast_1d(np.squeeze(sd2.num)),
+                                   atol=1e-10)
+        assert sd.dt == 0.05
+
+    def test_dlti_vs_scipy(self):
+        ours = lti.dlti([1.0, 0.5], [1.0, -0.8], dt=0.1)
+        ref = sps.dlti([1.0, 0.5], [1.0, -0.8], dt=0.1)
+        np.testing.assert_allclose(np.squeeze(ours.step(n=30)[1][0]),
+                                   np.squeeze(ref.step(n=30)[1][0]),
+                                   atol=1e-10)
+        np.testing.assert_allclose(ours.freqresp(n=64)[1],
+                                   ref.freqresp(n=64)[1], atol=1e-10)
+        u = np.sin(np.arange(40) * 0.2)
+        np.testing.assert_allclose(np.squeeze(ours.output(u)[1]),
+                                   np.squeeze(ref.output(u, t=None)[1]),
+                                   atol=1e-10)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            lti.lti([1.0])
+        with pytest.raises(ValueError):
+            lti.dlti([1.0], [1.0], [1.0], [1.0], [1.0])
