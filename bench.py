@@ -2,7 +2,7 @@
 north-star metric).
 
 Workload: 255-tap FIR low-pass fused into a 512-pt Hann framed-DFT (hop
-128) producing the one-sided power spectrogram of a 128-channel f32 stream
+128) producing the one-sided power spectrogram of a 512-channel f32 stream
 — the guides/filtering.livemd chain at production batch size. The FIR is
 folded into the DFT weights (kernels/dft.py:fir_framed_dft) so the whole
 chain is one frames-matmul: the filtered signal is never materialized and
@@ -30,10 +30,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-CHANNELS = 128  # fills the chip; amortizes the ~1.6 ms tunnel dispatch
+CHANNELS = 512  # fills the chip; amortizes the ~1.6 ms tunnel dispatch
+# (measured ladder: 16ch 1814 / 128ch 2646 / 256ch 3578 / 512ch 4269 Ms/s;
+# 1024ch would need ~12 GB of conv output + power and risks HBM OOM)
 SECONDS = 10
 RATE = 48000
-STEPS = 4
+STEPS = 2
 NUM_TAPS = 255
 FRAME, HOP, NFFT = 512, 128, 512
 BINS = NFFT // 2 + 1
