@@ -140,6 +140,7 @@ from nx_signal_tpu.ops.resample import (
 from nx_signal_tpu.spectral.framing import as_windowed, overlap_and_add
 from nx_signal_tpu.spectral.mel import mel_filters, stft_to_mel
 from nx_signal_tpu.spectral.estimation import coherence, csd, periodogram, welch
+from nx_signal_tpu.spectral.short_time_fft import ShortTimeFFT
 from nx_signal_tpu.spectral.spectrogram import spectrogram
 from nx_signal_tpu.spectral.stft import (
     STFTResult,
@@ -160,6 +161,7 @@ __all__ = [
     "stft", "istft", "STFTResult", "fft_frequencies", "as_windowed",
     "overlap_and_add", "mel_filters", "stft_to_mel", "spectrogram",
     "periodogram", "welch", "csd", "coherence", "check_cola", "check_nola",
+    "ShortTimeFFT",
     # convolution family
     "convolve", "correlate", "correlation_lags", "deconvolve",
     "choose_conv_method", "fftconvolve", "oaconvolve",

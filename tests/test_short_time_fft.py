@@ -1,0 +1,154 @@
+"""scipy-oracle tests for spectral/short_time_fft.py (ShortTimeFFT)."""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from nx_signal_tpu.spectral.short_time_fft import ShortTimeFFT
+
+RNG_SEED = 0
+
+
+def _pair(win, hop, fs, **kw):
+    return ShortTimeFFT(win, hop=hop, fs=fs, **kw), \
+        sps.ShortTimeFFT(win, hop=hop, fs=fs, **kw)
+
+
+PROPS = ("m_num", "m_num_mid", "mfft", "p_min", "k_min", "f_pts",
+         "delta_t", "delta_f", "T", "onesided_fft", "invertible")
+
+
+def _check_all(ours, ref, n, x=None, stft_atol=1e-10, **stft_kw):
+    x = np.random.default_rng(RNG_SEED).normal(size=n) if x is None else x
+    for prop in PROPS:
+        assert np.allclose(getattr(ours, prop), getattr(ref, prop)), prop
+    assert ours.p_max(n) == ref.p_max(n)
+    assert ours.k_max(n) == ref.k_max(n)
+    assert ours.lower_border_end == ref.lower_border_end
+    assert ours.upper_border_begin(n) == ref.upper_border_begin(n)
+    np.testing.assert_allclose(ours.f, ref.f, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ours.dual_win), ref.dual_win,
+                               atol=1e-12)
+    np.testing.assert_allclose(ours.t(n), ref.t(n), atol=1e-12)
+    s1 = np.asarray(ours.stft(x, **stft_kw))
+    s2 = ref.stft(x, **stft_kw)
+    np.testing.assert_allclose(s1, s2, atol=stft_atol)
+    x1 = np.asarray(ours.istft(s1, k1=n))
+    x2 = ref.istft(s2, k1=n)
+    np.testing.assert_allclose(x1, x2, atol=1e-9)
+    want = x if np.isrealobj(x1) else x.astype(complex)
+    np.testing.assert_allclose(x1, want, atol=1e-8)  # perfect reconstruction
+
+
+class TestParity:
+    def test_hann_onesided(self):
+        _check_all(*_pair(np.hanning(8), 3, 10.0), n=50)
+
+    def test_gaussian_twosided(self):
+        w = sps.windows.gaussian(17, std=4, sym=True)
+        _check_all(*_pair(w, 5, 1.0, fft_mode="twosided"), n=77)
+
+    def test_centered_with_mfft(self):
+        w = sps.windows.gaussian(17, std=4, sym=True)
+        _check_all(*_pair(w, 4, 2.0, fft_mode="centered", mfft=32), n=64)
+
+    @pytest.mark.parametrize("scaling", ["magnitude", "psd"])
+    def test_onesided2X_scaled(self, scaling):
+        w = sps.windows.gaussian(17, std=4, sym=True)
+        _check_all(*_pair(w, 4, 2.0, scale_to=scaling,
+                          fft_mode="onesided2X"), n=64)
+
+    @pytest.mark.parametrize("phase_shift", [None, 2, -3])
+    def test_phase_shift(self, phase_shift):
+        _check_all(*_pair(np.hanning(8), 3, 10.0, phase_shift=phase_shift),
+                   n=45)
+
+    def test_complex_twosided_and_istft_subrange(self):
+        rng = np.random.default_rng(1)
+        zc = rng.normal(size=60) + 1j * rng.normal(size=60)
+        w = sps.windows.gaussian(17, std=4, sym=True)
+        ours, ref = _pair(w, 3, 4.0, fft_mode="twosided")
+        s1, s2 = np.asarray(ours.stft(zc)), ref.stft(zc)
+        np.testing.assert_allclose(s1, s2, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(ours.istft(s1, k0=10, k1=50)),
+                                   ref.istft(s2, k0=10, k1=50), atol=1e-9)
+
+
+class TestPaddingAxesExtras:
+    def setup_method(self):
+        self.x = np.random.default_rng(2).normal(size=(3, 60))
+        self.ours, self.ref = _pair(np.hanning(8), 3, 10.0)
+
+    @pytest.mark.parametrize("padding", ["zeros", "edge", "even", "odd"])
+    def test_padding_modes(self, padding):
+        np.testing.assert_allclose(
+            np.asarray(self.ours.stft(self.x, padding=padding)),
+            self.ref.stft(self.x, padding=padding), atol=1e-10)
+
+    def test_axis_handling(self):
+        np.testing.assert_allclose(np.asarray(self.ours.stft(self.x.T, axis=0)),
+                                   self.ref.stft(self.x.T, axis=0), atol=1e-10)
+
+    def test_spectrogram_and_detrend(self):
+        np.testing.assert_allclose(np.asarray(self.ours.spectrogram(self.x[0])),
+                                   self.ref.spectrogram(self.x[0]), atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(self.ours.stft_detrend(self.x[0], "linear")),
+            self.ref.stft_detrend(self.x[0], "linear"), atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(self.ours.spectrogram(self.x[0], self.x[1])),
+            self.ref.spectrogram(self.x[0], self.x[1]), atol=1e-10)
+
+    def test_p_slice_range(self):
+        s1 = np.asarray(self.ours.stft(self.x[0], p0=2, p1=10))
+        s2 = self.ref.stft(self.x[0], p0=2, p1=10)
+        np.testing.assert_allclose(s1, s2, atol=1e-10)
+
+
+class TestConstructors:
+    def test_from_window(self):
+        ours = ShortTimeFFT.from_window(("kaiser", 5.0), 100.0, 16, 12)
+        ref = sps.ShortTimeFFT.from_window(("kaiser", 5.0), 100.0, 16, 12)
+        # our kaiser evaluates some intermediates in f32 (repo-wide window
+        # convention; the reference gates kaiser at 1e-3)
+        np.testing.assert_allclose(np.asarray(ours.win), ref.win, atol=1e-6)
+        assert ours.hop == ref.hop and ours.fs == ref.fs
+
+    def test_from_dual(self):
+        w = sps.windows.gaussian(17, std=4, sym=True)
+        ours = ShortTimeFFT.from_dual(w, 5, 1.0)
+        ref = sps.ShortTimeFFT.from_dual(w, 5, 1.0)
+        np.testing.assert_allclose(np.asarray(ours.win), ref.win, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ours.dual_win), w, atol=1e-12)
+
+    def test_extent(self):
+        w = sps.windows.gaussian(17, std=4, sym=True)
+        ours, ref = _pair(w, 5, 1.0)
+        assert ours.extent(50) == ref.extent(50)
+        assert ours.extent(50, "ft", True) == ref.extent(50, "ft", True)
+
+
+class TestValidation:
+    def test_bad_args(self):
+        with pytest.raises(ValueError):
+            ShortTimeFFT(np.hanning(8), hop=0, fs=1.0)
+        with pytest.raises(ValueError):
+            ShortTimeFFT(np.hanning(8), hop=3, fs=1.0, fft_mode="bogus")
+        with pytest.raises(ValueError):
+            ShortTimeFFT(np.hanning(8), hop=3, fs=1.0, mfft=4)
+        with pytest.raises(ValueError):
+            ShortTimeFFT(np.hanning(8), hop=3, fs=1.0,
+                         fft_mode="onesided2X")  # needs scaling
+        st = ShortTimeFFT(np.hanning(8), hop=3, fs=1.0)
+        with pytest.raises(ValueError):
+            st.stft(np.zeros(50) + 1j)  # complex input, onesided
+        with pytest.raises(ValueError):
+            st.p_range(50, -5, 3)
+        with pytest.raises(ValueError):
+            st.scale_to("bogus")
+        with pytest.raises(ValueError, match="invertible"):
+            ShortTimeFFT(np.hanning(8), hop=9, fs=1.0).dual_win
+
+    def test_non_invertible_flag(self):
+        st = ShortTimeFFT(np.hanning(8), hop=9, fs=1.0)
+        assert not st.invertible
