@@ -12,10 +12,12 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
 
 namespace {
 
@@ -307,6 +309,134 @@ void ring_destroy(void* h) {
   auto* r = static_cast<Ring*>(h);
   std::free(r->buf);
   delete r;
+}
+
+// ---- background prefetcher: decode thread -> SPSC ring -> consumer ----
+//
+// The data-loader piece of the streaming runtime: a producer thread decodes
+// WAV blocks (planar f32) off the GIL and ahead of consumption, so disk +
+// decode overlap with TPU compute. Block protocol on the ring:
+// [frame_count (1 float, exact for counts < 2^24), frame_count * channels
+// planar samples]; a frame_count of 0 marks end-of-stream.
+
+struct Prefetcher {
+  void* reader = nullptr;       // wav_open handle
+  Ring* ring = nullptr;
+  std::thread worker;
+  std::atomic<bool> stop{false};
+  std::atomic<bool> failed{false};
+  int64_t block_frames = 0;
+  int channels = 0;
+};
+
+static void prefetch_push_all(Prefetcher* p, const float* data, uint64_t n) {
+  uint64_t done = 0;
+  while (done < n && !p->stop.load(std::memory_order_acquire)) {
+    done += ring_push(p->ring, data + done, n - done);
+    if (done < n)
+      std::this_thread::sleep_for(std::chrono::microseconds(200));
+  }
+}
+
+static void prefetch_worker(Prefetcher* p) {
+  const uint64_t block = static_cast<uint64_t>(p->block_frames) * p->channels;
+  float* buf = static_cast<float*>(std::malloc(block * sizeof(float)));
+  if (!buf) {
+    p->failed.store(true, std::memory_order_release);
+    return;
+  }
+  while (!p->stop.load(std::memory_order_acquire)) {
+    int64_t got = wav_read(p->reader, buf, p->block_frames);
+    if (got < 0) {
+      p->failed.store(true, std::memory_order_release);
+      break;
+    }
+    float header = static_cast<float>(got);
+    prefetch_push_all(p, &header, 1);
+    if (got == 0) break;  // EOS marker pushed
+    if (got == p->block_frames) {
+      prefetch_push_all(p, buf, block);
+    } else {
+      // wav_read lays rows out with stride = REQUESTED frames; compact the
+      // short final block to row stride = got while pushing
+      for (int c = 0; c < p->channels; ++c)
+        prefetch_push_all(p, buf + static_cast<uint64_t>(c) * p->block_frames,
+                          static_cast<uint64_t>(got));
+      float eos = 0.0f;
+      prefetch_push_all(p, &eos, 1);
+      break;
+    }
+  }
+  std::free(buf);
+}
+
+// Returns a handle, or null when the file cannot be opened. `depth_blocks`
+// decoded blocks are buffered ahead of the consumer.
+void* prefetch_start(const char* path, int64_t block_frames,
+                     int64_t depth_blocks) {
+  if (block_frames < 1 || depth_blocks < 1) return nullptr;
+  void* reader = wav_open(path);
+  if (!reader) return nullptr;
+  auto* p = new Prefetcher();
+  p->reader = reader;
+  p->block_frames = block_frames;
+  p->channels = wav_channels(reader);
+  uint64_t cap = static_cast<uint64_t>(depth_blocks) *
+                 (static_cast<uint64_t>(block_frames) * p->channels + 1);
+  p->ring = static_cast<Ring*>(ring_create(cap));
+  if (!p->ring) {
+    wav_close(reader);
+    delete p;
+    return nullptr;
+  }
+  p->worker = std::thread(prefetch_worker, p);
+  return p;
+}
+
+int prefetch_channels(void* h) { return static_cast<Prefetcher*>(h)->channels; }
+int prefetch_sample_rate(void* h) {
+  return wav_sample_rate(static_cast<Prefetcher*>(h)->reader);
+}
+int64_t prefetch_total_frames(void* h) {
+  return wav_frames(static_cast<Prefetcher*>(h)->reader);
+}
+
+// Pop the next block into `out` (capacity block_frames*channels floats,
+// planar with row stride = returned frame count). Blocks until a full
+// block, EOS, or a decode failure. Returns frames (0 = end of stream,
+// -1 = decode error).
+int64_t prefetch_next(void* h, float* out) {
+  auto* p = static_cast<Prefetcher*>(h);
+  float header = 0.0f;
+  while (ring_pop(p->ring, &header, 1) == 0) {
+    if (p->failed.load(std::memory_order_acquire)) return -1;
+    std::this_thread::sleep_for(std::chrono::microseconds(200));
+  }
+  const auto frames = static_cast<int64_t>(header);
+  if (frames <= 0) return 0;
+  uint64_t want = static_cast<uint64_t>(frames) * p->channels;
+  uint64_t done = 0;
+  while (done < want) {
+    done += ring_pop(p->ring, out + done, want - done);
+    if (done < want) {
+      if (p->failed.load(std::memory_order_acquire)) return -1;
+      std::this_thread::sleep_for(std::chrono::microseconds(200));
+    }
+  }
+  return frames;
+}
+
+uint64_t prefetch_buffered(void* h) {
+  return ring_size(static_cast<Prefetcher*>(h)->ring);
+}
+
+void prefetch_stop(void* h) {
+  auto* p = static_cast<Prefetcher*>(h);
+  p->stop.store(true, std::memory_order_release);
+  if (p->worker.joinable()) p->worker.join();
+  ring_destroy(p->ring);
+  wav_close(p->reader);
+  delete p;
 }
 
 }  // extern "C"

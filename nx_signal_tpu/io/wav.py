@@ -16,7 +16,7 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["read_wav", "write_wav", "stream_wav", "WavReader", "RingBuffer"]
+__all__ = ["read_wav", "write_wav", "stream_wav", "WavReader", "RingBuffer", "PrefetchingWavReader"]
 
 _NATIVE_DIR = Path(__file__).parent / "native"
 _SRC = _NATIVE_DIR / "wav_io.cpp"
@@ -29,7 +29,7 @@ _native_failed = False
 def _build_native():
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        str(_SRC), "-o", str(_LIB_PATH),
+        str(_SRC), "-o", str(_LIB_PATH), "-pthread",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -77,6 +77,19 @@ def _load():
             fn.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
                            ctypes.c_uint64]
         lib.ring_destroy.argtypes = [ctypes.c_void_p]
+        lib.prefetch_start.restype = ctypes.c_void_p
+        lib.prefetch_start.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                       ctypes.c_int64]
+        lib.prefetch_channels.argtypes = [ctypes.c_void_p]
+        lib.prefetch_sample_rate.argtypes = [ctypes.c_void_p]
+        lib.prefetch_total_frames.restype = ctypes.c_int64
+        lib.prefetch_total_frames.argtypes = [ctypes.c_void_p]
+        lib.prefetch_next.restype = ctypes.c_int64
+        lib.prefetch_next.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_float)]
+        lib.prefetch_buffered.restype = ctypes.c_uint64
+        lib.prefetch_buffered.argtypes = [ctypes.c_void_p]
+        lib.prefetch_stop.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -237,6 +250,80 @@ class RingBuffer:
         if self._h:
             self._lib.ring_destroy(self._h)
             self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class PrefetchingWavReader:
+    """Double-buffered WAV block stream: a NATIVE background thread decodes
+    `depth_blocks` blocks ahead into the lock-free ring while the caller
+    (e.g. the TPU feed loop) consumes — disk + PCM decode overlap with
+    compute, entirely off the GIL (the blocking prefetch_next call is a
+    plain C call, so other Python threads keep running).
+
+    The runtime data-loader piece of the framework (SURVEY.md §5); the
+    reference has no IO layer at all. Iterate to get (channels, frames)
+    float32 blocks (the last one may be short).
+    """
+
+    def __init__(self, path, block_frames: int, *, depth_blocks: int = 4):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "PrefetchingWavReader requires the native wav_io library")
+        if block_frames < 1 or depth_blocks < 1:
+            raise ValueError("block_frames and depth_blocks must be >= 1")
+        self._lib = lib
+        self._h = lib.prefetch_start(
+            os.fspath(path).encode(), block_frames, depth_blocks)
+        if not self._h:
+            raise OSError(f"cannot open WAV file: {path}")
+        self.block_frames = int(block_frames)
+        self.channels = lib.prefetch_channels(self._h)
+        self.sample_rate = lib.prefetch_sample_rate(self._h)
+        self.num_frames = lib.prefetch_total_frames(self._h)
+
+    @property
+    def buffered_samples(self) -> int:
+        """Samples currently decoded ahead (incl. block headers)."""
+        return self._lib.prefetch_buffered(self._h)
+
+    def next_block(self):
+        """Next (channels, frames) float32 block; None at end of stream.
+        Blocks (off the GIL) until the producer has one ready."""
+        out = np.empty((self.channels, self.block_frames), dtype=np.float32)
+        got = self._lib.prefetch_next(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if got < 0:
+            raise OSError("wav decode failed in prefetch thread")
+        if got == 0:
+            return None
+        if got == self.block_frames:
+            return out
+        # short final block: planar with row stride == got
+        return out.ravel()[: got * self.channels].reshape(self.channels, got)
+
+    def __iter__(self):
+        while True:
+            block = self.next_block()
+            if block is None:
+                return
+            yield block
+
+    def close(self):
+        if self._h:
+            self._lib.prefetch_stop(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __del__(self):
         try:

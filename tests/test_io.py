@@ -172,3 +172,56 @@ def test_rejects_inconsistent_block_align(tmp_path):
     p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
     with pytest.raises(OSError):
         WavReader(p)
+
+
+class TestPrefetchingWavReader:
+    def test_blocks_match_batch_read(self, tmp_path):
+        from nx_signal_tpu.io.wav import PrefetchingWavReader, read_wav, write_wav
+
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=(2, 44100)).astype(np.float32) * 0.5
+        path = str(tmp_path / "pf.wav")
+        write_wav(path, data, 44100, float32=True)
+
+        whole, sr = read_wav(path)
+        got = []
+        with PrefetchingWavReader(path, block_frames=4096) as pf:
+            assert pf.channels == 2 and pf.sample_rate == 44100
+            assert pf.num_frames == 44100
+            for block in pf:
+                assert block.shape[0] == 2
+                got.append(block)
+        streamed = np.concatenate(got, axis=1)
+        np.testing.assert_array_equal(streamed, np.asarray(whole))
+        # 44100 = 10 full blocks of 4096 + a short 3140-frame tail
+        assert got[-1].shape[1] == 44100 - 10 * 4096
+
+    def test_overlapped_production(self, tmp_path):
+        """The producer runs ahead: after a slow consumer step, several
+        blocks are already buffered."""
+        import time
+
+        from nx_signal_tpu.io.wav import PrefetchingWavReader, write_wav
+
+        rng = np.random.default_rng(1)
+        data = rng.normal(size=(1, 200_000)).astype(np.float32) * 0.1
+        path = str(tmp_path / "pf2.wav")
+        write_wav(path, data, 48000, float32=True)
+
+        with PrefetchingWavReader(path, block_frames=8192,
+                                  depth_blocks=8) as pf:
+            first = pf.next_block()
+            assert first is not None
+            time.sleep(0.2)  # let the decode thread fill the ring
+            assert pf.buffered_samples > 3 * 8192
+
+    def test_open_failure(self, tmp_path):
+        from nx_signal_tpu.io.wav import PrefetchingWavReader
+
+        with pytest.raises(OSError):
+            PrefetchingWavReader(str(tmp_path / "missing.wav"), 1024)
+        from nx_signal_tpu.io.wav import write_wav
+        p = str(tmp_path / "x.wav")
+        write_wav(p, np.zeros((1, 10), np.float32), 8000)
+        with pytest.raises(ValueError):
+            PrefetchingWavReader(p, 0)
