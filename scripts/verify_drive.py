@@ -1,0 +1,150 @@
+"""End-to-end user-style drive of the public package surface.
+
+This is the /verify skill's drive script (kept in-repo so each round's
+end-to-end recipe persists). Run from anywhere:
+
+    PYTHONPATH=/root/repo python scripts/verify_drive.py
+
+Covers: firwin design gates, convolve/oaconvolve agreement + stopband,
+stft/istft round-trip, stft_to_mel, sharded bitwise parity on the 8-device
+CPU mesh, error paths, the round-2 additions (iircomb/ord-selection/
+gammatone/cont2discrete/check_nola/envelope/ShortTimeFFT), and the native
+prefetching IO layer.
+"""
+
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from nx_signal_tpu.ops.filters import firwin
+from nx_signal_tpu.ops.convolution import convolve, oaconvolve
+from nx_signal_tpu.spectral import stft, istft
+from nx_signal_tpu.spectral.mel import stft_to_mel
+from nx_signal_tpu.ops.windows import hann
+from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+from nx_signal_tpu.parallel.sharded import (
+    sharded_convolve_same, sharded_istft, sharded_stft)
+
+rng = np.random.default_rng(42)
+
+# 1. firwin DC gain
+h = firwin(255, [2000.0], sampling_rate=16000.0)
+dc = float(jnp.sum(h))
+assert abs(dc - 1.0) < 1e-6, dc
+print("1. firwin DC gain OK:", dc)
+
+# 2. convolve vs oaconvolve + stopband attenuation
+t = np.arange(16000) / 16000.0
+x = (np.sin(2*np.pi*500*t) + np.sin(2*np.pi*6000*t)).astype(np.float32)
+y1 = convolve(x, h, mode="same")
+y2 = oaconvolve(x, h, mode="same")
+rel = float(jnp.max(jnp.abs(y1 - y2)) / jnp.max(jnp.abs(y1)))
+assert rel < 1e-5, rel
+# stopband: 6 kHz tone must be >= 60 dB down
+seg = slice(2000, 14000)
+yf = np.fft.rfft(np.asarray(y1)[seg] * np.hanning(12000))
+f = np.fft.rfftfreq(12000, 1/16000)
+p500 = np.abs(yf[np.argmin(np.abs(f-500))]); p6k = np.abs(yf[np.argmin(np.abs(f-6000))])
+att = 20*np.log10(p500/p6k)
+assert att >= 60, att
+print(f"2. convolve/oa agree ({rel:.2e}), stopband {att:.0f} dB OK")
+
+# 3. stft -> istft round-trip
+w = hann(512)
+sig = rng.normal(size=16384).astype(np.float32)
+z, times, freqs = stft(sig, w, overlap_length=384, fft_length=512, sampling_rate=16000.0)
+rec = istft(z, w, overlap_length=384, fft_length=512, sampling_rate=16000.0)
+n = min(rec.shape[-1], sig.shape[-1])
+err = float(np.max(np.abs(np.asarray(rec)[512:n-512] - sig[512:n-512])))
+assert err <= 1e-5, err
+print("3. stft/istft interior round-trip OK:", err)
+
+# 4. stft_to_mel
+mel = stft_to_mel(z, 16000.0, fft_length=512, mel_bins=80)
+assert mel.shape == (z.shape[0], 80) and bool(jnp.all(jnp.isfinite(mel)))
+print("4. stft_to_mel OK:", mel.shape, float(mel.min()), float(mel.max()))
+
+# 5. sharded parity on (2,4) mesh
+mesh = make_dsp_mesh(2, 4)
+xs = rng.normal(size=(4, 8192)).astype(np.float32)
+taps = np.asarray(h, np.float32)
+got = sharded_convolve_same(xs, taps, mesh=mesh, method="conv")
+from nx_signal_tpu.ops.convolution import _direct_convolve
+want = _direct_convolve(jnp.asarray(xs), jnp.asarray(taps)[None, :], "same", use_matmul=False)
+np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+zs, _, _ = stft(jnp.asarray(xs), w, overlap_length=384, fft_length=512, sampling_rate=16000.0)
+sz, _, _ = sharded_stft(jnp.asarray(xs), w, mesh=mesh, overlap_length=384, fft_length=512, sampling_rate=16000.0)
+srel = float(jnp.max(jnp.abs(sz - zs)) / jnp.max(jnp.abs(zs)))
+assert srel <= 1e-6, srel
+gi = sharded_istft(zs, w, mesh=mesh, overlap_length=384, fft_length=512, sampling_rate=16000.0)
+si = istft(zs, w, overlap_length=384, fft_length=512, sampling_rate=16000.0)
+np.testing.assert_array_equal(np.asarray(gi), np.asarray(si))
+print(f"5. sharded parity OK (conv bitwise, stft rel {srel:.1e}, istft bitwise)")
+
+# 6. error paths
+errs = 0
+try: stft(sig, w, scaling="bogus")
+except ValueError as e: errs += 1; print("   scaling err:", str(e)[:60])
+try: firwin(64, [9000.0], sampling_rate=16000.0)
+except ValueError as e: errs += 1; print("   cutoff err:", str(e)[:60])
+try: stft(sig, w, overlap_length=512)
+except ValueError as e: errs += 1; print("   overlap err:", str(e)[:60])
+assert errs == 3
+print("6. error paths OK")
+
+# 7. this round's fixes: iircomb/ordsel through the public surface
+import nx_signal_tpu as nst
+import scipy.signal as sps
+b, a = nst.iircomb(50.0, 30.0, fs=1000.0)
+b2, a2 = sps.iircomb(50.0, 30.0, fs=1000.0)
+np.testing.assert_allclose(b, b2, rtol=1e-12); np.testing.assert_allclose(a, a2, rtol=1e-12)
+n1, wn1 = nst.cheb2ord([0.2, 0.5], [0.1, 0.6], 3, 40)
+n2, wn2 = sps.cheb2ord([0.2, 0.5], [0.1, 0.6], 3, 40)
+assert n1 == n2 and np.allclose(wn1, wn2, rtol=1e-8)
+print("7. iircomb + cheb2ord public-surface parity OK")
+print("ALL VERIFY CHECKS PASSED")
+
+# 8. round-2 scipy surface through the package root
+import nx_signal_tpu as nst2
+import scipy.signal as sps2
+b, a = nst2.gammatone(440.0, 'iir', fs=16000.0)
+b2, a2 = sps2.gammatone(440.0, 'iir', fs=16000.0)
+np.testing.assert_allclose(np.asarray(b), b2, rtol=1e-10)
+sysd = nst2.cont2discrete(([1.0],[1.0, 2.0]), 0.1)
+wantd = sps2.cont2discrete(([1.0],[1.0, 2.0]), 0.1)
+np.testing.assert_allclose(sysd[0], wantd[0], atol=1e-12)
+assert nst2.check_nola(np.asarray(hann(64)), 64, 48)
+env = nst2.envelope(np.asarray(x, np.float64))
+assert env.shape[0] == 2
+print("8. round-2 surface (gammatone/cont2discrete/check_nola/envelope) OK")
+print("VERIFY DRIVE COMPLETE")
+
+# 9. ShortTimeFFT through the package root
+SFT = nst.ShortTimeFFT(np.hanning(64), hop=16, fs=1000.0)
+sig9 = rng.normal(size=1000).astype(np.float64)
+S9 = SFT.stft(sig9)
+rec9 = np.asarray(SFT.istft(S9, k1=1000))
+assert np.max(np.abs(rec9 - sig9)) < 1e-4, np.max(np.abs(rec9 - sig9))
+import scipy.signal as _sps9
+S9r = _sps9.ShortTimeFFT(np.hanning(64), hop=16, fs=1000.0).stft(sig9)
+np.testing.assert_allclose(np.asarray(S9), S9r, atol=1e-4)  # f32 runtime vs scipy f64
+print("9. ShortTimeFFT round-trip + scipy parity OK")
+
+# 10. native IO: write -> prefetching stream -> bitwise vs batch read
+import tempfile, os as _os
+from nx_signal_tpu.io.wav import PrefetchingWavReader, read_wav, write_wav
+_d = tempfile.mkdtemp()
+_p = _os.path.join(_d, "drive.wav")
+_data = rng.normal(size=(2, 30000)).astype(np.float32) * 0.4
+write_wav(_p, _data, 16000, float32=True)
+_whole, _sr = read_wav(_p)
+_blocks = []
+with PrefetchingWavReader(_p, block_frames=4000) as _pf:
+    for _b in _pf:
+        _blocks.append(_b)
+np.testing.assert_array_equal(np.concatenate(_blocks, axis=1), np.asarray(_whole))
+np.testing.assert_array_equal(np.asarray(_whole), _data)
+print("10. native prefetching IO bitwise OK")
