@@ -38,11 +38,14 @@ from nx_signal_tpu.ops.convolution import (
     fftconvolve,
     oaconvolve,
 )
-from nx_signal_tpu.ops.czt import czt, zoom_fft
+from nx_signal_tpu.ops.czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
 from nx_signal_tpu.ops.filters import (
     detrend,
     firwin,
+    freqs,
+    freqs_zpk,
     freqz,
+    freqz_zpk,
     gammatone,
     group_delay,
     max_len_seq,
@@ -54,6 +57,7 @@ from nx_signal_tpu.ops.filters import (
     wiener,
 )
 from nx_signal_tpu.ops.ltisys import (
+    BadCoefficients,
     abcd_normalize,
     bilinear,
     bode,
@@ -101,25 +105,46 @@ from nx_signal_tpu.ops.iir import (
     filtfilt,
     lfilter,
     lfilter_zi,
+    lfiltic,
     sosfilt,
     sosfilt_zi,
     sosfiltfilt,
 )
 from nx_signal_tpu.ops.iir_design import (
     bessel,
+    besselap,
+    bilinear_zpk,
+    buttap,
     butter,
     buttord,
+    cheb1ap,
     cheb1ord,
+    cheb2ap,
     cheb2ord,
     cheby1,
     cheby2,
     ellip,
+    ellipap,
     ellipord,
     iircomb,
     iirdesign,
     iirfilter,
     iirnotch,
     iirpeak,
+    lp2bp,
+    lp2bp_zpk,
+    lp2bs,
+    lp2bs_zpk,
+    lp2hp,
+    lp2hp_zpk,
+    lp2lp,
+    lp2lp_zpk,
+    sos2tf,
+    sos2zpk,
+    tf2sos,
+    tf2zpk,
+    zpk2sos,
+    zpk2tf,
 )
 from nx_signal_tpu.ops.find_peaks import (
     Peaks,
@@ -168,11 +193,16 @@ __all__ = [
     # filters & design
     "firwin", "median", "medfilt", "medfilt2d", "order_filter", "wiener",
     "gammatone", "max_len_seq",
-    "lfilter", "lfilter_zi", "filtfilt", "sosfilt", "sosfilt_zi",
+    "lfilter", "lfilter_zi", "lfiltic", "filtfilt", "sosfilt", "sosfilt_zi",
     "sosfiltfilt", "butter", "cheby1", "cheby2", "ellip", "bessel",
     "iirfilter", "iirnotch", "iirpeak", "iircomb", "iirdesign",
     "buttord", "cheb1ord", "cheb2ord", "ellipord", "iir", "iir_design",
-    "freqz", "sosfreqz", "group_delay", "czt", "zoom_fft",
+    "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
+    "lp2lp", "lp2hp", "lp2bp", "lp2bs",
+    "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk", "bilinear_zpk",
+    "zpk2tf", "tf2zpk", "zpk2sos", "tf2sos", "sos2tf", "sos2zpk",
+    "freqz", "sosfreqz", "freqz_zpk", "freqs", "freqs_zpk", "group_delay",
+    "czt", "zoom_fft", "czt_points", "CZT", "ZoomFFT", "BadCoefficients",
     # LTI systems
     "ltisys", "normalize", "bilinear", "tf2ss", "ss2tf", "zpk2ss", "ss2zpk",
     "abcd_normalize", "cont2discrete", "unique_roots", "residue", "residuez",

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 from nx_signal_tpu.utils.shapes import fft_fast_length
 
-__all__ = ["czt", "zoom_fft"]
+__all__ = ["czt", "zoom_fft", "czt_points", "CZT", "ZoomFFT"]
 
 _MAX_MATMUL_NM = 1 << 21  # n*m above this -> Bluestein (empirical MXU regime)
 
@@ -68,57 +68,145 @@ def czt(x, m: int = None, w=None, a=1.0 + 0.0j, *, axis: int = -1):
     """
     x = jnp.asarray(x)
     n = x.shape[axis]
-    if n == 0:
-        raise ValueError("input must be nonempty along the transform axis")
-    if m is None:
-        m = n
+    plan = _CztPlan(n, m, w, a)
+    return plan.apply(x, axis=axis)
+
+
+class _CztPlan:
+    """Precomputed chirp tables for a fixed (n, m, w, a) transform.
+
+    Built once host-side in f64, reused across calls — the class forms
+    CZT/ZoomFFT amortize this across repeated same-length transforms
+    (scipy.signal.CZT's stated purpose)."""
+
+    def __init__(self, n, m=None, w=None, a=1.0 + 0.0j):
+        if n <= 0:
+            raise ValueError("input must be nonempty along the transform axis")
+        if m is None:
+            m = n
+        if m <= 0:
+            raise ValueError(f"m must be positive, got {m}")
+        if w is None:
+            w = np.exp(-2j * np.pi / m)
+        self.n, self.m = int(n), int(m)
+        self.w = _as_scalar_complex(w)
+        self.a = _as_scalar_complex(a)
+
+        n_idx = np.arange(self.n, dtype=np.float64)
+        a_chirp = _chirp_powers(self.a, -n_idx)  # a^{-n}
+        self._matmul = self.n * self.m <= _MAX_MATMUL_NM
+        if self._matmul:
+            # MXU path: one (.., n) @ (n, m) complex matmul
+            nk = n_idx[:, None] * np.arange(self.m, dtype=np.float64)[None, :]
+            self._weights = jnp.asarray(
+                (a_chirp[:, None] * _chirp_powers(self.w, nk)).astype(_CDTYPE)
+            )
+            return
+        # Bluestein: nk = (n^2 + k^2 - (k-n)^2) / 2
+        m, n, w = self.m, self.n, self.w
+        k_idx = np.arange(m, dtype=np.float64)
+        wn2 = _chirp_powers(w, n_idx * n_idx / 2.0)      # w^{n^2/2}
+        wk2 = _chirp_powers(w, k_idx * k_idx / 2.0)      # w^{k^2/2}
+        length = fft_fast_length(n + m - 1)
+        # v[j] = w^{-j^2/2} for j in -(n-1)..(m-1), circularly embedded
+        v = np.zeros(length, dtype=np.complex128)
+        v[:m] = _chirp_powers(w, -(k_idx * k_idx) / 2.0)
+        if n > 1:
+            j = np.arange(1, n, dtype=np.float64)
+            v[length - n + 1 :] = _chirp_powers(w, -(j * j) / 2.0)[::-1]
+        self._length = length
+        self._v_f = jnp.asarray(np.fft.fft(v).astype(_CDTYPE))
+        self._pre = jnp.asarray((a_chirp * wn2).astype(_CDTYPE))
+        self._post = jnp.asarray(wk2.astype(_CDTYPE))
+
+    def apply(self, x, *, axis: int = -1):
+        x = jnp.asarray(x)
+        if x.shape[axis] != self.n:
+            raise ValueError(
+                f"CZT defined for length {self.n}, got {x.shape[axis]}")
+        xm = jnp.moveaxis(x, axis, -1)
+        if self._matmul:
+            out = jnp.matmul(xm.astype(self._weights.dtype), self._weights,
+                             precision="highest")
+            return jnp.moveaxis(out, -1, axis)
+        u = xm.astype(_CDTYPE) * self._pre
+        conv = jnp.fft.ifft(
+            jnp.fft.fft(u, n=self._length, axis=-1) * self._v_f, axis=-1)
+        out = conv[..., : self.m] * self._post
+        return jnp.moveaxis(out, -1, axis)
+
+    def points(self):
+        """The z-plane evaluation points z_k = a * w^{-k}."""
+        return czt_points(self.m, self.w, self.a)
+
+
+def czt_points(m: int, w=None, a=1.0 + 0.0j):
+    """The m points z_k = a * w^{-k} on the CZT's logarithmic spiral —
+    scipy.signal.czt_points semantics (w defaults to exp(-2j*pi/m): the
+    unit circle of the plain DFT). Not in the reference. Host-side f64
+    chirp powers for phase accuracy."""
+    m = int(m)
     if m <= 0:
         raise ValueError(f"m must be positive, got {m}")
     if w is None:
         w = np.exp(-2j * np.pi / m)
-    w = _as_scalar_complex(w)
     a = _as_scalar_complex(a)
-
-    xm = jnp.moveaxis(x, axis, -1)
-    n_idx = np.arange(n, dtype=np.float64)
-    a_chirp = _chirp_powers(a, -n_idx)  # a^{-n}
-
-    if n * m <= _MAX_MATMUL_NM:
-        # MXU path: one (.., n) @ (n, m) complex matmul
-        nk = n_idx[:, None] * np.arange(m, dtype=np.float64)[None, :]
-        weights = jnp.asarray(
-            (a_chirp[:, None] * _chirp_powers(w, nk)).astype(_CDTYPE)
-        )
-        out = jnp.matmul(xm.astype(weights.dtype), weights, precision="highest")
-        return jnp.moveaxis(out, -1, axis)
-
-    # Bluestein: nk = (n^2 + k^2 - (k-n)^2) / 2
-    k_idx = np.arange(m, dtype=np.float64)
-    wn2 = _chirp_powers(w, n_idx * n_idx / 2.0)      # w^{n^2/2}
-    wk2 = _chirp_powers(w, k_idx * k_idx / 2.0)      # w^{k^2/2}
-    length = fft_fast_length(n + m - 1)
-    # v[j] = w^{-j^2/2} for j in -(n-1)..(m-1), circularly embedded
-    v = np.zeros(length, dtype=np.complex128)
-    v[:m] = _chirp_powers(w, -(k_idx * k_idx) / 2.0)
-    if n > 1:
-        j = np.arange(1, n, dtype=np.float64)
-        v[length - n + 1 :] = _chirp_powers(w, -(j * j) / 2.0)[::-1]
-    v_f = np.fft.fft(v)  # host-side f64: v is a concrete chirp table
-    u = xm.astype(_CDTYPE) * jnp.asarray((a_chirp * wn2).astype(_CDTYPE))
-    conv = jnp.fft.ifft(
-        jnp.fft.fft(u, n=length, axis=-1) * jnp.asarray(v_f.astype(_CDTYPE)),
-        axis=-1,
-    )
-    out = conv[..., :m] * jnp.asarray(wk2.astype(_CDTYPE))
-    return jnp.moveaxis(out, -1, axis)
+    pts = a * _chirp_powers(w, -np.arange(m, dtype=np.float64))
+    return jnp.asarray(pts.astype(_CDTYPE))
 
 
-def zoom_fft(x, fn, m: int = None, *, fs: float = 2.0, endpoint: bool = False,
-             axis: int = -1):
-    """DFT of `x` evaluated only over the band `fn` = [f1, f2] (or [0, fn]
-    for scalar fn) at `m` points — scipy.signal.zoom_fft semantics: a czt
-    along the unit circle, equivalent to zero-padding the FFT to the matching
-    resolution and slicing, without ever computing the full spectrum."""
+class CZT:
+    """Callable chirp-Z transform of fixed length — scipy.signal.CZT
+    semantics. Precomputes the chirp weight tables (the MXU matmul weights
+    or the Bluestein FFT tables) once at construction, so repeated
+    transforms of same-length signals skip all host-side f64 table math.
+    Not in the reference (nx_signal stops at plain FFT, SURVEY.md §2.4)."""
+
+    def __init__(self, n: int, m: int = None, w=None, a=1.0 + 0.0j):
+        self._plan = _CztPlan(n, m, w, a)
+
+    def __call__(self, x, *, axis: int = -1):
+        return self._plan.apply(x, axis=axis)
+
+    @property
+    def n(self):
+        return self._plan.n
+
+    @property
+    def m(self):
+        return self._plan.m
+
+    @property
+    def w(self):
+        return self._plan.w
+
+    @property
+    def a(self):
+        return self._plan.a
+
+    def points(self):
+        """The z-plane points this transform evaluates at."""
+        return self._plan.points()
+
+
+class ZoomFFT(CZT):
+    """Callable zoom FFT of fixed length over a fixed band —
+    scipy.signal.ZoomFFT semantics: a CZT along the unit-circle arc
+    [f1, f2]. See `zoom_fft` for the band math. Not in the reference."""
+
+    def __init__(self, n: int, fn, m: int = None, *, fs: float = 2.0,
+                 endpoint: bool = False):
+        f1, f2 = _parse_band(fn, fs)
+        if m is None:
+            m = n
+        denom = (m - 1) if endpoint else m
+        w = np.exp(-2j * np.pi * (f2 - f1) / (denom * fs))
+        a = np.exp(2j * np.pi * f1 / fs)
+        super().__init__(n, m, w, a)
+        self.f1, self.f2, self.fs = f1, f2, fs
+
+
+def _parse_band(fn, fs):
     fn = np.atleast_1d(np.asarray(fn, dtype=np.float64))
     if fn.size == 2:
         f1, f2 = float(fn[0]), float(fn[1])
@@ -128,6 +216,16 @@ def zoom_fft(x, fn, m: int = None, *, fs: float = 2.0, endpoint: bool = False,
         raise ValueError("fn must be a scalar or a pair [f1, f2]")
     if not 0 <= f1 <= f2 <= fs / 2:
         raise ValueError(f"fn must satisfy 0 <= f1 <= f2 <= fs/2, got {fn}")
+    return f1, f2
+
+
+def zoom_fft(x, fn, m: int = None, *, fs: float = 2.0, endpoint: bool = False,
+             axis: int = -1):
+    """DFT of `x` evaluated only over the band `fn` = [f1, f2] (or [0, fn]
+    for scalar fn) at `m` points — scipy.signal.zoom_fft semantics: a czt
+    along the unit circle, equivalent to zero-padding the FFT to the matching
+    resolution and slicing, without ever computing the full spectrum."""
+    f1, f2 = _parse_band(fn, fs)
     x = jnp.asarray(x)
     if m is None:
         m = x.shape[axis]

@@ -22,7 +22,8 @@ from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
 __all__ = ["median", "medfilt", "medfilt2d", "order_filter", "wiener",
            "firwin", "freqz", "sosfreqz", "group_delay", "gammatone",
-           "max_len_seq", "detrend", "savgol_coeffs", "savgol_filter"]
+           "max_len_seq", "detrend", "savgol_coeffs", "savgol_filter",
+           "freqz_zpk", "freqs", "freqs_zpk"]
 
 
 def median(t, *, kernel_shape):
@@ -201,6 +202,59 @@ def sosfreqz(sos, *, n_freqs: int = 512, sampling_rate: float = 2.0,
     for s in range(sos.shape[0]):
         resp = resp * (_polyval_exp(sos[s, :3], w) / _polyval_exp(sos[s, 3:], w))
     return freqs, resp
+
+
+def freqz_zpk(z, p, k, *, n_freqs: int = 512, sampling_rate: float = 2.0,
+              whole: bool = False):
+    """Frequency response of a digital filter in zpk form, evaluated as a
+    product over roots H(w) = k * prod(e^{iw} - z_i) / prod(e^{iw} - p_i)
+    — scipy.signal.freqz_zpk semantics (root-product evaluation keeps
+    accuracy for high-order filters where the expanded polynomial of freqz
+    loses digits). Returns (frequencies_hz, complex_response). Not in the
+    reference."""
+    freqs, w = _freq_grid(n_freqs, sampling_rate, whole)
+    zm = jnp.exp(1j * w)
+    z = jnp.atleast_1d(jnp.asarray(z, dtype=zm.dtype))
+    p = jnp.atleast_1d(jnp.asarray(p, dtype=zm.dtype))
+    num = jnp.prod(zm[:, None] - z[None, :], axis=-1) if z.size else 1.0
+    den = jnp.prod(zm[:, None] - p[None, :], axis=-1) if p.size else 1.0
+    return freqs, k * num / den
+
+
+def _freqs_grid(worN, num_like, den_like, kind):
+    """Angular-frequency grid for the analog responses: int worN -> the
+    findfreqs log-spaced auto range, array worN -> used directly."""
+    if np.ndim(worN) == 0 and isinstance(worN, (int, np.integer)):
+        from nx_signal_tpu.ops.ltisys import findfreqs
+        return jnp.asarray(findfreqs(num_like, den_like, int(worN), kind=kind))
+    return jnp.atleast_1d(jnp.asarray(worN))
+
+
+def freqs(b, a, worN: int = 200):
+    """Analog filter frequency response H(jw) = B(jw)/A(jw) —
+    scipy.signal.freqs semantics: `worN` is either a point count (grid
+    chosen by findfreqs over the system's interesting range) or an
+    explicit array of angular frequencies. Returns (w, h). Not in the
+    reference. Polynomials are evaluated as one (n_freqs, n_coefs) basis
+    matmul like freqz above."""
+    w = _freqs_grid(worN, b, a, "ba")
+    s = 1j * w.astype(_analysis_float())
+    return w, jnp.polyval(jnp.asarray(b).astype(s.dtype), s) / \
+        jnp.polyval(jnp.asarray(a).astype(s.dtype), s)
+
+
+def freqs_zpk(z, p, k, worN: int = 200):
+    """Analog zpk frequency response H(jw) = k * prod(jw - z)/prod(jw - p)
+    — scipy.signal.freqs_zpk semantics (root-product form). Returns
+    (w, h). Not in the reference."""
+    w = _freqs_grid(worN, z, p, "zp")
+    s = (1j * w.astype(_analysis_float())).astype(
+        jnp.complex128 if _analysis_float() == jnp.float64 else jnp.complex64)
+    z = jnp.atleast_1d(jnp.asarray(z, dtype=s.dtype))
+    p = jnp.atleast_1d(jnp.asarray(p, dtype=s.dtype))
+    num = jnp.prod(s[:, None] - z[None, :], axis=-1) if z.size else 1.0
+    den = jnp.prod(s[:, None] - p[None, :], axis=-1) if p.size else 1.0
+    return w, k * num / den
 
 
 def group_delay(b, a=None, *, n_freqs: int = 512, sampling_rate: float = 2.0,

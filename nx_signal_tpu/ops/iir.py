@@ -32,6 +32,7 @@ from jax import lax
 __all__ = [
     "lfilter",
     "lfilter_zi",
+    "lfiltic",
     "filtfilt",
     "sosfilt",
     "sosfilt_zi",
@@ -214,6 +215,36 @@ def lfilter_zi(b, a):
     iminus_a = np.eye(n - 1) - companion.T
     rhs = b[1:] - a[1:] * b[0]
     return np.linalg.solve(iminus_a, rhs)
+
+
+def lfiltic(b, a, y, x=None):
+    """DF2T initial state `zi` that reproduces the given past outputs
+    `y = [y[-1], y[-2], ...]` and past inputs `x = [x[-1], x[-2], ...]` —
+    scipy.signal.lfiltic semantics: zi[m] = sum_i b[m+1+i] x[i] -
+    sum_i a[m+1+i] y[i] after normalizing to a[0] == 1, with short y/x
+    zero-extended. Host-side f64 numpy (tiny, runs once) feeding the
+    jitted lfilter. Not in the reference (no IIR there)."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    if a[0] != 1.0:
+        if a[0] == 0.0:
+            raise ValueError("a[0] must be nonzero")
+        b = b / a[0]
+        a = a / a[0]
+    n = a.shape[0] - 1
+    m = b.shape[0] - 1
+    k = max(m, n)
+    y = np.atleast_1d(np.asarray(y, dtype=np.float64))
+    y = np.pad(y, (0, max(0, n - y.shape[0])))
+    x = (np.zeros(m) if x is None
+         else np.pad(np.atleast_1d(np.asarray(x, dtype=np.float64)),
+                     (0, max(0, m - np.size(x)))))
+    zi = np.zeros(k, dtype=np.float64)
+    for i in range(m):
+        zi[i] += np.sum(b[i + 1:] * x[: m - i])
+    for i in range(n):
+        zi[i] -= np.sum(a[i + 1:] * y[: n - i])
+    return zi
 
 
 def _odd_ext(x, n):

@@ -30,7 +30,8 @@ __all__ = [
     "buttord", "cheb1ord", "cheb2ord", "ellipord",
     "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk", "bilinear_zpk",
-    "zpk2tf", "tf2zpk", "zpk2sos", "tf2sos", "sos2tf",
+    "lp2lp", "lp2hp", "lp2bp", "lp2bs",
+    "zpk2tf", "tf2zpk", "zpk2sos", "tf2sos", "sos2tf", "sos2zpk",
 ]
 
 
@@ -389,6 +390,63 @@ def sos2tf(sos):
         a = np.polymul(a, np.trim_zeros(sos[s, 3:], "b") if
                        np.any(sos[s, 3:]) else sos[s, 3:4])
     return b, a
+
+
+def sos2zpk(sos):
+    """Second-order sections -> (z, p, k) — scipy.signal.sos2zpk semantics:
+    every section contributes exactly two roots (sections with a shorter
+    actual polynomial are padded with roots at the origin), so len(z) ==
+    len(p) == 2 * n_sections."""
+    sos = np.asarray(sos, dtype=np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError("sos array must be shape (n_sections, 6)")
+    n_sections = sos.shape[0]
+    z = np.zeros(2 * n_sections, np.complex128)
+    p = np.zeros(2 * n_sections, np.complex128)
+    k = 1.0
+    for s in range(n_sections):
+        zs, ps, ks = tf2zpk(sos[s, :3], sos[s, 3:])
+        z[2 * s : 2 * s + len(zs)] = zs
+        p[2 * s : 2 * s + len(ps)] = ps
+        k *= ks
+    return z, p, k
+
+
+def _lp2_tf(b, a, zpk_transform, *args):
+    """tf-domain lowpass transform routed through the zpk form: the root-
+    level transforms (lp2*_zpk above) are numerically robust where direct
+    polynomial coefficient manipulation loses digits at high order."""
+    from nx_signal_tpu.ops.ltisys import normalize
+
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    z, p, k = tf2zpk(b, a)
+    z2, p2, k2 = zpk_transform(z, p, k, *args)
+    return normalize(*zpk2tf(z2, p2, k2))
+
+
+def lp2lp(b, a, wo=1.0):
+    """Lowpass-to-lowpass cutoff transform of an analog (b, a) transfer
+    function, s -> s/wo — scipy.signal.lp2lp semantics (via lp2lp_zpk)."""
+    return _lp2_tf(b, a, lp2lp_zpk, float(wo))
+
+
+def lp2hp(b, a, wo=1.0):
+    """Lowpass-to-highpass transform, s -> wo/s — scipy.signal.lp2hp
+    semantics (via lp2hp_zpk)."""
+    return _lp2_tf(b, a, lp2hp_zpk, float(wo))
+
+
+def lp2bp(b, a, wo=1.0, bw=1.0):
+    """Lowpass-to-bandpass transform, s -> (s^2 + wo^2)/(bw*s) —
+    scipy.signal.lp2bp semantics (via lp2bp_zpk)."""
+    return _lp2_tf(b, a, lp2bp_zpk, float(wo), float(bw))
+
+
+def lp2bs(b, a, wo=1.0, bw=1.0):
+    """Lowpass-to-bandstop transform, s -> (bw*s)/(s^2 + wo^2) —
+    scipy.signal.lp2bs semantics (via lp2bs_zpk)."""
+    return _lp2_tf(b, a, lp2bs_zpk, float(wo), float(bw))
 
 
 # ------------------------------------------------------------ top-level API

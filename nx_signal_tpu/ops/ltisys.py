@@ -13,10 +13,12 @@ test oracle only.
 """
 
 import math
+import warnings
 
 import numpy as np
 
 __all__ = [
+    "BadCoefficients",
     "normalize", "bilinear", "tf2ss", "ss2tf", "zpk2ss", "ss2zpk",
     "abcd_normalize", "cont2discrete", "unique_roots", "residue",
     "residuez", "invres", "invresz",
@@ -70,6 +72,13 @@ def _expm(a):
 
 # ------------------------------------------------------------ tf <-> ss
 
+class BadCoefficients(UserWarning):
+    """Warning emitted when a transfer function's numerator carries
+    leading near-zero coefficients that get trimmed — scipy.signal
+    BadCoefficients semantics (the trimmed filter may be meaningless if
+    the zeros were not intentional)."""
+
+
 def normalize(b, a):
     """Normalize a transfer function to a[0] == 1, trimming leading-zero
     numerator coefficients — scipy.signal.normalize semantics (b may be
@@ -91,8 +100,11 @@ def normalize(b, a):
                              "`num` is longer than `den`.")
         b2 = b2[:, b2.shape[-1] - a.shape[0]:]
     # strip leading zero columns shared by every row (keep at least 1)
-    while b2.shape[-1] > 1 and np.allclose(b2[:, 0], 0):
-        b2 = b2[:, 1:]
+    if b2.shape[-1] > 1 and np.allclose(b2[:, 0], 0):
+        warnings.warn("Badly conditioned filter coefficients (numerator): "
+                      "the results may be meaningless", BadCoefficients)
+        while b2.shape[-1] > 1 and np.allclose(b2[:, 0], 0):
+            b2 = b2[:, 1:]
     a0 = a[0]
     out_b = b2 / a0
     out_a = a / a0

@@ -148,3 +148,30 @@ with PrefetchingWavReader(_p, block_frames=4000) as _pf:
 np.testing.assert_array_equal(np.concatenate(_blocks, axis=1), np.asarray(_whole))
 np.testing.assert_array_equal(np.asarray(_whole), _data)
 print("10. native prefetching IO bitwise OK")
+
+# 11. design long tail: lp2* tf transforms, sos2zpk, lfiltic, analog
+#     responses, CZT/ZoomFFT class forms
+bt, at = nst.lp2bp([1.0, 0.5], [1.0, 2.0, 2.0, 1.0], wo=2.0, bw=0.5)
+bts, ats = sps.lp2bp([1.0, 0.5], [1.0, 2.0, 2.0, 1.0], wo=2.0, bw=0.5)
+_, h_ours = sps.freqs(np.asarray(bt), np.asarray(at), np.logspace(-1, 1, 41))
+_, h_sp = sps.freqs(bts, ats, np.logspace(-1, 1, 41))
+np.testing.assert_allclose(h_ours, h_sp, rtol=1e-7)
+z11, p11, k11 = nst.sos2zpk(sps.butter(6, 0.3, output="sos"))
+z11s, p11s, k11s = sps.sos2zpk(sps.butter(6, 0.3, output="sos"))
+np.testing.assert_allclose(sorted(np.asarray(p11), key=abs),
+                           sorted(p11s, key=abs), atol=1e-10)
+zi11 = nst.lfiltic([0.5, 0.25], [1.0, -0.5], [1.0, 2.0], [0.5, 0.2])
+np.testing.assert_allclose(np.asarray(zi11),
+                           sps.lfiltic([0.5, 0.25], [1.0, -0.5],
+                                       [1.0, 2.0], [0.5, 0.2]), atol=1e-12)
+w11, hf11 = nst.freqs(*nst.butter(4, 100.0, analog=True), 50)
+w11s, hf11s = sps.freqs(*sps.butter(4, 100.0, analog=True), 50)
+np.testing.assert_allclose(np.asarray(hf11), hf11s, rtol=1e-4)
+x11 = rng.normal(size=96)
+np.testing.assert_allclose(np.asarray(nst.CZT(96, 64)(x11)),
+                           sps.CZT(96, 64)(x11), atol=1e-4)
+np.testing.assert_allclose(np.asarray(nst.ZoomFFT(96, [0.1, 0.4])(x11)),
+                           sps.ZoomFFT(96, [0.1, 0.4])(x11), atol=1e-4)
+np.testing.assert_allclose(np.asarray(nst.czt_points(12)),
+                           sps.czt_points(12), atol=1e-6)
+print("11. design long tail (lp2*, sos2zpk, lfiltic, freqs, CZT/ZoomFFT) OK")
