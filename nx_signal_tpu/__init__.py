@@ -149,9 +149,11 @@ from nx_signal_tpu.ops.iir_design import (
 from nx_signal_tpu.ops.find_peaks import (
     Peaks,
     find_peaks,
+    find_peaks_cwt,
     peak_prominences,
     peak_widths,
 )
+from nx_signal_tpu.ops.wavelets import cwt, morlet, morlet2, qmf, ricker
 from nx_signal_tpu.ops.lambert_w import lambert_w
 from nx_signal_tpu.ops.peak_finding import argrelextrema, argrelmax, argrelmin
 from nx_signal_tpu.ops.mixing import demodulate_channel, mix_down
@@ -219,5 +221,8 @@ __all__ = [
     # peak finding & special
     "argrelmin", "argrelmax", "argrelextrema", "lambert_w",
     "find_peaks", "peak_prominences", "peak_widths", "Peaks",
+    "find_peaks_cwt",
+    # wavelets
+    "ricker", "morlet", "morlet2", "qmf", "cwt",
     "__version__",
 ]

@@ -31,12 +31,15 @@ n) each when prominences are requested). For very long signals pass
 import math
 from typing import NamedTuple
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
-__all__ = ["find_peaks", "peak_prominences", "peak_widths", "Peaks"]
+__all__ = ["find_peaks", "peak_prominences", "peak_widths", "Peaks",
+           "find_peaks_cwt"]
 
 
 class Peaks(NamedTuple):
@@ -453,3 +456,138 @@ def find_peaks(x, *, height=None, threshold=None, distance=None,
         for k, a in props.items()
     }
     return Peaks(indices=out_idx, valid_count=count, properties=out_props)
+
+
+# ------------------------------------------------------- find_peaks_cwt
+
+def _row_relmax(matr):
+    """Strict interior local maxima per row, order=1, clip-mode edges
+    (boundary samples compare against themselves, so they never qualify)
+    — scipy _boolrelextrema(axis=1, order=1) semantics, host numpy."""
+    out = np.zeros(matr.shape, dtype=bool)
+    out[:, 1:-1] = (matr[:, 1:-1] > matr[:, :-2]) & \
+                   (matr[:, 1:-1] > matr[:, 2:])
+    return out
+
+
+def _identify_ridge_lines(matr, max_distances, gap_thresh):
+    """Connect per-row local maxima into ridge lines down the scale axis
+    — scipy _identify_ridge_lines semantics: start at the largest width
+    that has any maxima; per lower row, attach each maximum to the
+    closest live line whose last column is within max_distances[row],
+    else start a new line; a line not extended for more than gap_thresh
+    consecutive rows is closed. Returns [rows, cols] pairs sorted by row."""
+    all_max = _row_relmax(matr)
+    has_relmax = np.nonzero(all_max.any(axis=1))[0]
+    if len(has_relmax) == 0:
+        return []
+    start_row = has_relmax[-1]
+    # live line = [row list, col list, current gap count]
+    ridge_lines = [[[start_row], [col], 0]
+                   for col in np.nonzero(all_max[start_row])[0]]
+    final_lines = []
+    cols = np.arange(matr.shape[1])
+    for row in range(start_row - 1, -1, -1):
+        this_max_cols = cols[all_max[row]]
+        for line in ridge_lines:
+            line[2] += 1
+        prev_ridge_cols = np.array([line[1][-1] for line in ridge_lines])
+        for col in this_max_cols:
+            line = None
+            if len(prev_ridge_cols) > 0:
+                diffs = np.abs(col - prev_ridge_cols)
+                closest = int(np.argmin(diffs))
+                if diffs[closest] <= max_distances[row]:
+                    line = ridge_lines[closest]
+            if line is not None:
+                line[1].append(col)
+                line[0].append(row)
+                line[2] = 0
+            else:
+                ridge_lines.append([[row], [col], 0])
+        for ind in range(len(ridge_lines) - 1, -1, -1):
+            if ridge_lines[ind][2] > gap_thresh:
+                final_lines.append(ridge_lines[ind])
+                del ridge_lines[ind]
+    out_lines = []
+    for line in final_lines + ridge_lines:
+        # inverse-permutation placement (scipy's ordering): for the usual
+        # strictly-descending row appends this is a plain reversal, but
+        # when one line absorbed two maxima of the same row the tie order
+        # differs from a gather — match scipy exactly
+        sortargs = np.argsort(line[0])
+        rows_out = np.zeros_like(sortargs)
+        cols_out = np.zeros_like(sortargs)
+        rows_out[sortargs] = line[0]
+        cols_out[sortargs] = line[1]
+        out_lines.append([rows_out, cols_out])
+    return out_lines
+
+
+def _filter_ridge_lines(cwt_mat, ridge_lines, window_size, min_length,
+                        min_snr, noise_perc):
+    """Keep ridge lines long enough (>= min_length rows) and with
+    smallest-scale SNR >= min_snr, where the local noise floor is the
+    noise_perc'th percentile of |cwt row 0| over a window_size
+    neighborhood — scipy _filter_ridge_lines semantics."""
+    n_points = cwt_mat.shape[1]
+    if min_length is None:
+        min_length = math.ceil(cwt_mat.shape[0] / 4.0)
+    if window_size is None:
+        window_size = math.ceil(n_points / 20.0)
+    window_size = int(window_size)
+    hf_window, odd = divmod(window_size, 2)
+    row_one = cwt_mat[0, :]
+    # noise floor = noise_perc'th percentile of the RAW (not absolute)
+    # smallest-scale coefficients in the window — scipy's definition
+    noises = np.array([
+        np.percentile(row_one[max(ind - hf_window, 0):
+                              min(ind + hf_window + odd, n_points)],
+                      noise_perc)
+        for ind in range(n_points)])
+
+    def keep(line):
+        if len(line[0]) < min_length:
+            return False
+        with np.errstate(divide="ignore"):
+            snr = abs(cwt_mat[line[0][0], line[1][0]] / noises[line[1][0]])
+        return snr >= min_snr
+
+    return [line for line in ridge_lines if keep(line)]
+
+
+def find_peaks_cwt(vector, widths, wavelet=None, max_distances=None,
+                   gap_thresh=None, min_length=None, min_snr: float = 1,
+                   noise_perc: float = 10, window_size=None):
+    """Wavelet-based peak finding — scipy.signal.find_peaks_cwt
+    semantics: take the continuous wavelet transform over `widths`
+    (default wavelet: ricker), trace ridge lines across scales, and keep
+    ridges that are long and loud enough; returns the sorted column
+    indices where surviving ridges reach the smallest scale.
+
+    Runs host-side in f64 (ridge tracing is sequential bookkeeping over
+    comparisons that must not flip on f32 rounding — the same f64-pocket
+    rule as the design math); use `cwt` directly for on-device transforms.
+    Not in the reference."""
+    from nx_signal_tpu.ops.wavelets import _cwt_f64, _ricker_np
+
+    widths = np.atleast_1d(np.asarray(widths, dtype=np.float64))
+    if widths.size == 0:
+        raise ValueError("widths must be nonempty")
+    if gap_thresh is None:
+        gap_thresh = np.ceil(widths[0])
+    if max_distances is None:
+        max_distances = widths / 4.0
+    max_distances = np.atleast_1d(np.asarray(max_distances))
+    if max_distances.shape[0] < widths.shape[0]:
+        raise ValueError("max_distances must have at least as many entries "
+                         "as widths")
+    if wavelet is None:
+        wavelet = _ricker_np
+    cwt_mat = _cwt_f64(vector, wavelet, widths)
+    ridge_lines = _identify_ridge_lines(cwt_mat, max_distances, gap_thresh)
+    filtered = _filter_ridge_lines(cwt_mat, ridge_lines, window_size,
+                                   min_length, min_snr, noise_perc)
+    max_locs = np.asarray(sorted(line[1][0] for line in filtered),
+                          dtype=np.int64)
+    return max_locs

@@ -175,3 +175,15 @@ np.testing.assert_allclose(np.asarray(nst.ZoomFFT(96, [0.1, 0.4])(x11)),
 np.testing.assert_allclose(np.asarray(nst.czt_points(12)),
                            sps.czt_points(12), atol=1e-6)
 print("11. design long tail (lp2*, sos2zpk, lfiltic, freqs, CZT/ZoomFFT) OK")
+
+# 12. wavelets + find_peaks_cwt through the package root
+x12 = np.zeros(400)
+for c in (90, 200, 310):
+    x12 += np.exp(-((np.arange(400) - c) ** 2) / (2 * 8.0 ** 2))
+x12 += 0.03 * rng.normal(size=400)
+locs12 = nst.find_peaks_cwt(x12, np.arange(2, 16))
+want12 = sps.find_peaks_cwt(x12, np.arange(2, 16))
+np.testing.assert_array_equal(np.asarray(locs12), np.asarray(want12))
+cw12 = nst.cwt(x12, nst.ricker, np.arange(1, 9))
+assert cw12.shape == (8, 400) and bool(np.all(np.isfinite(np.asarray(cw12))))
+print("12. wavelets + find_peaks_cwt scipy-exact OK:", list(locs12))
