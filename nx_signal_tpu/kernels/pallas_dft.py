@@ -105,7 +105,7 @@ def framed_dft_pallas(x, window, *, stride: int, n_fft: int,
         kernel,
         grid=(channels, num_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # row-matrix in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # row-matrix in HBM
             pl.BlockSpec(weights.shape, lambda c, m: (0, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -363,7 +363,20 @@ def find_peaks(x, *, height=None, threshold=None, distance=None,
     indices is (max_peaks,) -1-padded (default capacity (n+1)//2, the
     theoretical maximum — pass `max_peaks` to bound memory; with a smaller
     capacity the left-most peaks are kept and the rest dropped). Properties
-    hold the scipy keys for whichever conditions were requested."""
+    hold the scipy keys for whichever conditions were requested.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.find_peaks import find_peaks
+    >>> p = find_peaks(jnp.asarray([0.0, 2.0, 0.0, 3.0, 0.0, 1.0, 0.0]), height=1.5)
+    >>> p.indices
+    Array([ 1,  3, -1, -1], dtype=int32)
+    >>> p.valid_count
+    Array(2, dtype=int32)
+    >>> p.properties["peak_heights"]
+    Array([2., 3., 0., 0.], dtype=float32)
+    """
     x = jnp.asarray(x).astype(DEFAULT_FLOAT)
     if x.ndim != 1:
         raise ValueError("x must be 1-D")
@@ -472,54 +485,74 @@ def _row_relmax(matr):
 
 def _identify_ridge_lines(matr, max_distances, gap_thresh):
     """Connect per-row local maxima into ridge lines down the scale axis
-    — scipy _identify_ridge_lines semantics: start at the largest width
-    that has any maxima; per lower row, attach each maximum to the
-    closest live line whose last column is within max_distances[row],
-    else start a new line; a line not extended for more than gap_thresh
-    consecutive rows is closed. Returns [rows, cols] pairs sorted by row."""
-    all_max = _row_relmax(matr)
-    has_relmax = np.nonzero(all_max.any(axis=1))[0]
-    if len(has_relmax) == 0:
+    (Du et al. 2006 ridge tracing, scipy.signal semantics): start at the
+    largest width that has any maxima; walking toward smaller widths, each
+    maximum claims the nearest live line whose tail column (as of row
+    entry) is within max_distances[row], else it seeds a new line; a line
+    idle for more than gap_thresh consecutive rows is closed. Returns
+    [rows, cols] array pairs per line, placed in ascending-row order.
+
+    Layout here is structure-of-arrays: per-line point traces plus
+    parallel `tail`/`idle` vectors, with the row's claims resolved in one
+    vectorized candidate-by-line distance matrix rather than a per-column
+    scan."""
+    relmax = _row_relmax(matr)
+    rows_with_max = np.nonzero(relmax.any(axis=1))[0]
+    if rows_with_max.size == 0:
         return []
-    start_row = has_relmax[-1]
-    # live line = [row list, col list, current gap count]
-    ridge_lines = [[[start_row], [col], 0]
-                   for col in np.nonzero(all_max[start_row])[0]]
-    final_lines = []
-    cols = np.arange(matr.shape[1])
-    for row in range(start_row - 1, -1, -1):
-        this_max_cols = cols[all_max[row]]
-        for line in ridge_lines:
-            line[2] += 1
-        prev_ridge_cols = np.array([line[1][-1] for line in ridge_lines])
-        for col in this_max_cols:
-            line = None
-            if len(prev_ridge_cols) > 0:
-                diffs = np.abs(col - prev_ridge_cols)
-                closest = int(np.argmin(diffs))
-                if diffs[closest] <= max_distances[row]:
-                    line = ridge_lines[closest]
-            if line is not None:
-                line[1].append(col)
-                line[0].append(row)
-                line[2] = 0
+    top = int(rows_with_max[-1])
+
+    seed_cols = np.nonzero(relmax[top])[0]
+    trace = [[(top, int(c))] for c in seed_cols]  # per-line (row, col) trail
+    tail = seed_cols.astype(np.int64)  # column each line last claimed
+    idle = np.zeros(tail.size, dtype=np.int64)  # rows since that claim
+    closed = []
+
+    for row in range(top - 1, -1, -1):
+        idle += 1
+        cand = np.nonzero(relmax[row])[0]
+        if tail.size and cand.size:
+            # all of this row's assignments in one shot, against the tails
+            # as they stood at row entry (claims don't shift the targets
+            # of later candidates in the same row)
+            dist = np.abs(cand[:, None] - tail[None, :])
+            owner = dist.argmin(axis=1)
+            claimed = dist[np.arange(cand.size), owner] <= max_distances[row]
+        else:
+            owner = np.zeros(cand.size, dtype=np.intp)
+            claimed = np.zeros(cand.size, dtype=bool)
+
+        for c, o, ok in zip(cand, owner, claimed):
+            if ok:
+                trace[o].append((row, int(c)))
+                idle[o] = 0
+                tail[o] = c  # visible from the next row on
             else:
-                ridge_lines.append([[row], [col], 0])
-        for ind in range(len(ridge_lines) - 1, -1, -1):
-            if ridge_lines[ind][2] > gap_thresh:
-                final_lines.append(ridge_lines[ind])
-                del ridge_lines[ind]
+                trace.append([(row, int(c))])
+        born = cand[~claimed]
+        if born.size:
+            tail = np.concatenate([tail, born.astype(np.int64)])
+            idle = np.concatenate([idle, np.zeros(born.size, np.int64)])
+
+        expired = idle > gap_thresh
+        if expired.any():
+            closed.extend(trace[i] for i in np.nonzero(expired)[0])
+            trace = [t for t, dead in zip(trace, expired) if not dead]
+            tail, idle = tail[~expired], idle[~expired]
+
     out_lines = []
-    for line in final_lines + ridge_lines:
-        # inverse-permutation placement (scipy's ordering): for the usual
-        # strictly-descending row appends this is a plain reversal, but
-        # when one line absorbed two maxima of the same row the tie order
-        # differs from a gather — match scipy exactly
-        sortargs = np.argsort(line[0])
-        rows_out = np.zeros_like(sortargs)
-        cols_out = np.zeros_like(sortargs)
-        rows_out[sortargs] = line[0]
-        cols_out[sortargs] = line[1]
+    for t in closed + trace:
+        r = np.asarray([p[0] for p in t])
+        c = np.asarray([p[1] for p in t])
+        # place point i at its ascending-row argsort rank (a plain
+        # reversal for the usual strictly-descending trail; when a line
+        # claimed two maxima of one row, this scatter placement — not a
+        # gather — is what scipy's output exhibits, so keep it)
+        dst = np.argsort(r)
+        rows_out = np.empty(r.size, dtype=r.dtype)
+        cols_out = np.empty(c.size, dtype=c.dtype)
+        rows_out[dst] = r
+        cols_out[dst] = c
         out_lines.append([rows_out, cols_out])
     return out_lines
 

@@ -95,15 +95,17 @@ def normalize(b, a):
     b2 = np.atleast_2d(b)
     if b2.shape[-1] > a.shape[0]:
         leading = b2[:, : b2.shape[-1] - a.shape[0]]
-        if not np.allclose(leading, 0):
+        if not np.allclose(leading, 0, atol=1e-14):
             raise ValueError("Improper transfer function. "
                              "`num` is longer than `den`.")
         b2 = b2[:, b2.shape[-1] - a.shape[0]:]
-    # strip leading zero columns shared by every row (keep at least 1)
-    if b2.shape[-1] > 1 and np.allclose(b2[:, 0], 0):
+    # strip leading zero columns shared by every row (keep at least 1);
+    # scipy's threshold is atol=1e-14 — a genuinely small leading
+    # coefficient (e.g. 1e-10) must be KEPT, not trimmed
+    if b2.shape[-1] > 1 and np.allclose(b2[:, 0], 0, atol=1e-14):
         warnings.warn("Badly conditioned filter coefficients (numerator): "
                       "the results may be meaningless", BadCoefficients)
-        while b2.shape[-1] > 1 and np.allclose(b2[:, 0], 0):
+        while b2.shape[-1] > 1 and np.allclose(b2[:, 0], 0, atol=1e-14):
             b2 = b2[:, 1:]
     a0 = a[0]
     out_b = b2 / a0

@@ -124,8 +124,11 @@ class TestFindPeaksCwt:
         x = self._peaky(rng)
         our_w = lambda n, s: np.real(np.asarray(morlet2(int(np.ceil(n)), s)))
         sp_w = lambda n, s: scipy_morlet2(n, s)
+        # independent wavelet implementations on each side: ours feeds our
+        # find_peaks_cwt, the local stand-in feeds scipy's — agreement
+        # requires BOTH the ridge logic and the wavelet itself to match
         ours = find_peaks_cwt(x, np.arange(3, 16), wavelet=our_w)
-        want = sps.find_peaks_cwt(x, np.arange(3, 16), wavelet=our_w)
+        want = sps.find_peaks_cwt(x, np.arange(3, 16), wavelet=sp_w)
         np.testing.assert_array_equal(ours, np.asarray(want))
 
     def test_validation(self):
