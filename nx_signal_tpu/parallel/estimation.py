@@ -11,8 +11,6 @@ per-device partial sums + one psum over ICI, so the only communications are
 the (segment_length - stride)-sample halo and one bins-sized reduction.
 """
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -25,25 +23,33 @@ from nx_signal_tpu.parallel.sharded import (
     _stft_frame_geometry,
     sharded_stft,
 )
-from nx_signal_tpu.spectral.estimation import _finalize_csd, _spectral_params
+from nx_signal_tpu.spectral.estimation import (
+    _detrend_basis_spectra,
+    _detrend_columns,
+    _finalize_csd,
+    _spectral_params,
+    _validate_detrend,
+)
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
 __all__ = ["sharded_csd", "sharded_welch", "sharded_coherence"]
 
 
-def _sharded_frame_means(x2d, segment_length, stride, mesh, precision):
-    """(channels, segments, 1) per-segment means of the (channels, L)
-    signal, segments sharded over the block axis with the same frame
-    geometry and right halo as sharded_stft — one blocked mat-vec per
-    device, no segment matrix materialized."""
+def _sharded_frame_coefs(x2d, segment_length, stride, mesh, precision,
+                         detrend):
+    """(channels, segments, k) per-segment detrend coefficients (mean, and
+    slope for 'linear') of the (channels, L) signal, segments sharded over
+    the block axis with the same frame geometry and right halo as
+    sharded_stft — one blocked mat-vec per device, no segment matrix
+    materialized."""
     n_block = mesh.shape[BLOCK_AXIS]
     _, padded_len, _, num_frames, halo = _stft_frame_geometry(
         x2d.shape[1], segment_length, stride, n_block
     )
     if padded_len != x2d.shape[1]:
         x2d = jnp.pad(x2d, [(0, 0), (0, padded_len - x2d.shape[1])])
-    ones_col = jnp.full((segment_length, 1), 1.0 / segment_length,
-                        DEFAULT_FLOAT).astype(x2d.dtype)
+    cols = jnp.asarray(_detrend_columns(segment_length, detrend),
+                       DEFAULT_FLOAT).astype(x2d.dtype)
 
     def local(x_blk):
         if halo:
@@ -54,7 +60,7 @@ def _sharded_frame_means(x2d, segment_length, stride, mesh, precision):
             ext = x_blk
         nf = (ext.shape[-1] - segment_length) // stride + 1
         return blocked_frame_matmul(
-            ext, ones_col, window_length=segment_length, stride=stride,
+            ext, cols, window_length=segment_length, stride=stride,
             num_frames=nf, precision=precision,
         )
 
@@ -71,10 +77,7 @@ def _sharded_segment_spectra(x, w, *, mesh, stride, n_fft, onesided, detrend,
     """(..., segments, bins) spectra of detrended windowed segments, with
     segments sharded over the mesh block axis (frames stay whole on the
     device where they start; see sharded_stft)."""
-    if detrend not in ("constant", False, None):
-        raise ValueError(
-            f"invalid detrend, expected 'constant', False or None, got: {detrend}"
-        )
+    _validate_detrend(detrend, allow_callable=False)
     segment_length = w.shape[-1]
     x2d, squeeze = _norm_2d(x)
     real_input = not jnp.issubdtype(x2d.dtype, jnp.complexfloating)
@@ -83,22 +86,14 @@ def _sharded_segment_spectra(x, w, *, mesh, stride, n_fft, onesided, detrend,
         overlap_length=segment_length - stride,
         onesided=onesided and real_input, method=method,
     )
-    if detrend == "constant":
-        # frequency-domain constant detrend by linearity (see
-        # spectral/estimation.py): subtract mean(segment) * F(window)
-        means = _sharded_frame_means(x2d, segment_length, stride, mesh,
-                                     precision)
+    if detrend in ("constant", "linear"):
+        # frequency-domain detrend by linearity (see spectral/estimation
+        # .py): subtract coefs @ [F(w); F(tc*w)] per segment
+        coefs = _sharded_frame_coefs(x2d, segment_length, stride, mesh,
+                                     precision, detrend)
         one_sided_fft = onesided and real_input
-        if isinstance(w, jax.core.Tracer):
-            # window built inside an enclosing jit (see spectral/estimation)
-            wk = (jnp.fft.rfft(w, n_fft) if one_sided_fft
-                  else jnp.fft.fft(w, n_fft))
-        else:
-            wk = np.fft.rfft(np.asarray(w, np.float64), n_fft) \
-                if one_sided_fft \
-                else np.fft.fft(np.asarray(w, np.float64), n_fft)
-            wk = jnp.asarray(wk.astype(np.complex64))
-        z = z - means * wk
+        wk = _detrend_basis_spectra(w, n_fft, one_sided_fft, detrend)
+        z = z - coefs @ wk
     return z[0] if squeeze else z
 
 

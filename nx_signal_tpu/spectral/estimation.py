@@ -8,10 +8,12 @@ segment detrending, density/spectrum scaling, and mean/median averaging).
 
 TPU-first notes: segmentation + window + DFT rides the fused MXU framed-DFT
 kernel (kernels/dft.py) via spectral.stft for real input; the per-segment
-constant detrend is applied in the frequency domain by linearity —
-F((s - mean(s)) * w) = F(s * w) - mean(s) * F(w) — where the per-segment
-means are one extra blocked mat-vec, so the segment matrix is never
-materialized.
+'constant' and 'linear' detrends are applied in the frequency domain by
+linearity — the removed trend is a linear functional of the segment, so
+F((s - trend) * w) = F(s * w) - coefs @ [F(w); F(tc * w)] — where the
+per-segment (mean, slope) coefficients are one extra blocked mat-vec, so
+the segment matrix is never materialized. Callable detrends take the
+materialized time-domain path (scipy's callable contract).
 """
 
 import numpy as np
@@ -117,6 +119,54 @@ def _resolve_window(window, segment_length):
     return w
 
 
+def _validate_detrend(detrend, *, allow_callable=True):
+    if detrend in ("constant", "linear", False, None) or (
+        allow_callable and callable(detrend)
+    ):
+        return
+    expected = "'constant', 'linear', False, None" + (
+        " or a callable" if allow_callable else ""
+    )
+    raise ValueError(f"invalid detrend, expected {expected}, got: {detrend}")
+
+
+def _detrend_columns(frame_length, detrend):
+    """(frame_length, k) host matrix whose product with a segment yields
+    its detrend coefficients: k=1 (mean) for 'constant', k=2 (mean, slope
+    on the centered ramp) for 'linear'. The ramp is centered so the two
+    least-squares basis vectors are orthogonal — the fit decouples and
+    there is no large-term cancellation in f32."""
+    cols = [np.full((frame_length,), 1.0 / frame_length)]
+    if detrend == "linear":
+        tc = np.arange(frame_length) - (frame_length - 1) / 2.0
+        cols.append(tc / np.sum(tc * tc))
+    return np.stack(cols, axis=1)
+
+
+def _detrend_basis_spectra(window, n_fft, one_sided_fft, detrend):
+    """(k, bins) spectra of the windowed detrend basis functions: F(w) and,
+    for 'linear', F(tc * w) — what frequency-domain detrending subtracts,
+    scaled by the per-segment coefficients."""
+    frame_length = window.shape[-1]
+    if isinstance(window, jax.core.Tracer):
+        # window built inside an enclosing jit: stage the (constant-folded)
+        # spectra instead of computing them host-side
+        basis = [window]
+        if detrend == "linear":
+            tc = jnp.arange(frame_length) - (frame_length - 1) / 2.0
+            basis.append(tc * window)
+        b = jnp.stack(basis)
+        return jnp.fft.rfft(b, n_fft) if one_sided_fft else jnp.fft.fft(b, n_fft)
+    w64 = np.asarray(window, np.float64)
+    basis = [w64]
+    if detrend == "linear":
+        tc = np.arange(frame_length) - (frame_length - 1) / 2.0
+        basis.append(tc * w64)
+    b = np.stack(basis)
+    wk = np.fft.rfft(b, n_fft) if one_sided_fft else np.fft.fft(b, n_fft)
+    return jnp.asarray(wk.astype(np.complex64))
+
+
 def _segment_spectra(x, window, *, stride, n_fft, onesided, detrend,
                      precision):
     """(..., segments, bins) complex spectra of detrended, windowed
@@ -127,41 +177,43 @@ def _segment_spectra(x, window, *, stride, n_fft, onesided, detrend,
         raise ValueError(
             f"segment_length {frame_length} exceeds signal length {x.shape[-1]}"
         )
-    if detrend not in ("constant", False, None):
-        raise ValueError(
-            f"invalid detrend, expected 'constant', False or None, got: {detrend}"
-        )
+    _validate_detrend(detrend)
     real_input = not jnp.issubdtype(x.dtype, jnp.complexfloating)
+    one_sided_fft = onesided and real_input
+
+    if callable(detrend):
+        # general time-domain path (scipy's callable contract: the
+        # detrender sees the segmented array, segments along the last
+        # axis); the fused no-materialize kernel can't apply here
+        frames = as_windowed(x, window_length=frame_length, stride=stride)
+        dw = detrend(frames) * window
+        return jnp.fft.rfft(dw, n_fft) if one_sided_fft \
+            else jnp.fft.fft(dw, n_fft)
+
     z, _, _ = stft(
         x, window, sampling_rate=1.0, fft_length=n_fft,
         overlap_length=frame_length - stride, window_padding="valid",
-        onesided=onesided and real_input, precision=precision,
+        onesided=one_sided_fft, precision=precision,
     )
-    if detrend == "constant":
+    if detrend in ("constant", "linear"):
+        # frequency-domain detrend by linearity: the removed trend
+        # (mean, and for 'linear' the least-squares line) is a linear
+        # functional of the segment, so F((s - trend) * w) =
+        # F(s*w) - coefs @ [F(w); F(tc*w)] — the coefficients are one
+        # extra blocked mat-vec and the segment matrix is never built
         num_frames = z.shape[-2]
+        cols = _detrend_columns(frame_length, detrend)
         if real_input:
-            ones_col = jnp.full((frame_length, 1), 1.0 / frame_length,
-                                DEFAULT_FLOAT)
-            means = blocked_frame_matmul(
-                x.astype(DEFAULT_FLOAT), ones_col,
+            coefs = blocked_frame_matmul(
+                x.astype(DEFAULT_FLOAT), jnp.asarray(cols, DEFAULT_FLOAT),
                 window_length=frame_length, stride=stride,
                 num_frames=num_frames, precision=precision,
-            )  # (..., segments, 1)
+            )  # (..., segments, k)
         else:
             frames = as_windowed(x, window_length=frame_length, stride=stride)
-            means = jnp.mean(frames, axis=-1, keepdims=True)
-        one_sided_fft = onesided and real_input
-        if isinstance(window, jax.core.Tracer):
-            # window built inside an enclosing jit: stage the (constant-
-            # folded) spectrum instead of computing it host-side
-            wk = (jnp.fft.rfft(window, n_fft) if one_sided_fft
-                  else jnp.fft.fft(window, n_fft))
-        else:
-            wk = np.fft.rfft(np.asarray(window, np.float64), n_fft) \
-                if one_sided_fft \
-                else np.fft.fft(np.asarray(window, np.float64), n_fft)
-            wk = jnp.asarray(wk.astype(np.complex64))
-        z = z - means * wk
+            coefs = frames @ jnp.asarray(cols, frames.real.dtype)
+        wk = _detrend_basis_spectra(window, n_fft, one_sided_fft, detrend)
+        z = z - coefs @ wk
     return z
 
 
@@ -242,6 +294,9 @@ def csd(x, y, *, sampling_rate=1.0, window="hann", segment_length=256,
     upper half). `average` is 'mean' or 'median' (median is bias-corrected,
     robust to interference spikes). `scaling='density'` gives V**2/Hz
     (divide by Fs*sum(w**2)); 'spectrum' gives V**2 (divide by sum(w)**2).
+    `detrend` is 'constant' (remove each segment's mean), 'linear' (remove
+    its least-squares line), False/None, or a callable applied to the
+    segmented array along the last axis.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -275,6 +330,17 @@ def welch(x, *, sampling_rate=1.0, window="hann", segment_length=256,
 
     See `csd` for the option surface; welch is csd(x, x) with the
     imaginary part (identically zero) dropped.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.spectral.estimation import welch
+    >>> t = jnp.arange(2048) / 1000.0
+    >>> x = jnp.sin(2 * jnp.pi * 125.0 * t)
+    >>> freqs, pxx = welch(x, sampling_rate=1000.0, segment_length=256)
+    >>> float(freqs[int(np.argmax(np.asarray(pxx)))])
+    125.0
     """
     x = jnp.asarray(x)
     freqs, pxx = csd(
@@ -291,7 +357,18 @@ def periodogram(x, *, sampling_rate=1.0, window="rectangular",
                 scaling="density", precision="highest"):
     """Single-segment power spectral density (scipy.signal.periodogram
     semantics): the whole signal is one detrended, windowed segment.
-    Returns (frequencies, P_xx)."""
+    Returns (frequencies, P_xx).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.spectral.estimation import periodogram
+    >>> x = jnp.sin(2 * jnp.pi * 50.0 * jnp.arange(512) / 512.0)
+    >>> freqs, pxx = periodogram(x, sampling_rate=512.0)
+    >>> float(freqs[int(np.argmax(np.asarray(pxx)))])
+    50.0
+    """
     x = jnp.asarray(x)
     n = x.shape[-1]
     return welch(

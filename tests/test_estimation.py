@@ -52,6 +52,39 @@ class TestWelch:
         _, p1 = welch(x + 100.0, segment_length=256)
         rel_close(p1, p0, tol=1e-3)
 
+    @pytest.mark.parametrize("detrend", ["constant", "linear"])
+    def test_detrend_modes_vs_scipy(self, rng, detrend):
+        # signal with a strong trend so the detrend visibly matters
+        x = (rng.normal(size=4096) + np.linspace(0.0, 30.0, 4096)
+             ).astype(np.float32)
+        f, p = welch(x, sampling_rate=500.0, segment_length=256,
+                     detrend=detrend)
+        fe, pe = sps.welch(x.astype(np.float64), fs=500.0, nperseg=256,
+                           detrend=detrend)
+        np.testing.assert_allclose(np.asarray(f), fe, atol=1e-3)
+        rel_close(p, pe)
+
+    def test_detrend_linear_odd_geometry(self, rng):
+        x = (rng.normal(size=3000) + 0.01 * np.arange(3000)
+             ).astype(np.float32)
+        f, p = welch(x, segment_length=200, overlap_length=37,
+                     fft_length=256, detrend="linear")
+        fe, pe = sps.welch(x.astype(np.float64), nperseg=200, noverlap=37,
+                           nfft=256, detrend="linear")
+        rel_close(p, pe)
+
+    def test_detrend_callable(self, rng):
+        x = (rng.normal(size=2048) + 5.0).astype(np.float32)
+
+        def dt(seg):
+            return seg - seg.mean(axis=-1, keepdims=True)
+
+        f, p = welch(x, segment_length=256, detrend=dt)
+        fe, pe = sps.welch(x.astype(np.float64), nperseg=256,
+                           detrend=lambda s: s - s.mean(axis=-1,
+                                                        keepdims=True))
+        rel_close(p, pe)
+
     def test_overlap_and_nfft(self, rng):
         x = rng.normal(size=4000).astype(np.float32)
         f, p = welch(x, sampling_rate=100.0, segment_length=200,
@@ -91,7 +124,7 @@ class TestWelch:
         with pytest.raises(ValueError, match="average"):
             welch(x, segment_length=128, average="bogus")
         with pytest.raises(ValueError, match="detrend"):
-            welch(x, segment_length=128, detrend="linear")
+            welch(x, segment_length=128, detrend="quadratic")
         with pytest.raises(ValueError, match="overlap_length"):
             welch(x, segment_length=128, overlap_length=128)
         with pytest.raises(ValueError, match="fft_length"):

@@ -63,6 +63,18 @@ class TestShardedWelch:
                      scaling="spectrum")
         rel_close(p_s, p)
 
+    def test_linear_detrend(self, mesh, rng):
+        c = mesh.shape["channel"]
+        x = (rng.normal(size=(c, 8192)) +
+             0.01 * np.arange(8192)).astype(np.float32)
+        _, p_s = sharded_welch(x, mesh=mesh, segment_length=256,
+                               detrend="linear")
+        _, p = welch(x, segment_length=256, detrend="linear")
+        # the ~80x trend amplitude amplifies matmul reduction-order ulps
+        # (CPU GEMM order varies with batch extent — CLAUDE.md); gate at
+        # the scipy tolerance instead of the bitwise-adjacent 1e-6
+        rel_close(p_s, p, tol=1e-4)
+
     def test_median_average(self, rng):
         mesh = make_dsp_mesh(1, 8)
         x = rng.normal(size=(1, 16384)).astype(np.float32)
