@@ -2,10 +2,11 @@
 
 Each worker is one 'host' of a 2-process CPU cluster (4 virtual devices
 each), exercising parallel/multihost.py for real: jax.distributed wiring,
-the pod mesh, process_block_range feeding of process-local data, and a
-sharded FIR whose halo exchange crosses the process boundary. Asserts
-bitwise agreement of every addressable shard with the single-device
-reference (method='conv' is bitwise on CPU — parallel/sharded.py:83).
+the pod mesh, process_block_range feeding of process-local data, and all
+three collective families crossing the process boundary — ppermute halos
+(sharded FIR, bitwise vs single device; method='conv' is bitwise on CPU,
+parallel/sharded.py:83), the all_gather state chain (sharded_sosfilt), and
+the psum segment reduction (sharded_welch).
 
 Usage: multihost_worker.py <process_id> <num_processes> <port>
 Prints 'WORKER_OK <pid>' on success; any assertion kills the exit code.
@@ -77,6 +78,41 @@ def main():
     # Local coverage sanity: the two processes' block ranges tile [0, length).
     ranges = {0: (0, length // 2), 1: (length // 2, length)}
     assert (start, end) == ranges[proc_id], (start, end)
+
+    # --- all_gather collective family across the process boundary:
+    # sharded_sosfilt chains per-block IIR states via all_gather
+    # (parallel/sharded.py), so blocks 4..7 (process 1) depend on state
+    # gathered from process 0.
+    import scipy.signal as sps
+
+    from nx_signal_tpu.ops.iir import sosfilt
+    from nx_signal_tpu.parallel.sharded import sharded_sosfilt
+
+    sos = sps.butter(6, 0.2, output="sos")
+    sos_j = np.asarray(sos, np.float32)
+    got_sos = sharded_sosfilt(sos_j, gx, mesh=mesh)
+    want_sos = np.asarray(sosfilt(sos_j, x))
+    for shard in got_sos.addressable_shards:
+        np.testing.assert_allclose(np.asarray(shard.data),
+                                   want_sos[shard.index],
+                                   atol=1e-5, rtol=1e-5)
+
+    # --- psum collective family across the process boundary:
+    # sharded_welch's segment-axis mean reduces partial sums over the
+    # block axis, crossing the process boundary (DCN in a real pod).
+    from nx_signal_tpu.parallel.estimation import sharded_welch
+    from nx_signal_tpu.spectral.estimation import welch
+
+    fq_s, p_s = sharded_welch(gx, mesh=mesh, sampling_rate=100.0,
+                              segment_length=256)
+    fq, p = welch(x, sampling_rate=100.0, segment_length=256)
+    np.testing.assert_array_equal(np.asarray(fq_s), np.asarray(fq))
+    want_p = np.asarray(p)
+    scale = np.abs(want_p).max()
+    for shard in p_s.addressable_shards:
+        np.testing.assert_allclose(np.asarray(shard.data),
+                                   want_p[shard.index],
+                                   atol=1e-6 * scale, rtol=1e-6)
 
     print(f"WORKER_OK {proc_id}", flush=True)
 

@@ -1,11 +1,12 @@
 """Real multi-process exercise of parallel/multihost.py (VERDICT.md item 4).
 
 Spawns a 2-process CPU 'cluster' (jax.distributed with a local coordinator,
-4 virtual devices per process = 8 global devices) in subprocesses and runs a
-sharded FIR whose time-block halo exchange crosses the process boundary,
-asserting bitwise parity with the single-device result. This is the
-"multi-node without a real cluster" strategy from SURVEY.md §4 — the halo
-ppermute between block 3 (process 0) and block 4 (process 1) travels over
+4 virtual devices per process = 8 global devices) in subprocesses and runs
+every collective family in parallel/ across the process boundary: a sharded
+FIR's ppermute halo (bitwise vs single device), sharded_sosfilt's
+all_gather state chain, and sharded_welch's psum segment reduction. This is
+the "multi-node without a real cluster" strategy from SURVEY.md §4 — the
+collectives between block 3 (process 0) and block 4 (process 1) travel over
 the distributed backend, not device-local memory.
 """
 
@@ -61,6 +62,51 @@ def test_two_process_sharded_fir_bitwise():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"WORKER_OK {i}" in out, f"worker {i} output:\n{out}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["channel", "block"])
+def test_pod_bench_two_process_smoke(mode):
+    """scripts/pod_bench.py must run on the 2-process CPU cluster and emit
+    the scaling-efficiency JSON line (the script is the ready-to-run pod
+    measurement for the first real multi-chip session)."""
+    import json
+
+    port = _free_port()
+    script = os.path.join(REPO, "scripts", "pod_bench.py")
+    common = [
+        sys.executable, script, "--coordinator", f"localhost:{port}",
+        "--num-processes", "2", "--virtual-devices", "2",
+        "--mode", mode, "--channels-per-chip", "2",
+        "--seconds", "0.1", "--rate", "16000", "--steps", "1",
+        "--repeats", "2", "--single-chip-msps", "100.0",
+    ]
+    procs = [
+        subprocess.Popen(
+            common + ["--process-id", str(i)],
+            env=_worker_env(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("pod_bench workers timed out:\n" + "\n".join(outs))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"pod_bench worker {i} failed:\n{out}"
+    line = next(l for l in outs[0].splitlines()
+                if l.startswith("{") and "pod_chain_scaling" in l)
+    rec = json.loads(line)
+    assert rec["devices"] == 4 and rec["hosts"] == 2
+    assert rec["mode"] == mode
+    assert rec["msamples_per_s"] > 0
+    assert rec["efficiency_vs_single_chip"] is not None
 
 
 def test_initialize_noop_single_process():
