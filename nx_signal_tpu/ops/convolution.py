@@ -52,6 +52,15 @@ def convolve(in1, in2, *, mode="full", method="direct"):
 
     Modes (reference: convolution.ex:24-28): 'full' -> N+K-1 samples,
     'same' -> center N samples, 'valid' -> center N-K+1 samples.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.convolution import convolve
+    >>> convolve(jnp.asarray([1.0, 2.0, 3.0]), jnp.asarray([0.0, 1.0, 0.5]))
+    Array([0. , 1. , 2.5, 4. , 1.5], dtype=float32)
+    >>> convolve(jnp.asarray([1.0, 2.0, 3.0]), jnp.asarray([0.0, 1.0, 0.5]), mode="same")
+    Array([1. , 2.5, 4. ], dtype=float32)
     """
     _check_mode_method(mode, method)
     if method == "direct":
@@ -61,7 +70,15 @@ def convolve(in1, in2, *, mode="full", method="direct"):
 
 def correlate(in1, in2, *, mode="full", method="direct"):
     """Cross-correlation: convolution with the reversed (conjugated, if
-    complex) kernel (reference: convolution.ex:87-93)."""
+    complex) kernel (reference: convolution.ex:87-93).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.convolution import correlate
+    >>> correlate(jnp.asarray([1.0, 2.0, 3.0]), jnp.asarray([0.0, 1.0, 0.5]))
+    Array([0.5, 2. , 3.5, 3. , 0. ], dtype=float32)
+    """
     in2 = jnp.asarray(in2)
     kernel = jnp.flip(in2, axis=tuple(range(in2.ndim)))
     if is_complex_dtype(in2.dtype):
@@ -343,6 +360,15 @@ def fftconvolve(in1, in2, *, mode="full"):
     input has extent 1 are broadcast, not convolved), forward FFT both,
     multiply, inverse, real output iff both inputs are real (reference:
     convolution.ex:252-298).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.convolution import fftconvolve
+    >>> out = fftconvolve(jnp.asarray([1.0, 2.0, 3.0]), jnp.asarray([0.0, 1.0, 0.5]))
+    >>> np.round(np.asarray(out), 5)
+    array([-0. ,  1. ,  2.5,  4. ,  1.5], dtype=float32)
     """
     if mode not in _MODES:
         raise ValueError(f"expected mode to be one of ['full', 'same', 'valid'], got: {mode}")
@@ -409,6 +435,16 @@ def oaconvolve(in1, in2, *, mode="full", block_length=None):
     K-1 block tails are overlap-added with the deterministic fold from
     spectral/framing.py. Leading axes must broadcast. Output matches
     `fftconvolve` (same mode semantics) within float tolerance.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.convolution import oaconvolve
+    >>> out = oaconvolve(jnp.ones(16), jnp.asarray([0.25, 0.5, 0.25]), mode="same")
+    >>> np.round(np.asarray(out), 5)
+    array([0.75, 1.  , 1.  , 1.  , 1.  , 1.  , 1.  , 1.  , 1.  , 1.  , 1.  ,
+           1.  , 1.  , 1.  , 1.  , 0.75], dtype=float32)
     """
     if mode not in _MODES:
         raise ValueError(f"expected mode to be one of ['full', 'same', 'valid'], got: {mode}")

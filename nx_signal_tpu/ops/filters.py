@@ -34,6 +34,13 @@ def median(t, *, kernel_shape):
     clamped so the window fits (Nx.slice clamping) — windows near the
     trailing edge shift back. This differs from scipy.ndimage's centered
     median; it is the reference's pinned behavior (filters_test.exs:6-12).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.filters import median
+    >>> median(jnp.asarray([1.0, 9.0, 2.0, 8.0, 3.0]), kernel_shape=(3,))
+    Array([2., 8., 3., 3., 3.], dtype=float32)
     """
     t = jnp.asarray(t)
     if isinstance(kernel_shape, int):
@@ -62,6 +69,15 @@ def wiener(t, *, kernel_size=3, noise=None):
     Accumulates in float64 when x64 is enabled (the reference computes in f64,
     filters.ex:107-109); on TPU (no f64) it runs in float32 — document'd
     precision difference, wiener is not in the hot chain.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import wiener
+    >>> out = wiener(jnp.asarray([1.0, 2.0, 8.0, 2.0, 1.0]), kernel_size=3)
+    >>> np.round(np.asarray(out), 4)
+    array([1.    , 2.9922, 5.1556, 2.9922, 1.    ], dtype=float32)
     """
     t = jnp.asarray(t)
     rank = t.ndim
@@ -93,6 +109,13 @@ def firwin(num_taps: int, cutoff, *, window="hamming", pass_zero: bool = True,
     forced zero at Nyquist, so filters with gain there require odd taps.
     Cutoffs are in the units of `sampling_rate` (default 2.0 => already
     normalized to [0, 1] with 1 = Nyquist), strictly inside (0, Nyquist).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import firwin
+    >>> np.round(np.asarray(firwin(5, [0.5])), 4)
+    array([-0.    ,  0.2037,  0.5926,  0.2037, -0.    ], dtype=float32)
     """
     if isinstance(cutoff, (int, float)):
         cutoff = [cutoff]

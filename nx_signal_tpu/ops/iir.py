@@ -312,7 +312,20 @@ def sosfilt(sos, x, axis=-1, zi=None):
     semantics (zi shape (n_sections, ..., 2) in DF2T convention). Returns y
     or (y, zf). The TPU-recommended IIR path: each biquad is a 2x2
     associative-scan recurrence (log-depth, numerically robust at any
-    order via cascading). New relative to the reference (no IIR)."""
+    order via cascading). New relative to the reference (no IIR).
+
+    Examples:
+
+    A one-pole low-pass (y[n] = 0.5 x[n] + 0.5 y[n-1]) impulse response:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir import sosfilt
+    >>> sos = jnp.asarray([[0.5, 0.0, 0.0, 1.0, -0.5, 0.0]])
+    >>> out = sosfilt(sos, jnp.asarray([1.0, 0.0, 0.0, 0.0]))
+    >>> np.round(np.asarray(out), 4)
+    array([0.5   , 0.25  , 0.125 , 0.0625], dtype=float32)
+    """
     sos = jnp.asarray(sos)
     if sos.ndim != 2 or sos.shape[1] != 6:
         raise ValueError("sos array must be shape (n_sections, 6)")

@@ -51,6 +51,15 @@ def lambert_w(z, k: int = 0, *, tol: float = 1.0e-8):
     Returns complex128 when `jax_enable_x64` is on (matching the reference's
     c128 promotion, internal.ex:10-18, and its atol 1e-13 scipy parity),
     complex64 otherwise.
+
+    Examples:
+
+    W(1) is the omega constant (omega * e^omega = 1):
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.lambert_w import lambert_w
+    >>> complex(np.round(complex(lambert_w(1.0)), 8))
+    (0.56714326+0j)
     """
     z = jnp.asarray(z)
     cdtype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64

@@ -29,7 +29,23 @@ def argrelmin(data, *, axis: int = 0, order: int = 1):
 
 def argrelmax(data, *, axis: int = 0, order: int = 1):
     """Relative maxima along `axis` with neighborhood `order` (reference:
-    peak_finding.ex:252-255)."""
+    peak_finding.ex:252-255).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.peak_finding import argrelmax
+    >>> r = argrelmax(jnp.asarray([1.0, 3.0, 2.0, 5.0, 2.0, 0.0]))
+    >>> r.indices
+    Array([[ 1],
+           [ 3],
+           [-1],
+           [-1],
+           [-1],
+           [-1]], dtype=int32)
+    >>> r.valid_indices
+    Array(2, dtype=uint32)
+    """
     return argrelextrema(data, jnp.greater, axis=axis, order=order)
 
 

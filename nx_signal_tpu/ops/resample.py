@@ -153,6 +153,16 @@ def resample_poly(x, up: int, down: int, *, window=("kaiser", 5.0), taps=None):
     FIR (kaiser 5.0 by default, 10*max(up,down) half-length) scaled by
     `up`, apply via `upfirdn`, and slice the centered n_in*up/down samples.
     Pass `taps` to use a custom prototype filter instead.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.resample import resample_poly
+    >>> out = resample_poly(jnp.asarray([0.0, 1.0, 2.0, 3.0]), 2, 1)
+    >>> np.round(np.asarray(out), 4)
+    array([0.    , 0.5614, 1.0005, 1.2946, 2.001 , 2.9651, 3.0016, 1.6071],
+          dtype=float32)
     """
     x = jnp.asarray(x)
     if up < 1 or down < 1:

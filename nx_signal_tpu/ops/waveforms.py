@@ -54,7 +54,15 @@ def sawtooth(t, *, width: float = 1.0):
 def square(t, *, duty=0.5):
     """Periodic square wave with period 2*pi: +1 while tmod < 2*pi*duty, else
     -1. `duty` may be a tensor for a time-varying duty cycle (reference:
-    waveforms.ex:96-104). Returns int32 (+1/-1) like the reference's s32."""
+    waveforms.ex:96-104). Returns int32 (+1/-1) like the reference's s32.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.waveforms import square
+    >>> square(jnp.asarray([0.0, 1.0, 2.0, 3.5, 5.0]))
+    Array([ 1,  1,  1, -1, -1], dtype=int32)
+    """
     t = _as_float(t)
     duty = jnp.asarray(duty)
     tmod = jnp.mod(t, _TWO_PI)
@@ -93,6 +101,15 @@ def chirp(t, f0: float, t1: float, f1: float, *, method: str = "linear",
 
     Methods: 'linear', 'quadratic' (with `vertex_zero`), 'logarithmic'
     (NaN if f0*f1 <= 0), 'hyperbolic'.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.waveforms import chirp
+    >>> t = jnp.arange(4) / 4.0
+    >>> np.round(np.asarray(chirp(t, f0=1.0, t1=1.0, f1=2.0)), 4)
+    array([ 1.    , -0.1951, -0.7071,  0.9808], dtype=float32)
     """
     t = _as_float(t)
     if method == "linear":

@@ -106,7 +106,17 @@ def hamming(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
 
 
 def hann(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
-    """Hann window 0.5 (1 - cos) (reference: windows.ex:278-305)."""
+    """Hann window 0.5 (1 - cos) (reference: windows.ex:278-305).
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> hann(8, periodic=False)
+    Array([0.        , 0.1882551 , 0.6112605 , 0.9504844 , 0.9504844 ,
+           0.6112603 , 0.18825516, 0.        ], dtype=float32)
+    >>> hann(4)
+    Array([0. , 0.5, 1. , 0.5], dtype=float32)
+    """
     return _cosine_window(n, (0.5, 0.5), periodic, dtype)
 
 
@@ -119,6 +129,13 @@ def kaiser(n: int, *, beta: float = 12.0, periodic: bool = True, eps: float = 0.
     reference's polynomial/asymptotic approximation (windows.ex:371-386),
     giving scipy-grade accuracy. `eps` floors the sqrt argument for exact
     reference parity (its default there is 1e-7); default 0 matches scipy.
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.windows import kaiser
+    >>> kaiser(5, beta=12.0, periodic=False)
+    Array([5.2773445e-05, 2.1567267e-01, 1.0000000e+00, 2.1567267e-01,
+           5.2773445e-05], dtype=float32)
     """
     if n == 1:
         return jnp.ones((1,), dtype=dtype)  # scipy convention for M=1

@@ -100,6 +100,21 @@ def as_windowed(x, *, window_length: int, stride: int = 1, padding="valid"):
       * (lo, hi) — explicit zero padding of the signal.
       * 'reflect' — mirror-pad by window_length//2 on both sides (no edge
         duplication, numpy 'reflect' mode); first window centered at sample 0.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.spectral.framing import as_windowed
+    >>> as_windowed(jnp.arange(8), window_length=4, stride=2)
+    Array([[0, 1, 2, 3],
+           [2, 3, 4, 5],
+           [4, 5, 6, 7]], dtype=int32)
+    >>> as_windowed(jnp.arange(5), window_length=4, stride=1, padding="same")
+    Array([[0, 0, 1, 2],
+           [0, 1, 2, 3],
+           [1, 2, 3, 4],
+           [2, 3, 4, 0],
+           [3, 4, 0, 0]], dtype=int32)
     """
     x = jnp.asarray(x)
     if stride < 1:
@@ -158,6 +173,14 @@ def overlap_and_add(frames, *, overlap_length: int, dtype=None):
     Unlike the reference's indexed_add scatter, accumulation order is
     deterministic (increasing frame order per output sample) — see module
     docstring.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.spectral.framing import overlap_and_add
+    >>> frames = jnp.asarray([[1, 1, 1, 1], [10, 10, 10, 10], [100, 100, 100, 100]])
+    >>> overlap_and_add(frames, overlap_length=2)
+    Array([  1,   1,  11,  11, 110, 110, 100, 100], dtype=int32)
     """
     frames = jnp.asarray(frames)
     if frames.ndim < 2:

@@ -21,7 +21,20 @@ def mel_filters(fft_length: int, mel_bins: int, sampling_rate, *,
     """Slaney/librosa-style mel filterbank matrix [mels, frequencies]:
     linear spacing below the 1 kHz breakpoint, log spacing (step log(6.4)/27)
     above, triangular weights with Slaney 2/(bandwidth) normalization
-    (reference: nx_signal.ex:412-445)."""
+    (reference: nx_signal.ex:412-445).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.spectral.mel import mel_filters
+    >>> fb = mel_filters(16, 3, 8000.0)
+    >>> fb.shape
+    (3, 16)
+    >>> np.round(np.asarray(fb)[:, :6], 4)
+    array([[0.    , 0.0008, 0.0009, 0.0002, 0.    , 0.    ],
+           [0.    , 0.    , 0.0002, 0.0005, 0.0006, 0.0004],
+           [0.    , 0.    , 0.    , 0.    , 0.    , 0.0001]], dtype=float32)
+    """
     f_sp = mel_frequency_spacing
     fftfreqs = fft_frequencies(sampling_rate, fft_length=fft_length, dtype=dtype)
 

@@ -35,7 +35,14 @@ class STFTResult(NamedTuple):
 def fft_frequencies(sampling_rate, *, fft_length: int, dtype=DEFAULT_FLOAT,
                     endpoint: bool = False):
     """FFT bin frequencies in Hz: linspace(0, Fs, fft_length, endpoint=False)
-    — full bin range, not the rfft half (reference: nx_signal.ex:154-166)."""
+    — full bin range, not the rfft half (reference: nx_signal.ex:154-166).
+
+    Examples:
+
+    >>> from nx_signal_tpu.spectral.stft import fft_frequencies
+    >>> fft_frequencies(sampling_rate=10.0, fft_length=5)
+    Array([0., 2., 4., 6., 8.], dtype=float32)
+    """
     return jnp.linspace(0.0, sampling_rate, fft_length, endpoint=endpoint, dtype=dtype)
 
 
@@ -94,6 +101,26 @@ def stft(data, window, *, sampling_rate=100, fft_length="power_of_two",
     `precision` controls the MXU passes of the matmul path ('highest' =
     full-f32, 'high' = 3-pass bf16, 'default' = single bf16 pass — each
     step trades accuracy for speed); ignored on the FFT path.
+
+    Examples:
+
+    A 100 Hz tone sampled at 400 Hz lands in bin 16 of a 64-point frame
+    (bin spacing 400/64 = 6.25 Hz):
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> from nx_signal_tpu.spectral.stft import stft
+    >>> x = jnp.sin(2 * jnp.pi * 100.0 * jnp.arange(400) / 400.0)
+    >>> z, times, freqs = stft(x, hann(64), sampling_rate=400.0, overlap_length=32)
+    >>> z.shape
+    (11, 64)
+    >>> times[:3]
+    Array([0.08      , 0.16      , 0.24000001], dtype=float32)
+    >>> freqs[16]
+    Array(100., dtype=float32)
+    >>> int(np.argmax(np.abs(np.asarray(z)[0])))
+    16
     """
     data = jnp.asarray(data)
     window = jnp.asarray(window)
@@ -177,6 +204,21 @@ def istft(z, window, *, fft_length=None, overlap_length=None, scaling=None,
     picks the per-frame inverse — 'auto' uses the fused iDFT+window MXU
     matmul (kernels/dft.py) for fft_length <= 1024, XLA's IFFT otherwise;
     `precision` sets that matmul's MXU precision (see `stft`).
+
+    Examples:
+
+    Round-trip reconstruction is exact (to f32) in the overlapping
+    interior:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> from nx_signal_tpu.spectral.stft import istft, stft
+    >>> x = jnp.asarray(np.sin(np.arange(256) / 5.0), jnp.float32)
+    >>> z, _, _ = stft(x, hann(32), overlap_length=16)
+    >>> y = istft(z, hann(32), overlap_length=16)
+    >>> bool(np.allclose(np.asarray(y)[16:-16], np.asarray(x)[16 : y.shape[-1] - 16], atol=1e-6))
+    True
     """
     z = jnp.asarray(z)
     window = jnp.asarray(window)

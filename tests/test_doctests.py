@@ -1,0 +1,29 @@
+"""Docstring examples are executable and exact — the reference's primary
+spec mechanism (SURVEY.md §4.1: doctests with exact printed tensors,
+/root/reference/lib/nx_signal.ex:545-579). The runner executes in a
+subprocess with the USER-DEFAULT JAX config (CPU, x64 off) because the
+printed dtypes in the examples are the ones a library user sees — the test
+session itself runs with x64 forced on."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUNNER = os.path.join(REPO, "tests", "doctest_runner.py")
+
+
+def test_docstring_examples():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_ENABLE_X64", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    res = subprocess.run(
+        [sys.executable, RUNNER], env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "DOCTESTS_OK" in res.stdout
+    attempted = int(res.stdout.split("DOCTESTS_OK")[1].split()[0])
+    assert attempted >= 60, f"only {attempted} doctest lines ran"
