@@ -30,9 +30,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-CHANNELS = 512  # fills the chip; amortizes the ~1.6 ms tunnel dispatch
-# (measured ladder: 16ch 1814 / 128ch 2646 / 256ch 3578 / 512ch 4269 Ms/s;
-# 1024ch would need ~12 GB of conv output + power and risks HBM OOM)
+CHANNELS = 768  # fills the chip; amortizes the tunnel dispatch latency
+# (r03 ladder, one process: 128ch 2577 / 256ch 3501 / 512ch 4306 /
+# 768ch 4631 Ms/s; 896ch+ OOMs — the 514-wide conv result materializes
+# (ch, frames, 514) f32 ahead of the power epilogue, ~6.9 GB at 896ch,
+# and lax.map chunking does not help: input+output alone are ~6 GB)
 SECONDS = 10
 RATE = 48000
 STEPS = 2

@@ -32,7 +32,9 @@ from jax import lax
 from nx_signal_tpu.spectral.framing import _frame_block_widths
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
-__all__ = ["framed_dft", "framed_idft", "fir_framed_dft", "good_matmul_fft_length", "blocked_frame_matmul", "toeplitz_band"]
+__all__ = ["framed_dft", "framed_idft", "fir_framed_dft",
+           "fir_framed_dft_shared", "recognize_cosine_window",
+           "good_matmul_fft_length", "blocked_frame_matmul", "toeplitz_band"]
 
 _MAX_MATMUL_FFT = 1024
 
@@ -341,3 +343,169 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
     if output == "power":
         return acc[..., :bins] ** 2 + acc[..., bins:] ** 2
     return lax.complex(acc[..., :bins], acc[..., bins:])
+
+
+# --------------------------------------------------- shared-block strategy
+
+#: signed cosine-sum coefficients of the standard periodic windows:
+#: w[t] = sum_c b_c * cos(2*pi*c*t / N)
+_COSINE_WINDOW_COEFFS = {
+    "rectangular": (1.0,),
+    "hann": (0.5, -0.5),
+    "hamming": (0.54, -0.46),
+    "blackman": (0.42, -0.5, 0.08),
+}
+
+
+def recognize_cosine_window(window, n_fft: int):
+    """Signed cosine-sum coefficients (b_0, b_1, ...) of the PERIODIC
+    window sampled in `window` when it matches one of the standard
+    cosine-sum families over period `n_fft` to 1e-6, else None. Gate for
+    the shared-block framed-DFT fast path (`fir_framed_dft_shared`), which
+    applies the window as a sparse convolution in the frequency domain and
+    therefore needs the window's exact spectral support."""
+    w = np.asarray(window, dtype=np.float64)
+    if w.ndim != 1 or w.shape[0] != n_fft:
+        return None
+    t = np.arange(n_fft)
+    for coeffs in _COSINE_WINDOW_COEFFS.values():
+        model = sum(
+            b * np.cos(2.0 * np.pi * c * t / n_fft)
+            for c, b in enumerate(coeffs)
+        )
+        if np.allclose(w, model, atol=1e-6):
+            return tuple(coeffs)
+    return None
+
+
+def _conj_shift_minus(xr, xi, c, bins):
+    """(X[k-c]) for one-sided spectra of a real signal: k >= c reads
+    X[k-c]; k < c reflects through DC with conjugation (X[-m] = conj(X[m]))."""
+    left_r = xr[..., 1:c + 1][..., ::-1]
+    left_i = -xi[..., 1:c + 1][..., ::-1]
+    return (
+        jnp.concatenate([left_r, xr[..., :bins - c]], axis=-1),
+        jnp.concatenate([left_i, xi[..., :bins - c]], axis=-1),
+    )
+
+
+def _conj_shift_plus(xr, xi, c, bins):
+    """(X[k+c]) for one-sided spectra of a real signal (even n_fft):
+    k <= bins-1-c reads X[k+c]; beyond Nyquist reflects with conjugation
+    (X[n_fft - m] = conj(X[m]))."""
+    right_r = xr[..., bins - 1 - c:bins - 1][..., ::-1]
+    right_i = -xi[..., bins - 1 - c:bins - 1][..., ::-1]
+    return (
+        jnp.concatenate([xr[..., c:], right_r], axis=-1),
+        jnp.concatenate([xi[..., c:], right_i], axis=-1),
+    )
+
+
+def fir_framed_dft_shared(x, taps, *, stride: int, n_fft: int,
+                          window_coeffs, onesided: bool = False,
+                          precision="highest", output: str = "complex"):
+    """FIR + windowed framed DFT via SHARED hop-block partial DFTs — the
+    2x-fewer-FLOPs reformulation of `fir_framed_dft` for cosine-sum
+    windows with frame_length == n_fft and stride | n_fft.
+
+    The conv-of-blocks form of the framed DFT gives each hop block a dense
+    per-tap weight matrix — rows [j*stride, (j+1)*stride) of the windowed
+    DFT matrix. Without the time-domain window those matrices are all the
+    SAME (stride x bins) partial-DFT matrix E times a per-column twiddle
+    e^(-2i*pi*j*k*stride/n_fft), so each block's product P[b] = u_block[b] @ E
+    is computed ONCE and reused by all J = n_fft/stride frames that overlap
+    it:
+
+        X[m, k]  = sum_j tw[j, k] * P[m + j, k]         (diagonal combine)
+        Xw[m, k] = b_0 X[m, k]
+                   + sum_c (b_c / 2) (X[m, k-c] + X[m, k+c])   (window)
+
+    where the second line applies the cosine-sum window w[t] =
+    sum_c b_c cos(2 pi c t / n_fft) as its exact sparse spectral
+    convolution (one-sided spectra reflect through DC/Nyquist with
+    conjugation). The FIR is folded into E by the banded Toeplitz matrix
+    exactly as in `fir_framed_dft`, so per input sample the matmul work is
+    2*(stride + K - 1)*(2*bins)/stride FLOP instead of
+    2*(n_fft + K - 1)*(2*bins)/stride — a J/(1 + (K-1)/stride)-fold MXU
+    reduction (2.0x for the 512/128/255-tap chain). Equal to
+    `fir_framed_dft` up to f32 association (NOT bitwise — different
+    summation order).
+
+    `taps=None` skips the FIR fold. Requires n_fft % stride == 0, even
+    n_fft for onesided=True, and the window given as signed cosine
+    coefficients (see `recognize_cosine_window`).
+    """
+    if n_fft % stride != 0:
+        raise ValueError(
+            f"shared-block strategy needs stride | n_fft, got {stride}, {n_fft}"
+        )
+    if onesided and n_fft % 2 != 0:
+        raise ValueError("onesided shared-block strategy needs even n_fft")
+    window_coeffs = tuple(float(b) for b in window_coeffs)
+    if len(window_coeffs) < 1 or len(window_coeffs) > stride:
+        raise ValueError("window_coeffs must have 1..stride terms")
+    x = jnp.asarray(x)
+    length = x.shape[-1]
+    if length < n_fft:
+        raise ValueError(
+            f"window length {n_fft} exceeds signal length {length}"
+        )
+    num_frames = (length - n_fft) // stride + 1
+    j_taps = n_fft // stride
+    num_blocks = num_frames + j_taps - 1
+    bins = n_fft // 2 + 1 if onesided else n_fft
+
+    # stage A: per-block partial DFT (FIR-folded), one matmul per block
+    ones = np.ones(stride, dtype=np.float64)
+    e_mat = _dft_weights(ones, stride, n_fft, onesided, np.float64)
+    batch = x.shape[:-1]
+    if taps is not None:
+        taps = np.asarray(taps, dtype=np.float64).reshape(-1)
+        k = taps.shape[0]
+        weights = toeplitz_band(taps, stride, np) @ e_mat
+        pad_left = (k - 1) - (k - 1) // 2
+        xp = jnp.pad(x.astype(DEFAULT_FLOAT),
+                     [(0, 0)] * len(batch) + [(pad_left, k - 1)])
+        window_length = stride + k - 1
+    else:
+        weights = e_mat
+        xp = x.astype(DEFAULT_FLOAT)
+        window_length = stride
+    p = blocked_frame_matmul(
+        xp, jnp.asarray(weights.astype(DEFAULT_FLOAT)),
+        window_length=window_length, stride=stride, num_frames=num_blocks,
+        precision=precision,
+    )
+    p_re, p_im = p[..., :bins], p[..., bins:]
+
+    # stage B: diagonal twiddle combine across the J overlapping blocks
+    jk = (np.arange(j_taps)[:, None] * np.arange(bins)[None, :] * stride) % n_fft
+    ang = -2.0 * np.pi * jk / n_fft
+    twr = jnp.asarray(np.cos(ang).astype(np.float32))
+    twi = jnp.asarray(np.sin(ang).astype(np.float32))
+    x_re = jnp.zeros((*batch, num_frames, bins), DEFAULT_FLOAT)
+    x_im = jnp.zeros((*batch, num_frames, bins), DEFAULT_FLOAT)
+    for j in range(j_taps):
+        pr = p_re[..., j:j + num_frames, :]
+        pi = p_im[..., j:j + num_frames, :]
+        x_re = x_re + twr[j] * pr - twi[j] * pi
+        x_im = x_im + twr[j] * pi + twi[j] * pr
+
+    # stage C: the window as its sparse spectral convolution
+    out_r = window_coeffs[0] * x_re
+    out_i = window_coeffs[0] * x_im
+    for c, b in enumerate(window_coeffs[1:], start=1):
+        if b == 0.0:
+            continue
+        if onesided:
+            mr, mi = _conj_shift_minus(x_re, x_im, c, bins)
+            pr_, pi_ = _conj_shift_plus(x_re, x_im, c, bins)
+        else:
+            mr, mi = (jnp.roll(x_re, c, axis=-1), jnp.roll(x_im, c, axis=-1))
+            pr_, pi_ = (jnp.roll(x_re, -c, axis=-1), jnp.roll(x_im, -c, axis=-1))
+        out_r = out_r + (b / 2.0) * (mr + pr_)
+        out_i = out_i + (b / 2.0) * (mi + pi_)
+
+    if output == "power":
+        return out_r ** 2 + out_i ** 2
+    return lax.complex(out_r, out_i)

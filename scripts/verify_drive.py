@@ -187,3 +187,46 @@ np.testing.assert_array_equal(np.asarray(locs12), np.asarray(want12))
 cw12 = nst.cwt(x12, nst.ricker, np.arange(1, 9))
 assert cw12.shape == (8, 400) and bool(np.all(np.isfinite(np.asarray(cw12))))
 print("12. wavelets + find_peaks_cwt scipy-exact OK:", list(locs12))
+
+# 13. round-3 surface: linear/callable detrend in the Welch family and the
+#     shared-block framed-DFT strategy, through the package root
+import numpy as np
+import scipy.signal as sps13
+
+import nx_signal_tpu as nst13
+
+rng13 = np.random.default_rng(13)
+x13 = (rng13.normal(size=4096) + np.linspace(0.0, 20.0, 4096)).astype(np.float32)
+for dt13 in ("constant", "linear", False):
+    f13, p13 = nst13.welch(x13, sampling_rate=250.0, segment_length=256,
+                           detrend=dt13)
+    f13r, p13r = sps13.welch(x13.astype(np.float64), fs=250.0, nperseg=256,
+                             detrend=dt13)
+    sc13 = np.abs(p13r).max()
+    np.testing.assert_allclose(np.asarray(p13), p13r, atol=1e-4 * sc13,
+                               rtol=1e-4)
+_, pc13 = nst13.welch(x13, segment_length=256,
+                      detrend=lambda s: s - s.mean(axis=-1, keepdims=True))
+_, pc13r = sps13.welch(x13.astype(np.float64), nperseg=256,
+                       detrend=lambda s: s - s.mean(axis=-1, keepdims=True))
+np.testing.assert_allclose(np.asarray(pc13), pc13r,
+                           atol=1e-4 * np.abs(pc13r).max(), rtol=1e-4)
+from nx_signal_tpu.kernels.dft import (
+    fir_framed_dft,
+    fir_framed_dft_shared,
+    recognize_cosine_window,
+)
+from nx_signal_tpu.ops.windows import hann as hann13
+
+w13 = np.asarray(hann13(512))
+co13 = recognize_cosine_window(w13, 512)
+assert co13 == (0.5, -0.5), co13
+taps13 = rng13.normal(size=255).astype(np.float32)
+sig13 = rng13.normal(size=(2, 4096)).astype(np.float32)
+dn13 = np.asarray(fir_framed_dft(sig13, taps13, w13, stride=128, n_fft=512,
+                                 onesided=True, output="power"))
+sh13 = np.asarray(fir_framed_dft_shared(sig13, taps13, stride=128, n_fft=512,
+                                        window_coeffs=co13, onesided=True,
+                                        output="power"))
+np.testing.assert_allclose(sh13, dn13, atol=1e-5 * dn13.max(), rtol=1e-5)
+print("13. linear/callable detrend + shared-block framed DFT OK")

@@ -273,6 +273,83 @@ class TestSTFTMethods:
                                    atol=1e-3 * np.abs(np.asarray(r_hi)).max())
 
 
+class TestSharedBlockDFT:
+    """fir_framed_dft_shared: the shared hop-block partial-DFT strategy
+    must equal the dense fir_framed_dft/framed_dft to f32 association
+    (kernels/dft.py — measured SLOWER than the dense conv-of-blocks on the
+    v5e (ROOFLINE.md §4), kept as the Pallas-era candidate and validated
+    here for correctness)."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.default_rng(11)
+
+    @pytest.mark.parametrize("onesided", [True, False])
+    @pytest.mark.parametrize("output", ["complex", "power"])
+    def test_matches_dense_fir_path(self, rng, onesided, output):
+        from nx_signal_tpu.kernels.dft import (
+            fir_framed_dft,
+            fir_framed_dft_shared,
+        )
+
+        x = rng.normal(size=(2, 2048)).astype(np.float32)
+        taps = rng.normal(size=63).astype(np.float32)
+        w = np.asarray(windows.hann(256))
+        dense = np.asarray(fir_framed_dft(
+            x, taps, w, stride=64, n_fft=256, onesided=onesided,
+            output=output))
+        shared = np.asarray(fir_framed_dft_shared(
+            x, taps, stride=64, n_fft=256, window_coeffs=(0.5, -0.5),
+            onesided=onesided, output=output))
+        scale = np.abs(dense).max()
+        np.testing.assert_allclose(shared, dense, atol=1e-5 * scale,
+                                   rtol=1e-5)
+
+    @pytest.mark.parametrize("name,coeffs", [
+        ("hann", (0.5, -0.5)),
+        ("hamming", (0.54, -0.46)),
+        ("blackman", (0.42, -0.5, 0.08)),
+    ])
+    def test_no_fir_and_window_families(self, rng, name, coeffs):
+        from nx_signal_tpu.kernels.dft import (
+            fir_framed_dft_shared,
+            framed_dft,
+            recognize_cosine_window,
+        )
+
+        w = np.asarray(getattr(windows, name)(128))
+        assert recognize_cosine_window(w, 128) == pytest.approx(coeffs)
+        x = rng.normal(size=1024).astype(np.float32)
+        dense = np.asarray(framed_dft(x, w, stride=32, n_fft=128,
+                                      onesided=True))
+        shared = np.asarray(fir_framed_dft_shared(
+            x, None, stride=32, n_fft=128, window_coeffs=coeffs,
+            onesided=True))
+        scale = np.abs(dense).max()
+        np.testing.assert_allclose(shared, dense, atol=1e-5 * scale,
+                                   rtol=1e-5)
+
+    def test_recognize_rejects_non_cosine(self):
+        from nx_signal_tpu.kernels.dft import recognize_cosine_window
+
+        assert recognize_cosine_window(np.asarray(windows.kaiser(64)), 64) \
+            is None
+        # symmetric (non-periodic) hann is not a period-n cosine sum
+        assert recognize_cosine_window(
+            np.asarray(windows.hann(64, periodic=False)), 64) is None
+
+    def test_validation(self, rng):
+        from nx_signal_tpu.kernels.dft import fir_framed_dft_shared
+
+        x = rng.normal(size=512).astype(np.float32)
+        with pytest.raises(ValueError, match="stride"):
+            fir_framed_dft_shared(x, None, stride=48, n_fft=128,
+                                  window_coeffs=(0.5, -0.5))
+        with pytest.raises(ValueError, match="even"):
+            fir_framed_dft_shared(x, None, stride=45, n_fft=135,
+                                  window_coeffs=(0.5, -0.5), onesided=True)
+
+
 class TestISTFTMethods:
     """The fused iDFT+window MXU path must agree with the IFFT path, and
     onesided round-trips must reconstruct."""
