@@ -140,18 +140,27 @@ def main():
             size=(channels, end - start)).astype(np.float32)
         x = jax.make_array_from_process_local_data(sharding, local)
 
+    from nx_signal_tpu.utils.metrics import ThroughputMeter, log_event
+
     total_samples = channels * length
     step_j = jax.jit(step)
     out = step_j(x)
     jax.block_until_ready(out)  # compile + warm up
 
+    meter = ThroughputMeter(n_devices=n_dev)
     times = []
-    for _ in range(args.repeats):
+    for rep in range(args.repeats):
         t0 = time.perf_counter()
         for _ in range(args.steps):
             out = step_j(x)
         jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / args.steps)
+        rep_dt = (time.perf_counter() - t0) / args.steps
+        times.append(rep_dt)
+        meter.update(total_samples * args.steps, rep_dt * args.steps)
+        if jax.process_index() == 0:
+            log_event("pod_bench_repeat", repeat=rep,
+                      ms_per_step=round(rep_dt * 1e3, 3),
+                      **meter.snapshot())
     dt = sorted(times)[len(times) // 2]
 
     msps = total_samples / dt / 1e6

@@ -65,6 +65,37 @@ def test_two_process_sharded_fir_bitwise():
 
 
 @pytest.mark.slow
+def test_dead_peer_detected_across_processes():
+    """parallel/failure.py heartbeat must detect a dead peer: worker 1
+    joins the cluster then exits; worker 0's cross-process probe must end
+    in FailureDetected (hung collective or torn-down runtime) within the
+    deadline — the liveness layer SURVEY.md §5 scoped as the detection
+    half of elastic recovery."""
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "failure_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port)],
+            env=_worker_env(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("failure workers timed out:\n" + "\n".join(outs))
+    assert "PEER_EXITING" in outs[1], outs[1]
+    assert "DETECTED_OK" in outs[0], outs[0]
+    assert procs[0].returncode == 0
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["channel", "block"])
 def test_pod_bench_two_process_smoke(mode):
     """scripts/pod_bench.py must run on the 2-process CPU cluster and emit
