@@ -146,6 +146,31 @@ from nx_signal_tpu.ops.iir_design import (
     zpk2sos,
     zpk2tf,
 )
+from nx_signal_tpu.ops.convolution import convolve2d, correlate2d
+from nx_signal_tpu.ops.filters import freqz_sos, savgol_coeffs, savgol_filter
+from nx_signal_tpu.ops.fir_design import (
+    firls,
+    firwin2,
+    kaiser_atten,
+    kaiser_beta,
+    kaiserord,
+    minimum_phase,
+    remez,
+)
+from nx_signal_tpu.ops.waveforms import (
+    GaussianPulse,
+    chirp,
+    gaussian_pulse,
+    gausspulse,
+    polynomial_sweep,
+    sawtooth,
+    sinc,
+    square,
+    sweep_poly,
+    unit_impulse,
+)
+from nx_signal_tpu.ops.windows import get_window
+from nx_signal_tpu.spectral.estimation import lombscargle, vectorstrength
 from nx_signal_tpu.ops.find_peaks import (
     Peaks,
     find_peaks,
@@ -224,5 +249,16 @@ __all__ = [
     "find_peaks_cwt",
     # wavelets
     "ricker", "morlet", "morlet2", "qmf", "cwt",
+    # waveforms
+    "sawtooth", "square", "chirp", "gaussian_pulse", "gausspulse",
+    "GaussianPulse", "polynomial_sweep", "sweep_poly", "unit_impulse",
+    "sinc",
+    # windows + 2-D conv + estimation extras
+    "get_window", "convolve2d", "correlate2d", "lombscargle",
+    "vectorstrength",
+    # FIR design long tail
+    "kaiser_beta", "kaiser_atten", "kaiserord", "firwin2", "firls",
+    "remez", "minimum_phase", "savgol_coeffs", "savgol_filter",
+    "freqz_sos",
     "__version__",
 ]

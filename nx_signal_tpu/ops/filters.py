@@ -21,9 +21,9 @@ from nx_signal_tpu.ops.windows import get_window
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
 __all__ = ["median", "medfilt", "medfilt2d", "order_filter", "wiener",
-           "firwin", "freqz", "sosfreqz", "group_delay", "gammatone",
-           "max_len_seq", "detrend", "savgol_coeffs", "savgol_filter",
-           "freqz_zpk", "freqs", "freqs_zpk"]
+           "firwin", "freqz", "sosfreqz", "freqz_sos", "group_delay",
+           "gammatone", "max_len_seq", "detrend", "savgol_coeffs",
+           "savgol_filter", "freqz_zpk", "freqs", "freqs_zpk"]
 
 
 def median(t, *, kernel_shape):
@@ -225,6 +225,14 @@ def sosfreqz(sos, *, n_freqs: int = 512, sampling_rate: float = 2.0,
     for s in range(sos.shape[0]):
         resp = resp * (_polyval_exp(sos[s, :3], w) / _polyval_exp(sos[s, 3:], w))
     return freqs, resp
+
+
+def freqz_sos(sos, *, n_freqs: int = 512, sampling_rate: float = 2.0,
+              whole: bool = False):
+    """Alias of `sosfreqz` under scipy >= 1.15's preferred name. Not in
+    the reference (no IIR there)."""
+    return sosfreqz(sos, n_freqs=n_freqs, sampling_rate=sampling_rate,
+                    whole=whole)
 
 
 def freqz_zpk(z, p, k, *, n_freqs: int = 512, sampling_rate: float = 2.0,

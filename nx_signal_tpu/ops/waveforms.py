@@ -16,9 +16,11 @@ __all__ = [
     "sawtooth",
     "square",
     "gaussian_pulse",
+    "gausspulse",
     "GaussianPulse",
     "chirp",
     "polynomial_sweep",
+    "sweep_poly",
     "unit_impulse",
     "sinc",
 ]
@@ -158,6 +160,44 @@ def polynomial_sweep(t, coefs, *, phi: float = 0.0, phi_unit: str = "radians"):
     elif phi_unit != "radians":
         raise ValueError(f"phi_unit must be 'radians' or 'degrees', got: {phi_unit}")
     return jnp.cos(_TWO_PI * phase + phi)
+
+
+def sweep_poly(t, poly, phi: float = 0.0):
+    """scipy.signal.sweep_poly-compatible spelling of `polynomial_sweep`:
+    `poly` is a coefficient sequence (highest power first) or np.poly1d,
+    `phi` is in DEGREES (scipy's convention). Not in the reference under
+    this name (waveforms.ex:343-361 is the same math)."""
+    coefs = getattr(poly, "coefficients", poly)
+    return polynomial_sweep(t, coefs, phi=phi, phi_unit="degrees")
+
+
+def gausspulse(t, fc: float = 1000.0, bw: float = 0.5, bwr: float = -6.0,
+               tpr: float = -60.0, retquad: bool = False,
+               retenv: bool = False):
+    """scipy.signal.gausspulse-compatible spelling of `gaussian_pulse`:
+    returns the in-phase component by default, optionally the quadrature
+    and/or envelope, and accepts t='cutoff' to return the time where the
+    envelope falls to `tpr` dB. The reference's map-returning form is
+    `gaussian_pulse` (waveforms.ex:161-198)."""
+    if isinstance(t, str):
+        if t != "cutoff":
+            raise ValueError(f"If t is a string, it must be 'cutoff', got: {t}")
+        if bwr >= 0:
+            raise ValueError(
+                f"Bandwidth reference level must be less than 0, got: {bwr}"
+            )
+        ref = 10.0 ** (bwr / 20.0)
+        a = -((math.pi * fc * bw) ** 2) / (4.0 * math.log(ref))
+        tref = 10.0 ** (tpr / 20.0)
+        return math.sqrt(-math.log(tref) / a)
+    pulse = gaussian_pulse(t, center_frequency=fc, bandwidth=bw,
+                           bandwidth_reference_level=bwr)
+    out = [pulse.in_phase]
+    if retquad:
+        out.append(pulse.quadrature)
+    if retenv:
+        out.append(pulse.envelope)
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 def unit_impulse(shape, *, index=0, dtype=DEFAULT_FLOAT):

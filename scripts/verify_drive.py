@@ -230,3 +230,59 @@ sh13 = np.asarray(fir_framed_dft_shared(sig13, taps13, stride=128, n_fft=512,
                                         output="power"))
 np.testing.assert_allclose(sh13, dn13, atol=1e-5 * dn13.max(), rtol=1e-5)
 print("13. linear/callable detrend + shared-block framed DFT OK")
+
+# 14. round-3 aux: scipy-named waveform wrappers, failure detection +
+#     elastic recovery, metrics counters
+import numpy as np
+import scipy.signal as sps14
+
+import nx_signal_tpu as nst14
+
+t14 = np.linspace(-0.01, 0.01, 201)
+np.testing.assert_allclose(np.asarray(nst14.gausspulse(t14, fc=800.0)),
+                           sps14.gausspulse(t14, fc=800.0), atol=1e-6)
+assert abs(nst14.gausspulse("cutoff", fc=800.0)
+           - sps14.gausspulse("cutoff", fc=800.0)) < 1e-12
+t14b = np.linspace(0, 1.5, 301)
+np.testing.assert_allclose(
+    np.asarray(nst14.sweep_poly(t14b, [0.1, -0.5, 2.0], phi=10.0)),
+    sps14.sweep_poly(t14b, np.poly1d([0.1, -0.5, 2.0]), phi=10.0), atol=1e-4)
+from nx_signal_tpu.parallel.failure import FailureDetected, heartbeat, run_with_recovery
+from nx_signal_tpu.parallel.streaming import StreamingFIR
+from nx_signal_tpu.utils.metrics import Metrics, ThroughputMeter
+
+assert heartbeat(timeout=60.0) < 60.0
+try:
+    import time as _time14
+    heartbeat(timeout=0.2, probe=lambda: _time14.sleep(5.0))
+    raise AssertionError("hung probe not detected")
+except FailureDetected:
+    pass
+import os as _os14, tempfile as _tf14
+_fir14 = StreamingFIR(np.asarray(nst14.firwin(33, [0.3])))
+_x14 = np.random.default_rng(14).normal(size=(1, 20 * 64)).astype(np.float32)
+_outs14 = {}
+for tag, fail in (("clean", None), ("recovered", 9)):
+    buf = np.zeros_like(_x14)
+    armed = [fail is not None]
+    def _step14(state, i, buf=buf, armed=armed, fail=fail):
+        if armed[0] and i == fail:
+            armed[0] = False
+            raise RuntimeError("injected")
+        s, y = _fir14.process(state, _x14[:, i * 64:(i + 1) * 64])
+        buf[:, i * 64:(i + 1) * 64] = np.asarray(y)
+        return s
+    run_with_recovery(_step14, _fir14.init_state(batch_shape=(1,)), 20,
+                      checkpoint_path=_os14.path.join(_tf14.mkdtemp(), "c.npz"),
+                      checkpoint_every=4)
+    _outs14[tag] = buf
+np.testing.assert_array_equal(_outs14["recovered"], _outs14["clean"])
+_m14 = Metrics()
+_m14.count("blocks", 20)
+with _m14.timer("run"):
+    pass
+_tp14 = ThroughputMeter(n_devices=2)
+_tp14.update(4_000_000, 1.0)
+assert _tp14.msamples_per_second_per_chip == 2.0
+assert _m14.snapshot()["blocks"] == 20
+print("14. scipy-named wrappers + failure detection/recovery + metrics OK")

@@ -19,11 +19,23 @@ def tone():
     )
 
 
+needs_native = pytest.mark.skipif(
+    wav_mod._load() is None,
+    reason="native IO library unavailable (no compiler on this platform)",
+)
+
+
 def test_native_library_builds():
+    import shutil
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++ — the pure-Python wave fallback is the "
+                    "supported path on this platform (e.g. Windows CI)")
     assert wav_mod._load() is not None, "native wav_io failed to compile"
 
 
 class TestWavRoundtrip:
+    @needs_native  # the stdlib-wave fallback only writes PCM16
     def test_float32(self, tone, tmp_path):
         p = tmp_path / "t.wav"
         write_wav(p, tone, 8000, float32=True)
@@ -92,6 +104,7 @@ class TestChunkedReads:
             WavReader("/nonexistent/file.wav")
 
 
+@needs_native
 class TestRingBuffer:
     def test_basic(self):
         rb = RingBuffer(1024)
@@ -174,6 +187,7 @@ def test_rejects_inconsistent_block_align(tmp_path):
         WavReader(p)
 
 
+@needs_native
 class TestPrefetchingWavReader:
     def test_blocks_match_batch_read(self, tmp_path):
         from nx_signal_tpu.io.wav import PrefetchingWavReader, read_wav, write_wav

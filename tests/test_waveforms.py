@@ -6,6 +6,7 @@ import pytest
 import scipy.signal as sps
 
 from nx_signal_tpu.ops import waveforms
+from nx_signal_tpu.ops.waveforms import gausspulse, sweep_poly
 from tests.conftest import assert_all_close
 
 T = np.linspace(0, 10, 101, dtype=np.float64)
@@ -138,3 +139,45 @@ class TestHilbert:
 
         with pytest.raises(ValueError, match="real input"):
             hilbert(np.zeros(8, np.complex64))
+
+
+class TestScipyNamedWrappers:
+    """scipy-spelled entry points over the reference-shaped generators."""
+
+    def test_gausspulse_vs_scipy(self):
+        t = np.linspace(-0.01, 0.01, 401)
+        got = np.asarray(gausspulse(t, fc=1000.0, bw=0.5))
+        np.testing.assert_allclose(got, sps.gausspulse(t, fc=1000.0, bw=0.5),
+                                   atol=1e-6)
+        gi, gq, ge = gausspulse(t, fc=500.0, bw=0.4, retquad=True,
+                                retenv=True)
+        si, sq, se = sps.gausspulse(t, fc=500.0, bw=0.4, retquad=True,
+                                    retenv=True)
+        np.testing.assert_allclose(np.asarray(gi), si, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gq), sq, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ge), se, atol=1e-6)
+
+    def test_gausspulse_cutoff(self):
+        got = gausspulse("cutoff", fc=1000.0, bw=0.5, tpr=-60.0)
+        want = sps.gausspulse("cutoff", fc=1000.0, bw=0.5, tpr=-60.0)
+        assert abs(got - want) < 1e-12
+        with pytest.raises(ValueError, match="cutoff"):
+            gausspulse("bogus")
+
+    def test_sweep_poly_vs_scipy(self):
+        t = np.linspace(0.0, 2.0, 501)
+        coefs = [0.05, -0.75, 2.5, 1.0]
+        got = np.asarray(sweep_poly(t, coefs, phi=30.0))
+        want = sps.sweep_poly(t, np.poly1d(coefs), phi=30.0)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        # np.poly1d input accepted directly
+        got2 = np.asarray(sweep_poly(t, np.poly1d(coefs), phi=30.0))
+        np.testing.assert_allclose(got2, want, atol=1e-4)
+
+    def test_freqz_sos_alias(self):
+        from nx_signal_tpu.ops.filters import freqz_sos, sosfreqz
+
+        sos = sps.butter(4, 0.3, output="sos")
+        f1, h1 = sosfreqz(sos, n_freqs=64)
+        f2, h2 = freqz_sos(sos, n_freqs=64)
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
