@@ -42,6 +42,7 @@ from nx_signal_tpu.ops.czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
 from nx_signal_tpu.ops.filters import (
     detrend,
     firwin,
+    firwin_2d,
     freqs,
     freqs_zpk,
     freqz,
@@ -58,6 +59,9 @@ from nx_signal_tpu.ops.filters import (
 )
 from nx_signal_tpu.ops.ltisys import (
     BadCoefficients,
+    StateSpace,
+    TransferFunction,
+    ZerosPolesGain,
     abcd_normalize,
     bilinear,
     bode,
@@ -76,6 +80,7 @@ from nx_signal_tpu.ops.ltisys import (
     lsim,
     lti,
     normalize,
+    place_poles,
     residue,
     residuez,
     ss2tf,
@@ -116,6 +121,7 @@ from nx_signal_tpu.ops.iir_design import (
     bilinear_zpk,
     buttap,
     butter,
+    band_stop_obj,
     buttord,
     cheb1ap,
     cheb1ord,
@@ -192,10 +198,15 @@ from nx_signal_tpu.ops.resample import (
 from nx_signal_tpu.spectral.framing import as_windowed, overlap_and_add
 from nx_signal_tpu.spectral.mel import mel_filters, stft_to_mel
 from nx_signal_tpu.spectral.estimation import coherence, csd, periodogram, welch
-from nx_signal_tpu.spectral.short_time_fft import ShortTimeFFT
+from nx_signal_tpu.spectral.short_time_fft import (
+    ShortTimeFFT,
+    closest_STFT_dual_window,
+)
 from nx_signal_tpu.spectral.spectrogram import spectrogram
 from nx_signal_tpu.spectral.stft import (
     STFTResult,
+    check_COLA,
+    check_NOLA,
     check_cola,
     check_nola,
     fft_frequencies,
@@ -213,17 +224,18 @@ __all__ = [
     "stft", "istft", "STFTResult", "fft_frequencies", "as_windowed",
     "overlap_and_add", "mel_filters", "stft_to_mel", "spectrogram",
     "periodogram", "welch", "csd", "coherence", "check_cola", "check_nola",
+    "check_COLA", "check_NOLA", "closest_STFT_dual_window",
     "ShortTimeFFT",
     # convolution family
     "convolve", "correlate", "correlation_lags", "deconvolve",
     "choose_conv_method", "fftconvolve", "oaconvolve",
     # filters & design
-    "firwin", "median", "medfilt", "medfilt2d", "order_filter", "wiener",
+    "firwin", "firwin_2d", "median", "medfilt", "medfilt2d", "order_filter", "wiener",
     "gammatone", "max_len_seq",
     "lfilter", "lfilter_zi", "lfiltic", "filtfilt", "sosfilt", "sosfilt_zi",
     "sosfiltfilt", "butter", "cheby1", "cheby2", "ellip", "bessel",
     "iirfilter", "iirnotch", "iirpeak", "iircomb", "iirdesign",
-    "buttord", "cheb1ord", "cheb2ord", "ellipord", "iir", "iir_design",
+    "band_stop_obj", "buttord", "cheb1ord", "cheb2ord", "ellipord", "iir", "iir_design",
     "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
     "lp2lp", "lp2hp", "lp2bp", "lp2bs",
     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk", "bilinear_zpk",
@@ -235,6 +247,7 @@ __all__ = [
     "abcd_normalize", "cont2discrete", "unique_roots", "residue", "residuez",
     "invres", "invresz", "hilbert", "hilbert2", "envelope",
     "dlsim", "dimpulse", "dstep", "lsim", "impulse", "step", "lti", "dlti",
+    "TransferFunction", "ZerosPolesGain", "StateSpace", "place_poles",
     "findfreqs", "freqresp", "bode", "dfreqresp", "dbode",
     # splines
     "gauss_spline", "cubic_bspline", "quadratic_bspline", "symiirorder1",

@@ -175,6 +175,55 @@ def firwin(num_taps: int, cutoff, *, window="hamming", pass_zero: bool = True,
     return h
 
 
+_PASS_ZERO_STRINGS = {"lowpass": True, "bandstop": True,
+                      "highpass": False, "bandpass": False}
+
+
+def firwin_2d(hsize, window, *, fc=None, sampling_rate: float = 2.0,
+              circular: bool = False, pass_zero=True, scale: bool = True,
+              dtype=DEFAULT_FLOAT):
+    """2-D FIR filter design by the window method — scipy.signal.firwin_2d
+    semantics (Not in the reference). Separable mode (`circular=False`)
+    designs two 1-D `firwin` filters (`window` is a 2-list of window specs)
+    and returns their outer product; `circular=True` designs one 8x
+    oversampled 1-D prototype and samples it radially over the normalized
+    frequency grid, giving an approximately circularly symmetric filter.
+
+    Deviation from scipy 1.17: `pass_zero`/`scale` ARE forwarded to the 1-D
+    designs as documented (scipy's docstring promises this but its
+    implementation currently drops both; with the defaults the outputs
+    match scipy exactly).
+    """
+    if len(hsize) != 2:
+        raise ValueError("hsize must be a 2-element tuple or list")
+    if isinstance(pass_zero, str):
+        try:
+            pass_zero = _PASS_ZERO_STRINGS[pass_zero]
+        except KeyError:
+            raise ValueError(
+                f"pass_zero must be a bool or one of "
+                f"{sorted(_PASS_ZERO_STRINGS)}, got: {pass_zero!r}") from None
+    if circular:
+        if fc is None:
+            raise ValueError("cutoff frequency `fc` must be provided when "
+                             "`circular` is True")
+        n_r = max(hsize[0], hsize[1]) * 8  # oversampled radial prototype
+        win_r = firwin(n_r, fc, window=window, pass_zero=pass_zero,
+                       scale=scale, sampling_rate=sampling_rate, dtype=dtype)
+        f1 = jnp.linspace(-1.0, 1.0, hsize[0], dtype=dtype)
+        f2 = jnp.linspace(-1.0, 1.0, hsize[1], dtype=dtype)
+        r = jnp.sqrt(f1[None, :] ** 2 + f2[:, None] ** 2)
+        return jnp.interp(r, jnp.linspace(0.0, 1.0, n_r, dtype=dtype), win_r)
+    if len(window) != 2 or isinstance(window, str):
+        raise ValueError("window must be a 2-element tuple or list of "
+                         "window specs (or a single spec with circular=True)")
+    row = firwin(hsize[0], fc, window=window[0], pass_zero=pass_zero,
+                 scale=scale, sampling_rate=sampling_rate, dtype=dtype)
+    col = firwin(hsize[1], fc, window=window[1], pass_zero=pass_zero,
+                 scale=scale, sampling_rate=sampling_rate, dtype=dtype)
+    return jnp.outer(row, col)
+
+
 def _analysis_float():
     """f64 when x64 is on (design-time analysis wants full precision —
     responses span 100+ dB), DEFAULT_FLOAT otherwise (TPU runtime)."""

@@ -679,6 +679,24 @@ def _bandstop_optimize(passb, stopb, gpass, gstop, kind):
     return passb
 
 
+def band_stop_obj(wp, ind, passb, stopb, gpass, gstop, type):
+    """Band-stop objective: the (non-integer) analog band-stop filter order
+    with passband edge `ind` moved to `wp` — scipy.signal.band_stop_obj
+    call surface (`type` in 'butter'/'cheby'/'ellip'). This is the function
+    the *ord order selectors minimize over each movable band-stop passband
+    edge; exposed for scipy API parity (internally `_bandstop_optimize`
+    evaluates the same selectivity/order math via golden-section search).
+    Not in the reference."""
+    if type not in ("butter", "cheby", "ellip"):
+        raise ValueError("type must be 'butter', 'cheby', or 'ellip', "
+                         f"got {type!r}")
+    pb = np.atleast_1d(np.asarray(passb, dtype=np.float64)).copy()
+    sb = np.atleast_1d(np.asarray(stopb, dtype=np.float64))
+    pb[int(ind)] = float(np.asarray(wp).reshape(-1)[0])
+    nat = _ord_selectivity(pb, sb, 4)
+    return _ord_n(nat, gpass, gstop, type)
+
+
 def _ord_common(wp, ws, gpass, gstop, analog, fs, kind):
     wp, ws, ftype = _ord_validate(wp, ws, analog, fs)
     if analog:

@@ -25,6 +25,7 @@ __all__ = [
     "dlsim", "dimpulse", "dstep", "lsim", "impulse", "step",
     "findfreqs", "freqresp", "bode", "dfreqresp", "dbode",
     "lti", "dlti",
+    "TransferFunction", "ZerosPolesGain", "StateSpace", "place_poles",
 ]
 
 
@@ -973,3 +974,349 @@ class dlti:
 
     def bode(self, w=None, n: int = 100):
         return dbode(self._full(), w=w, n=n)
+
+
+# ------------------------------------------------ representation classes
+
+def _convert_rep(system, kind):
+    """Convert a bare 2/3/4-tuple representation to `kind` in
+    {'tf', 'zpk', 'ss'} (host-side, design-time math)."""
+    from nx_signal_tpu.ops.iir_design import tf2zpk, zpk2tf
+
+    n = len(system)
+    if kind == "tf":
+        if n == 2:
+            return normalize(*system)
+        if n == 3:
+            return normalize(*zpk2tf(*system))
+        num, den = ss2tf(*system)
+        return np.atleast_2d(num)[0], den
+    if kind == "zpk":
+        if n == 3:
+            z, p, k = system
+            return (np.atleast_1d(np.asarray(z)),
+                    np.atleast_1d(np.asarray(p)), float(k))
+        return tf2zpk(*_convert_rep(system, "tf"))
+    if kind == "ss":
+        return _to_ss(tuple(system))
+    raise ValueError(f"unknown representation kind {kind!r}")
+
+
+class _SystemClass:
+    """Shared machinery for the scipy.signal representation classes
+    TransferFunction / ZerosPolesGain / StateSpace. Unlike scipy (where
+    `lti(...)` itself returns one of these subclasses), `lti`/`dlti` above
+    stay plain tuple-view wrappers; these classes add the named-attribute
+    surface (`.num/.den`, `.zeros/.poles/.gain`, `.A/.B/.C/.D`) and
+    instance-returning conversions. `dt=None` means continuous time
+    (scipy.signal.TransferFunction etc. semantics); any other value —
+    `True` for unspecified or a float — means discrete time."""
+
+    _kind = None
+    _nargs = None
+
+    def __init__(self, *system, dt=None):
+        if len(system) == 1 and isinstance(system[0], (_SystemClass, lti, dlti)):
+            src = system[0]
+            if isinstance(src, _SystemClass):
+                rep, src_dt = src._system, src.dt
+            elif isinstance(src, dlti):
+                rep, src_dt = src._system, src.dt
+            else:
+                rep, src_dt = src._system, None
+            system = _convert_rep(rep, self._kind)
+            dt = src_dt if dt is None else dt
+        elif len(system) != self._nargs:
+            raise ValueError(
+                f"{type(self).__name__} takes {self._nargs} system arrays "
+                f"(or one system instance), got {len(system)}")
+        else:
+            system = _convert_rep(tuple(system), self._kind)
+        self._system = tuple(system)
+        self.dt = dt
+
+    # -- time-domain semantics
+    @property
+    def _is_discrete(self):
+        return self.dt is not None
+
+    def _dt_value(self):
+        return 1.0 if self.dt is True else float(self.dt)
+
+    def _full(self):
+        """System tuple for the functional API (discrete includes dt)."""
+        if self._is_discrete:
+            return self._system + (self._dt_value(),)
+        return self._system
+
+    def __repr__(self):
+        body = ",\n".join(f"    {np.asarray(s)!r}" if not np.isscalar(s)
+                          else f"    {s!r}" for s in self._system)
+        return (f"{type(self).__name__}(\n{body},\n    dt: {self.dt}\n)")
+
+    # -- conversions (return class instances, scipy semantics)
+    def to_tf(self):
+        return TransferFunction(*_convert_rep(self._system, "tf"), dt=self.dt)
+
+    def to_zpk(self):
+        return ZerosPolesGain(*_convert_rep(self._system, "zpk"), dt=self.dt)
+
+    def to_ss(self):
+        return StateSpace(*_convert_rep(self._system, "ss"), dt=self.dt)
+
+    def to_discrete(self, dt, method: str = "zoh", alpha=None):
+        """Discretize a continuous system; returns the same representation
+        class with `dt` set (scipy.signal.lti.to_discrete)."""
+        if self._is_discrete:
+            raise ValueError("to_discrete is only defined for "
+                             "continuous-time systems")
+        sysd = cont2discrete(self._system, dt, method=method, alpha=alpha)
+        rep = list(sysd[:-1])
+        if len(rep) == 2:
+            rep[0] = np.atleast_2d(rep[0])[0]
+        return type(self)(*rep, dt=sysd[-1])
+
+    # -- shared spectral views
+    @property
+    def zeros(self):
+        return _convert_rep(self._system, "zpk")[0]
+
+    @property
+    def poles(self):
+        return _convert_rep(self._system, "zpk")[1]
+
+    # -- responses (dispatch on continuous/discrete)
+    def impulse(self, x0=None, t=None, n=None):
+        if self._is_discrete:
+            return dimpulse(self._full(), x0=x0, t=t, n=n)
+        return impulse(self._system, x0=x0, t=t, n=n)
+
+    def step(self, x0=None, t=None, n=None):
+        if self._is_discrete:
+            return dstep(self._full(), x0=x0, t=t, n=n)
+        return step(self._system, x0=x0, t=t, n=n)
+
+    def output(self, u, t=None, x0=None):
+        if self._is_discrete:
+            return dlsim(self._full(), u, t=t, x0=x0)
+        return lsim(self._system, u, t, x0=x0)
+
+    def freqresp(self, w=None, n: int = 10000):
+        if self._is_discrete:
+            return dfreqresp(self._full(), w=w, n=n)
+        return freqresp(self._system, w=w, n=n)
+
+    def bode(self, w=None, n: int = 100):
+        if self._is_discrete:
+            return dbode(self._full(), w=w, n=n)
+        return bode(self._system, w=w, n=n)
+
+
+class TransferFunction(_SystemClass):
+    """Transfer-function system representation — scipy.signal
+    TransferFunction semantics (continuous for `dt=None`, discrete
+    otherwise). Not in the reference (nx_signal has no system classes)."""
+
+    _kind = "tf"
+    _nargs = 2
+
+    @property
+    def num(self):
+        return self._system[0]
+
+    @property
+    def den(self):
+        return self._system[1]
+
+
+class ZerosPolesGain(_SystemClass):
+    """Zeros-poles-gain system representation — scipy.signal ZerosPolesGain
+    semantics. Not in the reference."""
+
+    _kind = "zpk"
+    _nargs = 3
+
+    @property
+    def gain(self):
+        return self._system[2]
+
+
+class StateSpace(_SystemClass):
+    """State-space system representation — scipy.signal StateSpace
+    semantics. Not in the reference."""
+
+    _kind = "ss"
+    _nargs = 4
+
+    @property
+    def A(self):
+        return self._system[0]
+
+    @property
+    def B(self):
+        return self._system[1]
+
+    @property
+    def C(self):
+        return self._system[2]
+
+    @property
+    def D(self):
+        return self._system[3]
+
+
+# ------------------------------------------------------- pole placement
+
+class PlacePolesResult:
+    """Result bunch for place_poles — scipy.signal field names
+    (gain_matrix, computed_poles, requested_poles, X, rtol, nb_iter)."""
+
+    def __init__(self, gain_matrix, computed_poles, requested_poles,
+                 X, rtol, nb_iter):
+        self.gain_matrix = gain_matrix
+        self.computed_poles = computed_poles
+        self.requested_poles = requested_poles
+        self.X = X
+        self.rtol = rtol
+        self.nb_iter = nb_iter
+
+    def __repr__(self):
+        return (f"PlacePolesResult(gain_matrix={self.gain_matrix!r}, "
+                f"computed_poles={self.computed_poles!r})")
+
+
+def _pole_subspaces(a, u1, poles):
+    """Orthonormal basis S_i of {x : (A - p_i I) x ∈ range(B)} for each
+    requested pole, via the SVD null space of U1ᴴ (A − p_i I) where U1
+    spans range(B)ᵖᵉʳᵖ."""
+    n = a.shape[0]
+    bases = []
+    for p in poles:
+        m = u1.conj().T @ (a - p * np.eye(n))
+        _, s, vh = np.linalg.svd(m)
+        rank = int(np.sum(s > s[0] * max(m.shape) * np.finfo(float).eps)) \
+            if s.size else 0
+        basis = vh[rank:].conj().T       # (n, n - rank) orthonormal columns
+        if basis.shape[1] == 0:
+            raise ValueError(
+                "at least one requested pole cannot be assigned: the "
+                "constraint subspace for pole %r is empty (B rank too low "
+                "for this multiplicity)" % p)
+        bases.append(basis)
+    return bases
+
+
+def place_poles(A, B, poles, method: str = "YT", rtol: float = 1e-3,
+                maxiter: int = 30):
+    """Full-state-feedback pole placement: find K so that the eigenvalues
+    of ``A - B K`` are `poles` — scipy.signal.place_poles call surface
+    (method/rtol/maxiter accepted; result fields gain_matrix,
+    computed_poles, requested_poles, X, rtol, nb_iter). Not in the
+    reference.
+
+    Algorithm: Kautsky-Nichols-Van Dooren eigenstructure assignment. For
+    each requested pole the admissible eigenvector subspace
+    S_i = {x : (A − p_i I) x ∈ range(B)} is computed from the SVD of
+    U1ᴴ(A − p_i I); eigenvectors X[:, i] ∈ S_i are then chosen to
+    maximize conditioning by cyclic projection sweeps (for rank-1 B each
+    S_i is one-dimensional and the solution is unique, as in scipy).
+    Complex poles must come in conjugate pairs; their eigenvectors are
+    kept conjugate so K is real. K is recovered from
+    B K X = A X − X diag(p)."""
+    a = np.atleast_2d(np.asarray(A, dtype=np.float64))
+    b = np.atleast_2d(np.asarray(B, dtype=np.float64))
+    n = a.shape[0]
+    if a.shape != (n, n):
+        raise ValueError("A must be square")
+    if b.shape[0] != n:
+        raise ValueError("A and B must have the same number of rows")
+    if method not in ("YT", "KNV0"):
+        raise ValueError("method must be 'YT' or 'KNV0'")
+    poles = np.atleast_1d(np.asarray(poles, dtype=np.complex128))
+    if poles.size != n:
+        raise ValueError("needs exactly %d poles, got %d" % (n, poles.size))
+    # conjugate-pair validation and canonical ordering (imag-ascending
+    # within conjugate pairs so pairing is adjacent)
+    poles = poles[np.argsort(np.abs(poles.imag), kind="stable")]
+    cplx = poles[np.abs(poles.imag) > 0]
+    if cplx.size % 2 or (cplx.size and not np.allclose(
+            np.sort_complex(cplx), np.sort_complex(cplx.conj()))):
+        raise ValueError("complex poles must come in conjugate pairs")
+    # pair order: reals first, then (p, conj(p)) adjacent
+    reals = poles[np.abs(poles.imag) == 0].real
+    pairs = []
+    remaining = list(cplx[cplx.imag > 0])
+    ordered = list(reals.astype(np.complex128))
+    for p in remaining:
+        ordered += [p, np.conj(p)]
+    poles_ord = np.asarray(ordered)
+    n_real = reals.size
+
+    # range(B) split
+    q, _ = np.linalg.qr(b, mode="complete")
+    rank = int(np.linalg.matrix_rank(b))
+    if rank == 0:
+        raise ValueError("B is the zero matrix; poles cannot be moved")
+    counts = {}
+    for p in poles_ord:
+        key = complex(np.round(p.real, 12), np.round(p.imag, 12))
+        counts[key] = counts.get(key, 0) + 1
+        if counts[key] > rank:
+            raise ValueError("a pole may not be requested with multiplicity "
+                             "greater than rank(B) = %d" % rank)
+    u1 = q[:, rank:]                     # orthonormal basis of range(B)^perp
+
+    bases = _pole_subspaces(a.astype(np.complex128), u1.astype(np.complex128),
+                            poles_ord)
+
+    # initial X: first basis vector of each subspace, conjugate-paired
+    x = np.empty((n, n), dtype=np.complex128)
+    for i in range(n):
+        if i >= n_real and (i - n_real) % 2 == 1:
+            x[:, i] = np.conj(x[:, i - 1])
+        else:
+            x[:, i] = bases[i][:, 0]
+
+    nb_iter = 0
+    if rank > 1 and n > 1:
+        # cyclic projection sweeps: move each eigenvector toward the
+        # direction orthogonal to the span of the others, projected back
+        # into its admissible subspace (KNV conditioning improvement)
+        prev_det = 0.0
+        for nb_iter in range(1, maxiter + 1):
+            for i in range(n):
+                if i >= n_real and (i - n_real) % 2 == 1:
+                    x[:, i] = np.conj(x[:, i - 1])
+                    continue
+                others = np.delete(x, i, axis=1)
+                qo, _ = np.linalg.qr(others, mode="complete")
+                yi = qo[:, -1]            # unit vector ⟂ span(others)
+                si = bases[i]
+                proj = si @ (si.conj().T @ yi)
+                nrm = np.linalg.norm(proj)
+                if nrm > 1e-12:
+                    x[:, i] = proj / nrm
+            det = float(np.abs(np.linalg.det(x)))
+            if det <= prev_det * (1.0 + rtol):
+                break
+            prev_det = det
+
+    cond = np.linalg.cond(x)
+    if cond * np.finfo(float).eps > 1e-4:
+        warnings.warn("place_poles: the eigenvector matrix is "
+                      "ill-conditioned (cond=%.3g); the computed poles may "
+                      "be far from the requested ones" % cond)
+
+    # realify X: conjugate pair columns -> (Re, Im) columns; the real X
+    # spans the same invariant subspace with a real block-diagonal Lambda
+    lam = np.diag(poles_ord)
+    m_c = x @ lam @ np.linalg.inv(x)     # A - BK (complex arithmetic)
+    m = np.real(m_c)
+    # K from B K = A - M, using the economy pseudo-inverse of B
+    k = np.linalg.lstsq(b, a - m, rcond=None)[0]
+    computed = np.linalg.eigvals(a - b @ k)
+    x_real = x.copy()
+    for i in range(n_real, n, 2):
+        x_real[:, i], x_real[:, i + 1] = np.real(x[:, i]), np.imag(x[:, i])
+    return PlacePolesResult(k, np.sort_complex(computed),
+                            poles_ord, np.real(x_real), rtol, nb_iter)

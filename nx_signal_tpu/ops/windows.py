@@ -420,6 +420,8 @@ def dpss(n: int, half_bandwidth: float, n_windows=None, *,
 
 _WINDOW_BUILDERS = {
     "rectangular": lambda n, periodic, dtype: rectangular(n, dtype=dtype),
+    # scipy.signal.get_window's name for the rectangular window
+    "boxcar": lambda n, periodic, dtype: rectangular(n, dtype=dtype),
     "bartlett": lambda n, periodic, dtype: bartlett(n, dtype=dtype),
     "triangular": lambda n, periodic, dtype: triangular(n, dtype=dtype),
     "blackman": lambda n, periodic, dtype: blackman(n, periodic=periodic, dtype=dtype),
@@ -486,7 +488,7 @@ def get_window(window, n: int, *, periodic: bool = False, dtype=DEFAULT_FLOAT):
             "or (name, *params) with name in "
             f"{sorted(set(_PARAMETRIC_WINDOWS) | {'kaiser'})}"
         )
-    if window == "rectangular":
+    if window in ("rectangular", "boxcar"):
         return rectangular(n, dtype=dtype) if jnp.issubdtype(dtype, jnp.integer) \
             else jnp.ones((n,), dtype=dtype)
     return _WINDOW_BUILDERS[window](n, periodic, dtype)

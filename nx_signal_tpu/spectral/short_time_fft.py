@@ -25,7 +25,7 @@ import numpy as np
 
 from nx_signal_tpu.spectral.framing import _ola_fold, as_windowed
 
-__all__ = ["ShortTimeFFT"]
+__all__ = ["ShortTimeFFT", "closest_STFT_dual_window"]
 
 _FFT_MODES = ("twosided", "centered", "onesided", "onesided2X")
 _PAD_MODES = ("zeros", "edge", "even", "odd")
@@ -50,6 +50,72 @@ def _canonical_dual(win, hop: int):
     if not np.all(envelope >= np.finfo(win.dtype).resolution * envelope.max()):
         raise ValueError("Short-time Fourier Transform not invertible!")
     return win / envelope
+
+
+def closest_STFT_dual_window(win, hop: int, desired_dual=None, *,
+                             scaled: bool = True):
+    """The dual window of `win` (hop `hop`) closest to `desired_dual` in
+    least squares — scipy.signal.closest_STFT_dual_window semantics
+    (Not in the reference).
+
+    The duality constraint decouples over the `hop` residue classes
+    ``r, r+hop, r+2*hop, ...``: within class r it is the single linear
+    condition <w_r, d_r> = 1, so every dual is ``alpha*desired_dual``
+    plus a per-class multiple of `win`. With `scaled=True` the scale
+    ``alpha`` of the desired window is jointly optimized
+    (``min ||d - alpha*desired||^2`` over duals d and alpha, solved in
+    closed form per class); `alpha` is 1 otherwise. Returns
+    ``(dual_win, alpha)``. Raises ValueError when a residue class of `win`
+    has no energy (no dual exists) or win and desired_dual are orthogonal
+    in every class (the optimal scale degenerates)."""
+    w = np.asarray(win)
+    if w.ndim != 1 or w.size == 0:
+        raise ValueError("win must be a non-empty 1-D array")
+    if not np.all(np.isfinite(w)):
+        raise ValueError("win must contain only finite values")
+    if not (isinstance(hop, (int, np.integer)) and 1 <= hop <= w.size):
+        raise ValueError(f"hop={hop} is not an integer in [1, {w.size}]")
+    if desired_dual is None:
+        g = np.ones_like(w, dtype=np.result_type(w.dtype, np.float64))
+    else:
+        g = np.asarray(desired_dual)
+        if g.shape != w.shape:
+            raise ValueError("desired_dual must be a 1-D array of the same "
+                             "length as win")
+        if not np.all(np.isfinite(g)):
+            raise ValueError("desired_dual must contain only finite values")
+    # per-residue-class energy and overlap with the desired dual
+    m = w.size
+    energy = np.zeros(hop, dtype=np.float64)
+    overlap = np.zeros(hop, dtype=np.result_type(w.dtype, g.dtype,
+                                                 np.float64))
+    for r in range(hop):
+        wr, gr = w[r::hop], g[r::hop]
+        energy[r] = np.sum(wr.real ** 2 + wr.imag ** 2)
+        overlap[r] = np.sum(np.conj(wr) * gr)
+    if np.any(energy <= m * np.finfo(np.float64).eps * energy.max()):
+        raise ValueError("Closest dual window is numerically unstable! "
+                         "A residue class of win (mod hop) has no energy, "
+                         "so no dual window exists.")
+    if scaled:
+        # d = alpha*g + mu_r*w with mu_r = (1 - alpha*c_r)/e_r; minimizing
+        # sum_r |1 - alpha*c_r|^2 / e_r gives the closed-form alpha below
+        denom = np.sum(np.abs(overlap) ** 2 / energy)
+        if denom <= m * np.finfo(np.float64).eps:
+            raise ValueError("Closest dual window is numerically unstable! "
+                             "win and desired_dual are orthogonal in every "
+                             "residue class, so the optimal scale "
+                             "degenerates.")
+        alpha = np.sum(np.conj(overlap) / energy) / denom
+    else:
+        alpha = 1.0
+    d = (alpha * g).astype(np.result_type(overlap.dtype, type(alpha)))
+    for r in range(hop):
+        d[r::hop] += ((1.0 - alpha * overlap[r]) / energy[r]) * w[r::hop]
+    if not (np.iscomplexobj(w) or np.iscomplexobj(g)):
+        alpha = float(np.real(alpha))
+        d = np.real(d)
+    return d, alpha
 
 
 class ShortTimeFFT:

@@ -320,13 +320,29 @@ def check_nola(window, nperseg: int, noverlap: int, tol: float = 1e-10):
     return bool(np.min(binsums) > tol)
 
 
+# scipy.signal spells these with upper-case acronyms; keep both names so
+# `from nx_signal_tpu import check_COLA` works for scipy users.
+check_COLA = check_cola
+check_NOLA = check_nola
+
+
 def _check_window_arg(window, nperseg: int):
     import numpy as np
 
     if isinstance(window, str) or (isinstance(window, tuple)):
         from nx_signal_tpu.ops.windows import get_window
 
-        w = np.asarray(get_window(window, nperseg), dtype=np.float64)
+        # scipy's check_COLA/check_NOLA resolve window names through
+        # get_window's fftbins=True default — i.e. PERIODIC (DFT-even) —
+        # in f64 (the 1e-10 default tol assumes it: a hann window's COLA
+        # deviation is ~6e-8 in f32, which would wrongly fail). These are
+        # host-side design predicates, so force x64 locally regardless of
+        # the runtime flag.
+        import jax
+
+        with jax.enable_x64():
+            w = np.asarray(get_window(window, nperseg, periodic=True,
+                                      dtype=np.float64), dtype=np.float64)
     else:
         w = np.asarray(window, dtype=np.float64)
     if w.ndim != 1:

@@ -286,3 +286,36 @@ _tp14.update(4_000_000, 1.0)
 assert _tp14.msamples_per_second_per_chip == 2.0
 assert _m14.snapshot()["blocks"] == 20
 print("14. scipy-named wrappers + failure detection/recovery + metrics OK")
+
+# 15. round-3 surface: representation classes, place_poles, firwin_2d,
+# closest_STFT_dual_window, band_stop_obj, scipy casing aliases
+import nx_signal_tpu as nst15
+import scipy.signal as sps15
+tf15 = nst15.TransferFunction([1.0, 3.0], [1.0, 2.0, 1.0])
+zpk15 = tf15.to_zpk()
+assert isinstance(zpk15, nst15.ZerosPolesGain)
+np.testing.assert_allclose(np.sort(zpk15.poles), [-1.0, -1.0], atol=1e-10)
+ss15 = nst15.StateSpace(tf15)
+np.testing.assert_allclose(ss15.A, sps15.TransferFunction([1.0, 3.0], [1.0, 2.0, 1.0]).to_ss().A)
+t15 = np.linspace(0.0, 4.0, 120)
+np.testing.assert_allclose(tf15.step(t=t15)[1],
+                           sps15.TransferFunction([1.0, 3.0], [1.0, 2.0, 1.0]).step(T=t15)[1],
+                           atol=1e-4)  # f32 runtime gate (x64 off outside tests)
+A15 = np.array([[0.0, 1.0], [-2.0, -3.0]]); B15 = np.array([[0.0], [1.0]])
+res15 = nst15.place_poles(A15, B15, [-4.0, -5.0])
+np.testing.assert_allclose(
+    np.sort(np.linalg.eigvals(A15 - B15 @ res15.gain_matrix).real),
+    [-5.0, -4.0], atol=1e-8)
+h2d = np.asarray(nst15.firwin_2d((9, 9), ("hamming", "hann"), fc=0.4))
+np.testing.assert_allclose(h2d, sps15.firwin_2d((9, 9), ("hamming", "hann"), fc=0.4), atol=1e-6)
+w15 = np.asarray(nst15.get_window("hann", 32, periodic=True), np.float64)
+d15, a15 = nst15.closest_STFT_dual_window(w15, 8)
+d15r, a15r = sps15.closest_STFT_dual_window(w15, 8)
+np.testing.assert_allclose(d15, d15r, atol=1e-10)
+assert abs(a15 - a15r) < 1e-12
+assert nst15.check_COLA("hann", 256, 128) == sps15.check_COLA("hann", 256, 128) == True
+np.testing.assert_allclose(
+    nst15.band_stop_obj(0.25, 0, np.array([0.2, 0.7]), np.array([0.35, 0.5]), 3.0, 40.0, "butter"),
+    sps15.band_stop_obj(0.25, 0, np.array([0.2, 0.7]), np.array([0.35, 0.5]), 3.0, 40.0, "butter"),
+    rtol=1e-10)
+print("15. round-3 surface (classes/place_poles/firwin_2d/dual-window/aliases) OK")

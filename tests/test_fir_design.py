@@ -12,6 +12,7 @@ import scipy.signal as sps
 
 import jax.numpy as jnp
 from nx_signal_tpu.ops import fir_design as fd
+from nx_signal_tpu.ops.filters import firwin_2d
 from tests.conftest import assert_all_close
 
 
@@ -158,3 +159,44 @@ def test_minimum_phase():
     # minimum-phase property: all zeros at or inside the unit circle
     roots = np.roots(np.asarray(got))
     assert np.all(np.abs(roots) <= 1.0 + 1e-6)
+
+
+class TestFirwin2D:
+    """firwin_2d vs scipy (separable and circular modes)."""
+
+    def test_separable(self):
+        ours = np.asarray(firwin_2d((5, 7), ("hamming", "hann"), fc=0.4))
+        ref = sps.firwin_2d((5, 7), ("hamming", "hann"), fc=0.4)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_separable_kaiser(self):
+        ours = np.asarray(firwin_2d((9, 9), (("kaiser", 5.0), "blackman"),
+                                    fc=0.3))
+        ref = sps.firwin_2d((9, 9), (("kaiser", 5.0), "blackman"), fc=0.3)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_circular(self):
+        ours = np.asarray(firwin_2d((9, 9), "hamming", fc=0.4, circular=True))
+        ref = sps.firwin_2d((9, 9), "hamming", fc=0.4, circular=True)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_circular_nonsquare_shape(self):
+        ours = np.asarray(firwin_2d((5, 8), "hamming", fc=0.4, circular=True))
+        ref = sps.firwin_2d((5, 8), "hamming", fc=0.4, circular=True)
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_dc_gain(self):
+        h = np.asarray(firwin_2d((11, 11), ("hamming", "hamming"), fc=0.5))
+        np.testing.assert_allclose(h.sum(), 1.0, atol=1e-6)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            firwin_2d((5,), ("hamming", "hamming"), fc=0.4)
+        with pytest.raises(ValueError):
+            firwin_2d((5, 5), "hamming", fc=None, circular=True)
+        with pytest.raises(ValueError):
+            firwin_2d((5, 5), "hamming", fc=0.4)  # single spec, separable
+        with pytest.raises(ValueError):
+            firwin_2d((5, 5), ("hamming", "hamming"), fc=0.4,
+                      pass_zero="sideways")

@@ -12,6 +12,7 @@ import pytest
 import scipy.signal as sps
 
 from nx_signal_tpu.ops.iir_design import (
+    band_stop_obj,
     buttord,
     cheb1ord,
     cheb2ord,
@@ -165,3 +166,22 @@ class TestIircomb:
             iircomb(600.0, 30.0, fs=1000.0)
         with pytest.raises(ValueError):
             iircomb(49.0, 30.0, fs=1000.0)  # does not divide fs
+
+
+class TestBandStopObj:
+    """band_stop_obj vs scipy across all three prototype families."""
+
+    def test_parity(self):
+        passb = np.array([0.2, 0.7])
+        stopb = np.array([0.35, 0.5])
+        for kind in ("butter", "cheby", "ellip"):
+            for ind, wp in ((0, 0.25), (0, 0.32), (1, 0.55), (1, 0.65)):
+                ref = sps.band_stop_obj(wp, ind, passb.copy(), stopb,
+                                        3.0, 40.0, kind)
+                ours = band_stop_obj(wp, ind, passb, stopb, 3.0, 40.0, kind)
+                np.testing.assert_allclose(ours, ref, rtol=1e-9)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            band_stop_obj(0.25, 0, [0.2, 0.7], [0.35, 0.5], 3.0, 40.0,
+                          "bessel")

@@ -461,3 +461,155 @@ class TestLtiClasses:
             lti.lti([1.0])
         with pytest.raises(ValueError):
             lti.dlti([1.0], [1.0], [1.0], [1.0], [1.0])
+
+
+class TestRepresentationClasses:
+    """scipy.signal TransferFunction/ZerosPolesGain/StateSpace parity."""
+
+    def test_transfer_function_attrs(self):
+        ours = lti.TransferFunction([1.0, 3.0], [1.0, 2.0, 1.0])
+        ref = sps.TransferFunction([1.0, 3.0], [1.0, 2.0, 1.0])
+        np.testing.assert_allclose(ours.num, ref.num)
+        np.testing.assert_allclose(ours.den, ref.den)
+        np.testing.assert_allclose(np.sort(ours.poles), np.sort(ref.poles))
+        assert ours.dt is None and ref.dt is None
+
+    def test_conversion_cycle(self):
+        tf = lti.TransferFunction([2.0, 3.0], [1.0, 2.0, 10.0])
+        zpk = tf.to_zpk()
+        ss = zpk.to_ss()
+        back = ss.to_tf()
+        assert isinstance(zpk, lti.ZerosPolesGain)
+        assert isinstance(ss, lti.StateSpace)
+        assert isinstance(back, lti.TransferFunction)
+        np.testing.assert_allclose(back.num, [2.0, 3.0], atol=1e-10)
+        np.testing.assert_allclose(back.den, [1.0, 2.0, 10.0], atol=1e-10)
+        sp = sps.TransferFunction([2.0, 3.0], [1.0, 2.0, 10.0]).to_zpk()
+        np.testing.assert_allclose(np.sort_complex(zpk.poles),
+                                   np.sort_complex(sp.poles), atol=1e-10)
+        np.testing.assert_allclose(zpk.gain, sp.gain, atol=1e-12)
+
+    def test_copy_constructor_and_ss_attrs(self):
+        ss = lti.StateSpace(lti.TransferFunction([1.0, 3.0], [1.0, 2.0, 1.0]))
+        ref = sps.StateSpace(sps.TransferFunction([1.0, 3.0], [1.0, 2.0, 1.0]))
+        np.testing.assert_allclose(ss.A, ref.A)
+        np.testing.assert_allclose(ss.B, ref.B)
+        np.testing.assert_allclose(ss.C, ref.C)
+        np.testing.assert_allclose(ss.D, ref.D)
+
+    def test_continuous_responses(self):
+        t = np.linspace(0.0, 5.0, 200)
+        ours = lti.TransferFunction([1.0], [1.0, 0.5, 2.0])
+        ref = sps.TransferFunction([1.0], [1.0, 0.5, 2.0])
+        np.testing.assert_allclose(ours.step(t=t)[1], ref.step(T=t)[1],
+                                   atol=1e-8)
+        np.testing.assert_allclose(ours.impulse(t=t)[1], ref.impulse(T=t)[1],
+                                   atol=1e-8)
+        w, mag, phase = ours.bode(n=50)
+        w2, mag2, phase2 = ref.bode(n=50)
+        np.testing.assert_allclose(mag, mag2, atol=1e-8)
+
+    def test_discrete_classes(self):
+        ours = lti.TransferFunction([1.0], [1.0, -0.5], dt=0.1)
+        ref = sps.TransferFunction([1.0], [1.0, -0.5], dt=0.1)
+        np.testing.assert_allclose(np.squeeze(ours.step(n=12)[1]),
+                                   np.squeeze(ref.step(n=12)[1]), atol=1e-12)
+        zd = ours.to_zpk()
+        assert zd.dt == 0.1
+        np.testing.assert_allclose(zd.poles, [0.5], atol=1e-12)
+
+    def test_to_discrete_returns_same_class(self):
+        zc = lti.ZerosPolesGain([-1.0], [-2.0, -3.0], 4.0)
+        zd = zc.to_discrete(0.02)
+        ref = sps.ZerosPolesGain([-1.0], [-2.0, -3.0], 4.0).to_discrete(0.02)
+        assert isinstance(zd, lti.ZerosPolesGain)
+        np.testing.assert_allclose(np.sort_complex(zd.poles),
+                                   np.sort_complex(ref.poles), atol=1e-10)
+        np.testing.assert_allclose(zd.gain, ref.gain, atol=1e-10)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            lti.TransferFunction([1.0])
+        with pytest.raises(ValueError):
+            lti.StateSpace([1.0], [1.0])
+        with pytest.raises(ValueError):
+            lti.TransferFunction([1.0], [1.0, 1.0], dt=0.1).to_discrete(0.1)
+
+
+class TestPlacePoles:
+    """Pole placement: the closed loop A - B K must carry the requested
+    spectrum (scipy.signal.place_poles oracle on the eigenvalues — gain
+    matrices are non-unique for MIMO, so parity is on the placed poles)."""
+
+    A_MIMO = np.array([[1.380, -0.2077, 6.715, -5.676],
+                       [-0.5814, -4.290, 0.0, 0.6750],
+                       [1.067, 4.273, -6.654, 5.893],
+                       [0.0480, 4.273, 1.343, -2.104]])
+    B_MIMO = np.array([[0.0, 5.679], [1.136, 1.136], [0.0, 0.0],
+                       [-3.146, 0.0]])
+
+    def _assert_placed(self, A, B, poles, atol=1e-6):
+        res = lti.place_poles(A, B, poles)
+        want = np.sort_complex(np.asarray(poles, complex))
+        got = np.sort_complex(np.linalg.eigvals(
+            np.asarray(A, float) - np.asarray(B, float) @ res.gain_matrix))
+        np.testing.assert_allclose(got, want, atol=atol)
+        np.testing.assert_allclose(np.sort_complex(res.computed_poles),
+                                   want, atol=atol)
+        assert res.gain_matrix.shape == (np.atleast_2d(B).shape[1],
+                                         np.atleast_2d(A).shape[0])
+        assert np.isrealobj(res.gain_matrix)
+
+    def test_mimo_real(self):
+        self._assert_placed(self.A_MIMO, self.B_MIMO,
+                            [-0.2, -0.5, -5.0566, -8.6659])
+
+    def test_mimo_complex_pairs(self):
+        self._assert_placed(self.A_MIMO, self.B_MIMO,
+                            [-0.2 + 0.3j, -0.2 - 0.3j, -5.0, -8.0])
+
+    def test_siso(self):
+        rng = np.random.default_rng(7)
+        a = rng.standard_normal((3, 3))
+        b = rng.standard_normal((3, 1))
+        self._assert_placed(a, b, [-1.0, -2.0, -3.0], atol=1e-8)
+        self._assert_placed(a, b, [-1.0 + 1.0j, -1.0 - 1.0j, -3.0],
+                            atol=1e-8)
+
+    def test_matches_scipy_poles(self):
+        poles = [-2.0, -3.0, -4.5, -6.0]
+        ref = sps.place_poles(self.A_MIMO, self.B_MIMO, np.array(poles))
+        res = lti.place_poles(self.A_MIMO, self.B_MIMO, np.array(poles))
+        np.testing.assert_allclose(np.sort_complex(res.computed_poles),
+                                   np.sort_complex(ref.computed_poles),
+                                   atol=1e-6)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            lti.place_poles(self.A_MIMO, self.B_MIMO, [-1.0, -2.0])
+        with pytest.raises(ValueError):
+            lti.place_poles(self.A_MIMO, self.B_MIMO,
+                            [-1.0 + 1j, -2.0, -3.0, -4.0])
+        with pytest.raises(ValueError):
+            lti.place_poles(np.eye(2), np.zeros((2, 1)), [-1.0, -1.0 + 0j])
+        with pytest.raises(ValueError):
+            lti.place_poles(self.A_MIMO, self.B_MIMO,
+                            [-1.0, -2.0, -3.0, -4.0], method="nope")
+
+
+class TestColaAliasesAndStringWindows:
+    def test_scipy_casing_aliases(self):
+        import nx_signal_tpu as nst
+        assert nst.check_COLA is check_cola
+        assert nst.check_NOLA is check_nola
+
+    @pytest.mark.parametrize("win,nperseg,noverlap", [
+        ("hann", 256, 128), ("hann", 256, 192), ("hamming", 128, 64),
+        ("blackman", 100, 50), (("kaiser", 8.0), 64, 32),
+        ("boxcar", 64, 0),
+    ])
+    def test_string_window_parity(self, win, nperseg, noverlap):
+        assert check_cola(win, nperseg, noverlap) == \
+            sps.check_COLA(win, nperseg, noverlap)
+        assert check_nola(win, nperseg, noverlap) == \
+            sps.check_NOLA(win, nperseg, noverlap)

@@ -4,7 +4,10 @@ import numpy as np
 import pytest
 import scipy.signal as sps
 
-from nx_signal_tpu.spectral.short_time_fft import ShortTimeFFT
+from nx_signal_tpu.spectral.short_time_fft import (
+    ShortTimeFFT,
+    closest_STFT_dual_window,
+)
 
 RNG_SEED = 0
 
@@ -152,3 +155,50 @@ class TestValidation:
     def test_non_invertible_flag(self):
         st = ShortTimeFFT(np.hanning(8), hop=9, fs=1.0)
         assert not st.invertible
+
+
+class TestClosestDualWindow:
+    """closest_STFT_dual_window vs scipy at machine precision."""
+
+    def _cmp(self, w, hop, g=None, scaled=True):
+        d1, a1 = sps.closest_STFT_dual_window(w, hop, g, scaled=scaled)
+        d2, a2 = closest_STFT_dual_window(w, hop, g, scaled=scaled)
+        np.testing.assert_allclose(a2, a1, atol=1e-12)
+        np.testing.assert_allclose(d2, d1, atol=1e-12)
+
+    def test_rect_dual_scaled_and_not(self):
+        w = sps.windows.hann(32, sym=False)
+        self._cmp(w, 8)
+        self._cmp(w, 8, scaled=False)
+        self._cmp(w, 5)
+
+    def test_desired_dual(self):
+        rng = np.random.default_rng(3)
+        w = sps.windows.kaiser(33, 10.0)
+        g = rng.standard_normal(33)
+        self._cmp(w, 16, g)
+        self._cmp(w, 16, g, scaled=False)
+
+    def test_complex(self):
+        rng = np.random.default_rng(4)
+        w = sps.windows.hann(24, sym=False) * np.exp(
+            1j * rng.standard_normal(24))
+        g = rng.standard_normal(24) + 1j * rng.standard_normal(24)
+        self._cmp(w, 6)
+        self._cmp(w, 6, g)
+        self._cmp(w, 6, g, scaled=False)
+
+    def test_cola_detection(self):
+        # a COLA (win, hop) pair has a constant dual: rect desired is exact
+        w = sps.windows.hann(32, sym=False)
+        d, alpha = closest_STFT_dual_window(w, 16)  # hann hop n/2 is COLA
+        np.testing.assert_allclose(d, np.full(32, np.real(alpha)), atol=1e-12)
+
+    def test_invalid(self):
+        with pytest.raises(ValueError):
+            closest_STFT_dual_window(np.zeros(16), 4)
+        with pytest.raises(ValueError):
+            closest_STFT_dual_window(sps.windows.hann(16), 0)
+        with pytest.raises(ValueError):
+            closest_STFT_dual_window(sps.windows.hann(16), 4,
+                                     np.ones(8))
