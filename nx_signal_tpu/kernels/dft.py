@@ -279,7 +279,7 @@ def framed_idft(z, window, *, n_fft: int, onesided: bool = False,
 
 def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
                    onesided: bool = False, precision="highest",
-                   output: str = "complex"):
+                   output: str = "complex", frame_chunks: int = 1):
     """FIR filtering fused INTO the framed DFT: the spectrum of
     convolve(x, taps, 'same') computed as one blocked matmul chain, with the
     Toeplitz filter matrix folded into the DFT weights at build time:
@@ -292,6 +292,15 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
     filtered time signal is never materialized — one HBM read of x per
     reshape-block, one write of z. This is the fast path of the
     STFT+FIR north-star chain when the filtered signal itself is not needed.
+
+    `frame_chunks > 1` (power output only) splits the frame axis into that
+    many sequential conv+power chunks inside one jit, each written into the
+    output buffer via an in-place dynamic_update_slice. The (.., frames,
+    2*bins) conv intermediate — which XLA materializes ahead of the power
+    epilogue — then only ever exists one chunk at a time, cutting its peak
+    HBM footprint by the chunk count (the ≥896-channel memory wall of
+    ROOFLINE.md §3.3). Total HBM traffic is unchanged; results match the
+    unchunked path (same per-frame contractions).
     """
     x = jnp.asarray(x)
     traced = isinstance(taps, jax.core.Tracer) or isinstance(window, jax.core.Tracer)
@@ -336,6 +345,28 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
     pad_left = (k - 1) - (k - 1) // 2
     batch = x.shape[:-1]
     xp = jnp.pad(x.astype(DEFAULT_FLOAT), [(0, 0)] * len(batch) + [(pad_left, k - 1)])
+    if output == "power" and frame_chunks > 1:
+        c_blocks = len(_frame_block_widths(ext, stride))
+        needed = (num_frames + c_blocks - 1) * stride
+        if needed > xp.shape[-1]:  # pad once so chunk slices never re-pad
+            xp = jnp.pad(xp, [(0, 0)] * len(batch)
+                         + [(0, needed - xp.shape[-1])])
+        per = -(-num_frames // frame_chunks)
+        out = jnp.zeros((*batch, num_frames, bins), dtype=xp.dtype)
+        for i in range(frame_chunks):
+            f0 = i * per
+            f1 = min(num_frames, f0 + per)
+            if f0 >= f1:
+                break
+            xs = xp[..., f0 * stride : (f1 + c_blocks - 1) * stride]
+            acc = blocked_frame_matmul(
+                xs, weights, window_length=ext, stride=stride,
+                num_frames=f1 - f0, precision=precision,
+            )
+            power = acc[..., :bins] ** 2 + acc[..., bins:] ** 2
+            out = lax.dynamic_update_slice(
+                out, power, (0,) * len(batch) + (f0, 0))
+        return out
     acc = blocked_frame_matmul(
         xp, weights, window_length=ext, stride=stride, num_frames=num_frames,
         precision=precision,

@@ -28,7 +28,8 @@ from nx_signal_tpu.kernels.dft import _dft_weights
 from nx_signal_tpu.spectral.framing import _frame_block_widths
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
-__all__ = ["framed_dft_pallas", "pallas_dft_supported"]
+__all__ = ["framed_dft_pallas", "fir_framed_dft_power_pallas",
+           "pallas_dft_supported"]
 
 _TILE_M = 256  # frames per program
 
@@ -124,3 +125,124 @@ def framed_dft_pallas(x, window, *, stride: int, n_fft: int,
     out = out[:, :num_frames, :]
     z = lax.complex(out[..., :bins], out[..., bins:])
     return z[0] if squeeze else z
+
+
+# ---------------------------------------------- fused FIR + DFT + power
+
+def _power_kernel(x_hbm, w_vmem, o_vmem, x_vmem, sems, *, stride, num_blocks,
+                  tile_m, bins, rows_per_channel):
+    """One program: a TILE_M-frame tile of the one-sided POWER spectrum for
+    one channel. Identical block-DMA/matmul pipeline to `_kernel`, plus the
+    re^2 + im^2 epilogue computed while the accumulator is still in VMEM —
+    the fusion XLA does not do for the conv-of-blocks chain (the
+    (.., frames, 2*bins) intermediate materializes in HBM ahead of the
+    power reduction, ROOFLINE.md §3 item 1). Here the intermediate never
+    leaves VMEM: HBM traffic is one read of x per block window plus one
+    write of the bins-wide power tile."""
+    c = pl.program_id(0)
+    mt = pl.program_id(1)
+    row0 = c * rows_per_channel + mt * tile_m
+    for r in range(num_blocks):
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(row0 + r, tile_m), :], x_vmem.at[r], sems.at[r]
+        ).start()
+    acc = jnp.zeros((tile_m, 2 * bins), dtype=jnp.float32)
+    for r in range(num_blocks):
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(row0 + r, tile_m), :], x_vmem.at[r], sems.at[r]
+        ).wait()
+        acc = acc + jnp.dot(
+            x_vmem[r], w_vmem[pl.ds(r * stride, stride), :],
+            preferred_element_type=jnp.float32,
+        )
+    o_vmem[0, :, :] = acc[:, :bins] ** 2 + acc[:, bins:] ** 2
+
+
+def fir_framed_dft_power_pallas(x, taps, window, *, stride: int, n_fft: int,
+                                onesided: bool = True,
+                                interpret: bool = False):
+    """The full bench chain as ONE Pallas kernel: FIR (Toeplitz-folded into
+    the weights, as kernels.dft.fir_framed_dft) + Hann framed DFT + power
+    epilogue in a single VMEM pass. Same contract as
+    ``fir_framed_dft(..., output='power')``.
+
+    This is the kernel ROOFLINE.md §3 names as the biggest remaining perf
+    lever: it removes the conv intermediate's HBM round-trip (~32 B/sample
+    at the bench shape) AND the ≥896-channel memory wall in one stroke.
+    Interpreter-verified (tests/test_pallas_kernels.py); the chipless axon
+    remote compiler still hangs on Mosaic compiles (probed r01/r02/r03 —
+    scripts/pallas_probe.py), so the XLA conv-of-blocks path remains the
+    production default until the environment gains Mosaic support.
+    """
+    x = jnp.asarray(x).astype(DEFAULT_FLOAT)
+    if stride % 128 != 0:
+        raise ValueError(
+            f"pallas fused chain requires stride % 128 == 0, got {stride}")
+    taps_np = np.asarray(taps, dtype=np.float64).reshape(-1)
+    window_np = np.asarray(window, dtype=np.float64)
+    k = taps_np.shape[0]
+    frame_length = window_np.shape[-1]
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    if x.ndim != 2:
+        x = x.reshape(-1, x.shape[-1])
+    channels, length = x.shape
+    if length < frame_length:
+        raise ValueError(
+            f"window length {frame_length} exceeds signal length {length}")
+    num_frames = (length - frame_length) // stride + 1
+    bins = n_fft // 2 + 1 if onesided else n_fft
+
+    # FIR folded into the DFT weights; rows padded to a whole number of
+    # stride-wide blocks (zero rows contribute nothing, as in the XLA
+    # conv strategy's kernel build)
+    from nx_signal_tpu.kernels.dft import toeplitz_band
+
+    ext = frame_length + k - 1
+    toeplitz = toeplitz_band(taps_np, frame_length, np)
+    dft_w = _dft_weights(window_np, frame_length, n_fft, onesided, np.float64)
+    weights = (toeplitz @ dft_w).astype(np.float32)
+    num_blocks = -(-ext // stride)
+    pad_rows = num_blocks * stride - ext
+    if pad_rows:
+        weights = np.pad(weights, [(0, pad_rows), (0, 0)])
+    weights = jnp.asarray(weights)
+
+    # 'same' alignment: extended frame m starts at xp[m*stride] with
+    # xp = pad(x, (pad_left, k - 1)) — identical to fir_framed_dft
+    pad_left = (k - 1) - (k - 1) // 2
+    tile_m = min(_TILE_M, max(8, -(-num_frames // 8) * 8))
+    num_tiles = -(-num_frames // tile_m)
+    rows_per_channel = -(-(num_tiles * tile_m + num_blocks - 1) // 8) * 8
+    padded_len = rows_per_channel * stride
+    xp = jnp.pad(x, [(0, 0), (pad_left, max(0, padded_len - length - pad_left))])
+    xp = xp[:, :padded_len]
+    x_rows = xp.reshape(channels * rows_per_channel, stride)
+
+    kernel = functools.partial(
+        _power_kernel, stride=stride, num_blocks=num_blocks, tile_m=tile_m,
+        bins=bins, rows_per_channel=rows_per_channel,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(channels, num_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # row-matrix in HBM
+            pl.BlockSpec(weights.shape, lambda c, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_m, bins), lambda c, m: (c, m, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (channels, num_tiles * tile_m, bins), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((num_blocks, tile_m, stride), jnp.float32),
+            pltpu.SemaphoreType.DMA((num_blocks,)),
+        ],
+        interpret=interpret,
+    )(x_rows, weights)
+
+    out = out[:, :num_frames, :]
+    return out[0] if squeeze else out

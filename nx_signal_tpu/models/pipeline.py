@@ -107,7 +107,7 @@ class FIRFilterChain:
 def stft_fir_chain(x, taps, window, *, fft_length: int, overlap_length: int,
                    sampling_rate: float = 16000.0, fir_method: str = "direct",
                    onesided: bool = True, return_filtered: bool = True,
-                   precision: str = "highest"):
+                   precision: str = "highest", frame_chunks: int = 1):
     """The north-star benchmark chain (BASELINE.json): FIR low-pass then
     Hann STFT -> power spectrogram, returning (filtered, power) — or power
     alone with `return_filtered=False`, which takes the fully-fused
@@ -117,7 +117,11 @@ def stft_fir_chain(x, taps, window, *, fft_length: int, overlap_length: int,
     Defaults are the TPU-fast configuration: direct FIR (the Toeplitz-matmul
     MXU path — measured faster than FFT overlap-add for couple-hundred-tap
     filters on TPU) and a one-sided power spectrum (real input). `precision`
-    sets the MXU matmul precision of the DFT kernels (see spectral.stft)."""
+    sets the MXU matmul precision of the DFT kernels (see spectral.stft).
+    `frame_chunks > 1` (fused power path only) bounds the peak HBM footprint
+    of the conv intermediate by chunking the frame axis — the knob that
+    lifts the chain past the single-dispatch ~896-channel memory wall
+    (kernels/dft.py:fir_framed_dft, ROOFLINE.md §3.3)."""
     from nx_signal_tpu.ops.convolution import convolve
     from nx_signal_tpu.kernels.dft import (
         fir_framed_dft, framed_dft, good_matmul_fft_length)
@@ -135,7 +139,7 @@ def stft_fir_chain(x, taps, window, *, fft_length: int, overlap_length: int,
         return fir_framed_dft(
             x, taps.reshape(-1), window,
             stride=stride, n_fft=n_fft, onesided=onesided, precision=precision,
-            output="power",
+            output="power", frame_chunks=frame_chunks,
         )
 
     taps_b = taps.reshape((1,) * (x.ndim - 1) + (-1,)) if x.ndim > 1 else taps

@@ -1115,7 +1115,20 @@ class _SystemClass:
 class TransferFunction(_SystemClass):
     """Transfer-function system representation — scipy.signal
     TransferFunction semantics (continuous for `dt=None`, discrete
-    otherwise). Not in the reference (nx_signal has no system classes)."""
+    otherwise). Not in the reference (nx_signal has no system classes).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import TransferFunction
+    >>> sys = TransferFunction([1.0, 3.0], [1.0, 2.0, 1.0])
+    >>> sys.num
+    array([1., 3.])
+    >>> sys.den
+    array([1., 2., 1.])
+    >>> sys.to_zpk().poles
+    array([-1., -1.])
+    """
 
     _kind = "tf"
     _nargs = 2
@@ -1222,7 +1235,20 @@ def place_poles(A, B, poles, method: str = "YT", rtol: float = 1e-3,
     S_i is one-dimensional and the solution is unique, as in scipy).
     Complex poles must come in conjugate pairs; their eigenvectors are
     kept conjugate so K is real. K is recovered from
-    B K X = A X − X diag(p)."""
+    B K X = A X − X diag(p).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import place_poles
+    >>> A = np.array([[0.0, 1.0], [-2.0, -3.0]])
+    >>> B = np.array([[0.0], [1.0]])
+    >>> res = place_poles(A, B, [-4.0, -5.0])
+    >>> np.round(res.gain_matrix, 6)
+    array([[18.,  6.]])
+    >>> np.sort(res.computed_poles.real)
+    array([-5., -4.])
+    """
     a = np.atleast_2d(np.asarray(A, dtype=np.float64))
     b = np.atleast_2d(np.asarray(B, dtype=np.float64))
     n = a.shape[0]

@@ -319,3 +319,22 @@ np.testing.assert_allclose(
     sps15.band_stop_obj(0.25, 0, np.array([0.2, 0.7]), np.array([0.35, 0.5]), 3.0, 40.0, "butter"),
     rtol=1e-10)
 print("15. round-3 surface (classes/place_poles/firwin_2d/dual-window/aliases) OK")
+
+# 16. round-3 kernels: frame-chunked fused power path + the fused
+# FIR+DFT+power Pallas kernel (interpreter) against the XLA production path
+from nx_signal_tpu.kernels.dft import fir_framed_dft as _ffd16
+from nx_signal_tpu.kernels.pallas_dft import fir_framed_dft_power_pallas as _pp16
+_x16 = np.random.default_rng(16).normal(size=(3, 6000)).astype(np.float32)
+_t16 = np.asarray(nst15.firwin(101, [0.25]), np.float32)
+_w16 = np.hanning(512).astype(np.float32)
+_ref16 = np.asarray(_ffd16(_x16, _t16, _w16, stride=128, n_fft=512,
+                           onesided=True, output="power"))
+for _k16 in (2, 5):
+    _got16 = np.asarray(_ffd16(_x16, _t16, _w16, stride=128, n_fft=512,
+                               onesided=True, output="power",
+                               frame_chunks=_k16))
+    np.testing.assert_allclose(_got16, _ref16, atol=1e-5 * _ref16.max())
+_pal16 = np.asarray(_pp16(_x16, _t16, _w16, stride=128, n_fft=512,
+                          interpret=True))
+np.testing.assert_allclose(_pal16, _ref16, atol=1e-5 * _ref16.max())
+print("16. frame-chunked power + fused Pallas chain kernel OK")

@@ -28,6 +28,7 @@ DOCTEST_MODULES = [
     "nx_signal_tpu.ops.find_peaks",
     "nx_signal_tpu.ops.lambert_w",
     "nx_signal_tpu.ops.iir",
+    "nx_signal_tpu.ops.ltisys",
     "nx_signal_tpu.ops.resample",
     "nx_signal_tpu.spectral.framing",
     "nx_signal_tpu.spectral.stft",

@@ -4,8 +4,11 @@ exercised by bench/profiling runs on hardware)."""
 import numpy as np
 import pytest
 
-from nx_signal_tpu.kernels.dft import framed_dft
-from nx_signal_tpu.kernels.pallas_dft import framed_dft_pallas
+from nx_signal_tpu.kernels.dft import fir_framed_dft, framed_dft
+from nx_signal_tpu.kernels.pallas_dft import (
+    fir_framed_dft_power_pallas,
+    framed_dft_pallas,
+)
 from nx_signal_tpu.ops import windows
 
 
@@ -34,3 +37,40 @@ def test_pallas_framed_dft_1d_input(rng):
     assert zp.ndim == 2
     scale = np.abs(np.asarray(zr)).max()
     np.testing.assert_allclose(np.asarray(zp), np.asarray(zr), atol=1e-5 * scale)
+
+
+@pytest.mark.parametrize("channels,length,taps,frame,stride,nfft", [
+    (2, 5000, 255, 512, 128, 512),   # the bench chain's exact shape family
+    (1, 3000, 63, 384, 128, 512),    # ext % stride != 0, nfft > frame
+    (3, 4096, 100, 256, 128, 256),   # even tap count, short frame
+])
+def test_pallas_fused_power_matches_xla(channels, length, taps, frame,
+                                        stride, nfft, rng):
+    # the fused FIR+DFT+power kernel (ROOFLINE.md §3 item 1) vs the XLA
+    # conv-of-blocks production path
+    x = rng.normal(size=(channels, length)).astype(np.float32)
+    t = rng.normal(size=taps).astype(np.float32)
+    w = np.asarray(windows.hann(frame))
+    ref = np.asarray(fir_framed_dft(x, t, w, stride=stride, n_fft=nfft,
+                                    onesided=True, output="power",
+                                    precision="highest"))
+    got = np.asarray(fir_framed_dft_power_pallas(
+        x, t, w, stride=stride, n_fft=nfft, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5 * np.abs(ref).max())
+
+
+def test_pallas_fused_power_1d_and_validation(rng):
+    x = rng.normal(size=4000).astype(np.float32)
+    t = rng.normal(size=100).astype(np.float32)
+    w = np.asarray(windows.hann(256))
+    got = np.asarray(fir_framed_dft_power_pallas(
+        x, t, w, stride=128, n_fft=256, interpret=True))
+    ref = np.asarray(fir_framed_dft(x, t, w, stride=128, n_fft=256,
+                                    onesided=True, output="power",
+                                    precision="highest"))
+    assert got.ndim == 2
+    np.testing.assert_allclose(got, ref, atol=1e-5 * np.abs(ref).max())
+    with pytest.raises(ValueError):
+        fir_framed_dft_power_pallas(x, t, w, stride=100, n_fft=256,
+                                    interpret=True)

@@ -248,6 +248,32 @@ class TestSTFTMethods:
         np.testing.assert_allclose(np.asarray(zf_jit), np.asarray(zf),
                                    atol=1e-4 * np.abs(np.asarray(zf)).max())
 
+    def test_frame_chunked_power(self, rng):
+        # frame_chunks splits the fused power path into sequential
+        # conv+power chunks written in place (the >=896-channel memory-wall
+        # fix, ROOFLINE.md s3.3); results must match the unchunked path to
+        # f32 association (per-frame contractions are identical)
+        import numpy as np
+        from nx_signal_tpu.kernels.dft import fir_framed_dft
+        from nx_signal_tpu.models.pipeline import stft_fir_chain
+
+        x = rng.normal(size=(3, 7000)).astype(np.float32)
+        taps = rng.normal(size=63).astype(np.float32)
+        w = np.hanning(256).astype(np.float32)
+        ref = np.asarray(fir_framed_dft(
+            x, taps, w, stride=64, n_fft=256, onesided=True, output="power"))
+        scale = np.abs(ref).max()
+        for k in (2, 3, 7, 100):
+            got = np.asarray(fir_framed_dft(
+                x, taps, w, stride=64, n_fft=256, onesided=True,
+                output="power", frame_chunks=k))
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(got, ref, atol=1e-6 * scale)
+        chained = np.asarray(stft_fir_chain(
+            x, taps, w, fft_length=256, overlap_length=192,
+            return_filtered=False, frame_chunks=4))
+        np.testing.assert_allclose(chained, ref, atol=1e-6 * scale)
+
     def test_precision_kwarg(self, rng):
         # 'high'/'default' only reduce precision on TPU MXUs; on CPU all
         # three run full-f32 matmuls, so gate loosely and mainly check the
