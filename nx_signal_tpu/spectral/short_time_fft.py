@@ -182,6 +182,44 @@ class ShortTimeFFT:
         return cls(_canonical_dual(dual_win, hop), hop, fs,
                    dual_win=dual_win, **kwargs)
 
+    @classmethod
+    def from_win_equals_dual(cls, desired_win, hop: int, fs: float, *,
+                             fft_mode: str = "onesided", mfft: int = None,
+                             scale_to: str = None, phase_shift=0):
+        """Instance whose window equals its own dual (up to the `scale_to`
+        factor), closest to `desired_win` in least squares —
+        scipy.signal.ShortTimeFFT.from_win_equals_dual semantics.
+
+        The self-duality condition decouples over the hop residue classes:
+        sum_j |w[r + j*hop]|^2 = 1 for every r, so the closest self-dual
+        window simply normalizes each residue class of `desired_win` to
+        unit energy. `scale_to` additionally accepts 'unitary'
+        (win / sqrt(mfft): the scaling that makes the STFT a unitary map,
+        only constructible here, as in scipy)."""
+        g = np.asarray(desired_win)
+        if g.ndim != 1 or g.size == 0:
+            raise ValueError("desired_win must be a non-empty 1-D array")
+        if not np.all(np.isfinite(g)):
+            raise ValueError("desired_win must have finite entries")
+        w = g.astype(np.result_type(g.dtype, np.float64)).copy()
+        for r in range(int(hop)):
+            nrm = np.sqrt(np.sum(np.abs(g[r::hop]) ** 2))
+            if nrm <= g.size * np.finfo(np.float64).eps:
+                raise ValueError("Parameter desired_win does not have a "
+                                 f"valid STFT dual window for hop={hop}!")
+            w[r::hop] = g[r::hop] / nrm
+        unitary = scale_to == "unitary"
+        sft = cls(w, int(hop), fs, fft_mode=fft_mode, mfft=mfft,
+                  dual_win=w.copy(),
+                  scale_to=None if unitary else scale_to,
+                  phase_shift=phase_shift)
+        if unitary:
+            fac = 1.0 / np.sqrt(sft.mfft)
+            sft._win = sft._win * fac
+            sft._dual_win = sft._dual_win / fac
+            sft._scaling = "unitary"
+        return sft
+
     # ------------------------------------------------------- basic props
     @property
     def win(self):

@@ -337,4 +337,10 @@ for _k16 in (2, 5):
 _pal16 = np.asarray(_pp16(_x16, _t16, _w16, stride=128, n_fft=512,
                           interpret=True))
 np.testing.assert_allclose(_pal16, _ref16, atol=1e-5 * _ref16.max())
-print("16. frame-chunked power + fused Pallas chain kernel OK")
+_g16 = np.asarray(nst15.get_window("hann", 32, periodic=True), np.float64)
+_S16 = nst15.ShortTimeFFT.from_win_equals_dual(_g16, 8, fs=100.0, scale_to="unitary")
+import scipy.signal as _sps16
+_R16 = _sps16.ShortTimeFFT.from_win_equals_dual(_g16, 8, fs=100.0, scale_to="unitary")
+np.testing.assert_allclose(_S16.win, _R16.win, atol=1e-10)
+np.testing.assert_allclose(_S16.dual_win, _R16.dual_win, atol=1e-9)
+print("16. frame-chunked power + fused Pallas kernel + from_win_equals_dual OK")

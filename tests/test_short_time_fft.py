@@ -202,3 +202,33 @@ class TestClosestDualWindow:
         with pytest.raises(ValueError):
             closest_STFT_dual_window(sps.windows.hann(16), 4,
                                      np.ones(8))
+
+
+class TestFromWinEqualsDual:
+    """from_win_equals_dual vs scipy: per-residue-class normalization plus
+    all four scale_to modes (incl. 'unitary', constructor-only in scipy)."""
+
+    @pytest.mark.parametrize("scale_to", [None, "magnitude", "psd",
+                                          "unitary"])
+    def test_parity(self, scale_to):
+        g = sps.windows.hann(32, sym=False)
+        ours = ShortTimeFFT.from_win_equals_dual(g, 8, fs=100.0,
+                                                 scale_to=scale_to)
+        ref = sps.ShortTimeFFT.from_win_equals_dual(g, 8, fs=100.0,
+                                                    scale_to=scale_to)
+        np.testing.assert_allclose(ours.win, ref.win, atol=1e-12)
+        np.testing.assert_allclose(ours.dual_win, ref.dual_win, atol=1e-10)
+
+    def test_self_dual_roundtrip(self):
+        g = sps.windows.kaiser(48, 8.0)
+        S = ShortTimeFFT.from_win_equals_dual(g, 12, fs=50.0)
+        np.testing.assert_allclose(S.dual_win, S.win, atol=1e-12)
+        x = np.random.default_rng(5).normal(size=400)
+        rec = np.asarray(S.istft(S.stft(x), k1=400))
+        np.testing.assert_allclose(rec, x, atol=1e-5)
+
+    def test_invalid(self):
+        with pytest.raises(ValueError):
+            ShortTimeFFT.from_win_equals_dual(
+                np.concatenate([np.zeros(8), sps.windows.hann(8)]), 12,
+                fs=1.0)
