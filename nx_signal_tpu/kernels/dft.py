@@ -38,6 +38,33 @@ __all__ = ["framed_dft", "framed_idft", "fir_framed_dft",
 
 _MAX_MATMUL_FFT = 1024
 
+# HBM budget the 'auto' frame-chunking plans against, calibrated on the
+# measured v5e (16 GB) OOM boundary (ladder_chunk_r3, 2026-08-20): 768ch
+# dense worked (~11.9 GB modeled) and 896ch dense OOMed (~14.8); 1024ch
+# with 4 chunks worked. The model leaves ~3.5 GB for XLA workspace.
+_AUTO_CHUNK_HBM_BUDGET = 12.5 * 1024 ** 3
+
+
+def _auto_frame_chunks(batch_elems: int, num_frames: int, cols: int,
+                       in_elems: int) -> int:
+    """Chunk count bounding peak HBM. Modeled footprints (f32 bytes):
+    dense = input + padded copy + power output + 1.15x the (batch, frames,
+    cols) intermediate (conv workspace margin); chunked = the same with the
+    intermediate divided by k and one extra output-sized buffer (the
+    dynamic_update_slice chain's staging copy — implied by the measured
+    1280ch failure). Returns 1 whenever the dense dispatch fits: chunking
+    costs ~6-10% (ROOFLINE.md §3.4), so it is a fallback, not a default."""
+    in_b = 4 * in_elems
+    out_b = 4 * batch_elems * num_frames * (cols // 2 + 1)
+    inter = 4 * batch_elems * num_frames * cols
+    if 2 * in_b + out_b + 1.15 * inter <= _AUTO_CHUNK_HBM_BUDGET:
+        return 1
+    avail = _AUTO_CHUNK_HBM_BUDGET - (2 * in_b + 2 * out_b)
+    # floor at 5% of the budget: beyond that the fixed buffers dominate and
+    # more chunks cannot help — chunk hard and let the attempt decide
+    avail = max(avail, 0.05 * _AUTO_CHUNK_HBM_BUDGET)
+    return min(num_frames, max(1, int(-(-inter // avail))))
+
 
 def toeplitz_band(taps, out_cols: int, xp=jnp):
     """Banded Toeplitz matrix of 1-D convolution: T[t, j] = taps[j + K-1 - t]
@@ -279,7 +306,7 @@ def framed_idft(z, window, *, n_fft: int, onesided: bool = False,
 
 def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
                    onesided: bool = False, precision="highest",
-                   output: str = "complex", frame_chunks: int = 1):
+                   output: str = "complex", frame_chunks=1):
     """FIR filtering fused INTO the framed DFT: the spectrum of
     convolve(x, taps, 'same') computed as one blocked matmul chain, with the
     Toeplitz filter matrix folded into the DFT weights at build time:
@@ -300,7 +327,11 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
     epilogue — then only ever exists one chunk at a time, cutting its peak
     HBM footprint by the chunk count (the ≥896-channel memory wall of
     ROOFLINE.md §3.3). Total HBM traffic is unchanged; results match the
-    unchunked path (same per-frame contractions).
+    unchunked path (same per-frame contractions). `frame_chunks='auto'`
+    picks the smallest count whose peak footprint fits the HBM budget —
+    1 (no overhead) whenever the dense dispatch fits, so large-batch calls
+    degrade to chunking instead of OOM (measured: 1024ch x 10 s @ 48 kHz
+    runs chunked at ~94% of the 768ch dense rate; dense OOMs at ≥896ch).
     """
     x = jnp.asarray(x)
     traced = isinstance(taps, jax.core.Tracer) or isinstance(window, jax.core.Tracer)
@@ -345,6 +376,10 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
     pad_left = (k - 1) - (k - 1) // 2
     batch = x.shape[:-1]
     xp = jnp.pad(x.astype(DEFAULT_FLOAT), [(0, 0)] * len(batch) + [(pad_left, k - 1)])
+    if frame_chunks == "auto":
+        frame_chunks = _auto_frame_chunks(
+            int(np.prod(batch, dtype=np.int64)) if batch else 1,
+            num_frames, 2 * bins, x.size) if output == "power" else 1
     if output == "power" and frame_chunks > 1:
         c_blocks = len(_frame_block_widths(ext, stride))
         needed = (num_frames + c_blocks - 1) * stride

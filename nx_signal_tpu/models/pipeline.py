@@ -107,7 +107,7 @@ class FIRFilterChain:
 def stft_fir_chain(x, taps, window, *, fft_length: int, overlap_length: int,
                    sampling_rate: float = 16000.0, fir_method: str = "direct",
                    onesided: bool = True, return_filtered: bool = True,
-                   precision: str = "highest", frame_chunks: int = 1):
+                   precision: str = "highest", frame_chunks=1):
     """The north-star benchmark chain (BASELINE.json): FIR low-pass then
     Hann STFT -> power spectrogram, returning (filtered, power) — or power
     alone with `return_filtered=False`, which takes the fully-fused

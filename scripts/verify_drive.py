@@ -334,6 +334,10 @@ for _k16 in (2, 5):
                                onesided=True, output="power",
                                frame_chunks=_k16))
     np.testing.assert_allclose(_got16, _ref16, atol=1e-5 * _ref16.max())
+_auto16 = np.asarray(_ffd16(_x16, _t16, _w16, stride=128, n_fft=512,
+                            onesided=True, output="power",
+                            frame_chunks="auto"))
+np.testing.assert_allclose(_auto16, _ref16, atol=1e-5 * _ref16.max())
 _pal16 = np.asarray(_pp16(_x16, _t16, _w16, stride=128, n_fft=512,
                           interpret=True))
 np.testing.assert_allclose(_pal16, _ref16, atol=1e-5 * _ref16.max())

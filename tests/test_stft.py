@@ -273,6 +273,16 @@ class TestSTFTMethods:
             x, taps, w, fft_length=256, overlap_length=192,
             return_filtered=False, frame_chunks=4))
         np.testing.assert_allclose(chained, ref, atol=1e-6 * scale)
+        # 'auto' picks 1 for small inputs (no chunk overhead) and a
+        # footprint-bounding count when the intermediate would blow HBM
+        from nx_signal_tpu.kernels import dft as K
+        assert K._auto_frame_chunks(3, 105, 514, x.size) == 1
+        assert K._auto_frame_chunks(768, 3744, 514, 768 * 480000) == 1
+        assert K._auto_frame_chunks(1024, 3744, 514, 1024 * 480000) > 1
+        auto = np.asarray(fir_framed_dft(
+            x, taps, w, stride=64, n_fft=256, onesided=True,
+            output="power", frame_chunks="auto"))
+        np.testing.assert_allclose(auto, ref, atol=1e-6 * scale)
 
     def test_precision_kwarg(self, rng):
         # 'high'/'default' only reduce precision on TPU MXUs; on CPU all
