@@ -29,7 +29,7 @@ from nx_signal_tpu.spectral.framing import _frame_block_widths
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
 __all__ = ["framed_dft_pallas", "fir_framed_dft_power_pallas",
-           "pallas_dft_supported"]
+           "overlap_add_pallas", "pallas_dft_supported"]
 
 _TILE_M = 256  # frames per program
 
@@ -246,3 +246,90 @@ def fir_framed_dft_power_pallas(x, taps, window, *, stride: int, n_fft: int,
 
     out = out[:, :num_frames, :]
     return out[0] if squeeze else out
+
+
+# ------------------------------------------------------- OLA (scatter-free)
+
+def _ola_kernel(f_hbm, o_vmem, f_vmem, sem, *, hop, c_blocks, tile_b,
+                dma_rows, rows_per_channel):
+    """One program: a TILE_B-block tile of the overlap-added signal for one
+    channel. The host pads the frame stack with C-1 zero rows on top, so
+    output block b is the sum over r of padded_frames[b + (C-1-r),
+    r*hop:(r+1)*hop] — one contiguous (tile_b + C - 1)-row DMA window and
+    C shifted VMEM row-slices added on the VPU, **in increasing frame
+    order** (r descending), the exact association of the production
+    deterministic fold (spectral/framing.py:_ola_fold) — so the kernel is
+    bit-compatible with it, the property the sharded ISTFT tests rely on.
+    No scatter: the reference's indexed_add (nx_signal.ex:723-724) becomes
+    shifted adds in VMEM."""
+    c = pl.program_id(0)
+    bt = pl.program_id(1)
+    row0 = c * rows_per_channel + bt * tile_b
+    pltpu.make_async_copy(
+        f_hbm.at[pl.ds(row0, dma_rows), :], f_vmem, sem
+    ).start()
+    pltpu.make_async_copy(
+        f_hbm.at[pl.ds(row0, dma_rows), :], f_vmem, sem
+    ).wait()
+    acc = jnp.zeros((tile_b, hop), dtype=jnp.float32)
+    for r in range(c_blocks - 1, -1, -1):   # increasing frame order
+        acc = acc + f_vmem[pl.ds(c_blocks - 1 - r, tile_b),
+                           r * hop:(r + 1) * hop]
+    o_vmem[0, :, :] = acc
+
+
+def overlap_add_pallas(frames, *, overlap_length: int, interpret: bool = False):
+    """Overlap-add of an (..., M, N) frame stack — the Pallas counterpart
+    of spectral.framing.overlap_and_add (reference: nx_signal.ex:684-727),
+    bit-compatible with its deterministic left-fold. Requires the TPU-
+    aligned geometry stride % 128 == 0 and N % stride == 0 (the bench/ISTFT
+    shapes); the general path stays on the XLA fold."""
+    frames = jnp.asarray(frames).astype(DEFAULT_FLOAT)
+    if frames.ndim < 2:
+        raise ValueError("expected a tensor of rank >= 2")
+    m, n = frames.shape[-2], frames.shape[-1]
+    if overlap_length >= n:
+        raise ValueError("overlap_length must be a number less than the "
+                         f"window size {n}, got: {overlap_length}")
+    hop = n - overlap_length
+    if hop % 128 != 0 or n % hop != 0:
+        raise ValueError(
+            "pallas overlap_add requires stride % 128 == 0 and "
+            f"window % stride == 0, got stride={hop}, window={n}")
+    c_blocks = n // hop
+    out_length = m * hop + overlap_length
+    batch = frames.shape[:-2]
+    x = frames.reshape(-1, m, n)
+    channels = x.shape[0]
+
+    out_blocks = m + c_blocks - 1
+    tile_b = min(256, max(8, -(-out_blocks // 8) * 8))
+    num_tiles = -(-out_blocks // tile_b)
+    halo = -(-(c_blocks - 1) // 8) * 8     # sublane-aligned DMA over-read
+    dma_rows = tile_b + halo
+    rows_per_channel = num_tiles * tile_b + halo
+    # C-1 zero rows on top (early blocks' missing frames), zero tail below
+    x = jnp.pad(x, [(0, 0), (c_blocks - 1, rows_per_channel - (c_blocks - 1) - m), (0, 0)])
+    x_rows = x.reshape(channels * rows_per_channel, n)
+
+    kernel = functools.partial(
+        _ola_kernel, hop=hop, c_blocks=c_blocks, tile_b=tile_b,
+        dma_rows=dma_rows, rows_per_channel=rows_per_channel,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(channels, num_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, tile_b, hop), lambda c, b: (c, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (channels, num_tiles * tile_b, hop), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((dma_rows, n), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x_rows)
+
+    sig = out.reshape(channels, num_tiles * tile_b * hop)[:, :out_length]
+    return sig.reshape(*batch, out_length) if batch else sig[0]

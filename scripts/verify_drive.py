@@ -347,4 +347,10 @@ import scipy.signal as _sps16
 _R16 = _sps16.ShortTimeFFT.from_win_equals_dual(_g16, 8, fs=100.0, scale_to="unitary")
 np.testing.assert_allclose(_S16.win, _R16.win, atol=1e-10)
 np.testing.assert_allclose(_S16.dual_win, _R16.dual_win, atol=1e-9)
-print("16. frame-chunked power + fused Pallas kernel + from_win_equals_dual OK")
+from nx_signal_tpu.kernels.pallas_dft import overlap_add_pallas as _ola16
+from nx_signal_tpu.spectral.framing import overlap_and_add as _oa16
+_f16 = np.random.default_rng(17).normal(size=(2, 20, 512)).astype(np.float32)
+np.testing.assert_array_equal(
+    np.asarray(_ola16(_f16, overlap_length=384, interpret=True)),
+    np.asarray(_oa16(_f16, overlap_length=384)))
+print("16. frame-chunked power + fused Pallas kernels (chain, OLA bitwise) + from_win_equals_dual OK")

@@ -74,3 +74,33 @@ def test_pallas_fused_power_1d_and_validation(rng):
     with pytest.raises(ValueError):
         fir_framed_dft_power_pallas(x, t, w, stride=100, n_fft=256,
                                     interpret=True)
+
+
+@pytest.mark.parametrize("batch,m,n,overlap", [
+    ((2,), 30, 512, 384),    # the ISTFT hop-128 shape family
+    ((), 12, 256, 128),      # 1-D squeeze
+    ((3, 2), 25, 512, 256),  # stacked batch dims
+    ((1,), 9, 128, 0),       # no overlap (C=1 degenerate)
+])
+def test_pallas_overlap_add_bitwise(batch, m, n, overlap, rng):
+    # the Pallas OLA kernel must be BIT-identical to the deterministic
+    # left-fold (the property sharded ISTFT relies on)
+    from nx_signal_tpu.kernels.pallas_dft import overlap_add_pallas
+    from nx_signal_tpu.spectral.framing import overlap_and_add
+
+    f = rng.normal(size=(*batch, m, n)).astype(np.float32)
+    ref = np.asarray(overlap_and_add(f, overlap_length=overlap))
+    got = np.asarray(overlap_add_pallas(f, overlap_length=overlap,
+                                        interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_overlap_add_validation(rng):
+    from nx_signal_tpu.kernels.pallas_dft import overlap_add_pallas
+
+    f = rng.normal(size=(4, 512)).astype(np.float32)
+    with pytest.raises(ValueError):
+        overlap_add_pallas(f, overlap_length=512, interpret=True)
+    with pytest.raises(ValueError):   # stride 100 not lane-aligned
+        overlap_add_pallas(f, overlap_length=412, interpret=True)
