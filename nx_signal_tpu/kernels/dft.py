@@ -33,6 +33,7 @@ from nx_signal_tpu.spectral.framing import _frame_block_widths
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
 __all__ = ["framed_dft", "framed_idft", "fir_framed_dft",
+           "fir_dft_fold_weights",
            "fir_framed_dft_shared", "recognize_cosine_window",
            "good_matmul_fft_length", "blocked_frame_matmul", "toeplitz_band"]
 
@@ -304,6 +305,35 @@ def framed_idft(z, window, *, n_fft: int, onesided: bool = False,
     return lax.complex(out[..., :frame_length], out[..., frame_length:])
 
 
+def fir_dft_fold_weights(taps, window, n_fft: int, onesided: bool,
+                         traced: bool = False):
+    """The fused chain's weight matrix T @ diag(w) @ F: the banded 'same'
+    Toeplitz of `taps` folded into the window-scaled DFT matrix at build
+    time. Shape (frame_length + K - 1, 2*bins) stacked [Re | Im]. Shared by
+    `fir_framed_dft` and the sharded chain (parallel/sharded.py)."""
+    if traced:
+        # jnp weight folding (constant-folded by XLA when taps/window are
+        # trace-constants); full-f32 matmul for the host-side-equivalent fold
+        taps = jnp.asarray(taps).reshape(-1)
+        frame_length = window.shape[-1]
+        toeplitz = toeplitz_band(taps.astype(DEFAULT_FLOAT), frame_length, jnp)
+        if isinstance(window, jax.core.Tracer):
+            dft_w = _dft_weights(window, frame_length, n_fft, onesided,
+                                 DEFAULT_FLOAT)
+        else:
+            dft_w = jnp.asarray(
+                _dft_weights(np.asarray(window, np.float64), frame_length,
+                             n_fft, onesided, np.float64).astype(DEFAULT_FLOAT)
+            )
+        return jnp.matmul(toeplitz, dft_w, precision="highest")
+    taps = np.asarray(taps, dtype=np.float64).reshape(-1)
+    window = np.asarray(window, dtype=np.float64)
+    frame_length = window.shape[-1]
+    toeplitz = toeplitz_band(taps, frame_length, np)
+    dft_w = _dft_weights(window, frame_length, n_fft, onesided, np.float64)
+    return jnp.asarray((toeplitz @ dft_w).astype(DEFAULT_FLOAT))
+
+
 def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
                    onesided: bool = False, precision="highest",
                    output: str = "complex", frame_chunks=1):
@@ -352,23 +382,8 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
     bins = n_fft // 2 + 1 if onesided else n_fft
 
     ext = frame_length + k - 1
-    if traced:
-        # jnp weight folding (constant-folded by XLA when taps/window are
-        # trace-constants); full-f32 matmul for the host-side-equivalent fold
-        toeplitz = toeplitz_band(taps.astype(DEFAULT_FLOAT), frame_length, jnp)
-        if isinstance(window_arr, jax.core.Tracer):
-            dft_w = _dft_weights(window_arr, frame_length, n_fft, onesided,
-                                 DEFAULT_FLOAT)
-        else:
-            dft_w = jnp.asarray(
-                _dft_weights(np.asarray(window_arr, np.float64), frame_length,
-                             n_fft, onesided, np.float64).astype(DEFAULT_FLOAT)
-            )
-        weights = jnp.matmul(toeplitz, dft_w, precision="highest")
-    else:
-        toeplitz = toeplitz_band(taps, frame_length, np)
-        dft_w = _dft_weights(window_arr, frame_length, n_fft, onesided, np.float64)
-        weights = jnp.asarray((toeplitz @ dft_w).astype(DEFAULT_FLOAT))
+    weights = fir_dft_fold_weights(taps, window_arr, n_fft, onesided,
+                                   traced=traced)
 
     # 'same' alignment: frame m of the filtered signal starts at
     # y[m*stride] = full_conv[m*stride + (k-1)//2]; the extended frame

@@ -35,13 +35,19 @@ from nx_signal_tpu.ops.convolution import (
     convolve,
     fir_convolve_1d,
 )
-from nx_signal_tpu.kernels.dft import framed_dft, framed_idft, good_matmul_fft_length
+from nx_signal_tpu.kernels.dft import (
+    blocked_frame_matmul,
+    fir_dft_fold_weights,
+    framed_dft,
+    framed_idft,
+    good_matmul_fft_length,
+)
 from nx_signal_tpu.spectral.framing import _ola_fold, as_windowed
 from nx_signal_tpu.spectral.stft import STFTResult, _apply_scaling, _resolve_fft_length, fft_frequencies
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 from nx_signal_tpu.parallel.mesh import BLOCK_AXIS, CHANNEL_AXIS
 
-__all__ = ["sharded_convolve_same", "sharded_oaconvolve_same", "sharded_stft", "sharded_istft", "sharded_pfb_analyze", "sharded_sosfilt", "sharded_upfirdn", "sharded_resample_poly"]
+__all__ = ["sharded_convolve_same", "sharded_fir_framed_dft_power", "sharded_oaconvolve_same", "sharded_stft", "sharded_istft", "sharded_pfb_analyze", "sharded_sosfilt", "sharded_upfirdn", "sharded_resample_poly"]
 
 
 def _shift_from_left(x, n_block):
@@ -664,4 +670,77 @@ def sharded_resample_poly(x, up: int, down: int, *, mesh,
     n_out = -(-x.shape[1] * up // down)
     out = _sharded_upfirdn_body(x, bank, t_taps, up, down, mesh=mesh,
                                 n_offset=n_pre_remove, out_total=n_out)
+    return out[0] if squeeze else out
+
+
+def sharded_fir_framed_dft_power(x, taps, window, *, mesh, stride: int,
+                                 n_fft: int, onesided: bool = True,
+                                 precision="highest"):
+    """The FUSED bench chain — FIR folded into the framed-DFT power
+    spectrogram (kernels/dft.py:fir_framed_dft, output='power') — sharded
+    over channels and time blocks. This is the pod-scale form of bench.py's
+    workload: one halo exchange supplies BOTH the FIR 'same' context and
+    the frame tail, then every device runs the identical conv-of-blocks
+    program on [left halo | block | right halo]; the filtered signal is
+    never materialized anywhere in the pod.
+
+    Halo geometry: extended frame m covers x[m*stride - pad_left,
+    m*stride + frame + (K-1)//2 - 1], so each device fetches pad_left =
+    (K-1) - (K-1)//2 left-neighbor samples (zeros at device 0 — exactly
+    the single-device left pad) and frame - stride + (K-1)//2 right
+    samples. Frames never straddle device math — bitwise equal to the
+    single-device call on TPU (fixed MXU reduction order); ulp-tight on
+    CPU (GEMM/conv reduction order varies with batch extent there)."""
+    x, squeeze = _norm_2d(x)
+    taps = jnp.asarray(taps).reshape(-1)
+    window = jnp.asarray(window)
+    (frame_length,) = window.shape
+    k = taps.shape[0]
+    ext = frame_length + k - 1
+    bins = n_fft // 2 + 1 if onesided else n_fft
+    if not good_matmul_fft_length(n_fft) or n_fft < frame_length:
+        raise ValueError(
+            "sharded_fir_framed_dft_power requires a matmul-DFT geometry: "
+            f"fft_length <= 1024 and >= frame_length, got {n_fft}")
+    n_channel, n_block = mesh.shape[CHANNEL_AXIS], mesh.shape[BLOCK_AXIS]
+    _check_divisible("channels", x.shape[0], n_channel)
+    _, padded_len, _, num_frames, _ = _stft_frame_geometry(
+        x.shape[1], frame_length, stride, n_block
+    )
+    if padded_len != x.shape[1]:
+        x = jnp.pad(x, [(0, 0), (0, padded_len - x.shape[1])])
+    block_len = padded_len // n_block
+    pad_left = (k - 1) - (k - 1) // 2
+    halo_right = frame_length - stride + (k - 1) // 2
+    if max(pad_left, halo_right) > block_len:
+        raise ValueError(
+            f"chain halo (left {pad_left}, right {halo_right}) exceeds the "
+            f"per-device block ({block_len}); use fewer blocks, a shorter "
+            "filter, or a larger hop")
+    weights = fir_dft_fold_weights(taps, window, n_fft, onesided,
+                                   traced=isinstance(taps, jax.core.Tracer)
+                                   or isinstance(window, jax.core.Tracer))
+    frames_per_block = block_len // stride
+
+    def local(x_blk):
+        x_blk = x_blk.astype(DEFAULT_FLOAT)
+        parts = []
+        if pad_left:
+            parts.append(_shift_from_left(x_blk[:, -pad_left:], n_block))
+        parts.append(x_blk)
+        if halo_right:
+            parts.append(_shift_from_right(x_blk[:, :halo_right], n_block))
+        ext_blk = jnp.concatenate(parts, axis=-1)
+        acc = blocked_frame_matmul(
+            ext_blk, weights, window_length=ext, stride=stride,
+            num_frames=frames_per_block, precision=precision,
+        )
+        return acc[..., :bins] ** 2 + acc[..., bins:] ** 2
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(CHANNEL_AXIS, BLOCK_AXIS),
+        out_specs=P(CHANNEL_AXIS, BLOCK_AXIS, None),
+    )
+    out = fn(x)[:, :num_frames, :]
     return out[0] if squeeze else out

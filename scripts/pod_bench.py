@@ -123,17 +123,18 @@ def main():
         sharding = NamedSharding(mesh, P(CHANNEL_AXIS, BLOCK_AXIS))
 
         from nx_signal_tpu.parallel.sharded import (
-            sharded_convolve_same,
-            sharded_stft,
+            sharded_fir_framed_dft_power,
         )
 
+        # the FUSED bench chain sharded over the block axis: one halo
+        # exchange (FIR context + frame tail), then the identical
+        # conv-of-blocks power program per chip — the filtered signal is
+        # never materialized anywhere in the pod
         def step(x):
-            y = sharded_convolve_same(x, taps, mesh=mesh)
-            z, _, _ = sharded_stft(
-                y, window, mesh=mesh, sampling_rate=float(rate),
-                fft_length=nfft, overlap_length=frame - hop,
+            return sharded_fir_framed_dft_power(
+                x, taps, window, mesh=mesh, stride=hop, n_fft=nfft,
+                onesided=True, precision="high",
             )
-            return jnp.abs(z) ** 2
 
         start, end = multihost.process_block_range(length, mesh)
         local = np.random.default_rng(jax.process_index()).normal(

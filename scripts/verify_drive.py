@@ -353,4 +353,16 @@ _f16 = np.random.default_rng(17).normal(size=(2, 20, 512)).astype(np.float32)
 np.testing.assert_array_equal(
     np.asarray(_ola16(_f16, overlap_length=384, interpret=True)),
     np.asarray(_oa16(_f16, overlap_length=384)))
-print("16. frame-chunked power + fused Pallas kernels (chain, OLA bitwise) + from_win_equals_dual OK")
+from nx_signal_tpu.parallel.sharded import sharded_fir_framed_dft_power as _sfc16
+from nx_signal_tpu.parallel.mesh import make_dsp_mesh as _mdm16
+from nx_signal_tpu.parallel.mesh import channel_block_sharding as _cbs16
+import jax as _jax16
+_mesh16 = _mdm16(2, 4)
+_xs16 = _jax16.device_put(jnp.asarray(_x16[:2].repeat(2, 0)), _cbs16(_mesh16, ndim=2))
+_ref_s16 = np.asarray(_ffd16(np.asarray(_xs16), _t16, _w16, stride=128,
+                             n_fft=512, onesided=True, output="power",
+                             precision="highest"))
+_got_s16 = np.asarray(_sfc16(_xs16, _t16, _w16, mesh=_mesh16, stride=128,
+                             n_fft=512, precision="highest"))
+np.testing.assert_allclose(_got_s16, _ref_s16, atol=2e-6 * _ref_s16.max())
+print("16. frame-chunked power + fused Pallas kernels (chain, OLA bitwise) + sharded fused chain + from_win_equals_dual OK")

@@ -15,7 +15,7 @@ import pytest
 
 from nx_signal_tpu.ops import windows
 from nx_signal_tpu.ops.convolution import convolve
-from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+from nx_signal_tpu.parallel.mesh import channel_block_sharding, make_dsp_mesh
 from nx_signal_tpu.parallel.sharded import (
     sharded_convolve_same,
     sharded_istft,
@@ -267,3 +267,47 @@ class TestShardedSosfilt:
             out[i] = c_vec @ z + d * imp[i]
             z = a_mat @ z + b_vec * imp[i]
         np.testing.assert_allclose(out, ref, atol=1e-12, rtol=1e-10)
+
+
+class TestShardedFusedChain:
+    """sharded_fir_framed_dft_power — the pod-scale fused bench chain —
+    vs the single-device fir_framed_dft power output."""
+
+    @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2), (8, 1)])
+    def test_matches_single_device(self, mesh_shape, rng):
+        from nx_signal_tpu.kernels.dft import fir_framed_dft
+        from nx_signal_tpu.parallel.sharded import sharded_fir_framed_dft_power
+
+        nc, nb = mesh_shape
+        mesh = make_dsp_mesh(nc, nb)
+        ch = max(2, 2 * nc)
+        x = jnp.asarray(rng.normal(size=(ch, 4096)), jnp.float32)
+        taps = rng.normal(size=63).astype(np.float32)
+        win = np.hanning(256).astype(np.float32)
+        ref = np.asarray(fir_framed_dft(
+            x, taps, win, stride=64, n_fft=256, onesided=True,
+            output="power", precision="highest"))
+        got = np.asarray(sharded_fir_framed_dft_power(
+            jax.device_put(x, channel_block_sharding(mesh, ndim=2)),
+            taps, win, mesh=mesh, stride=64, n_fft=256,
+            precision="highest"))
+        assert got.shape == ref.shape
+        # CPU GEMM/conv reduction order varies with the spatial extent, so
+        # ulp-tight here; the TPU MXU's fixed order makes it bitwise there
+        np.testing.assert_allclose(got, ref,
+                                   atol=2e-6 * np.abs(ref).max())
+
+    def test_halo_and_geometry_validation(self, rng):
+        from nx_signal_tpu.parallel.sharded import sharded_fir_framed_dft_power
+
+        mesh = make_dsp_mesh(1, 8)
+        x = jnp.asarray(rng.normal(size=(2, 2048)), jnp.float32)
+        taps = rng.normal(size=63).astype(np.float32)
+        with pytest.raises(ValueError):   # frame halo exceeds tiny blocks
+            sharded_fir_framed_dft_power(
+                x, taps, np.hanning(1024).astype(np.float32),
+                mesh=mesh, stride=64, n_fft=1024)
+        with pytest.raises(ValueError):   # non-matmul geometry
+            sharded_fir_framed_dft_power(
+                x, taps, np.hanning(256).astype(np.float32),
+                mesh=mesh, stride=64, n_fft=2048)
