@@ -32,9 +32,12 @@ import numpy as np
 
 CHANNELS = 768  # fills the chip; amortizes the tunnel dispatch latency
 # (r03 ladder, one process: 128ch 2577 / 256ch 3501 / 512ch 4306 /
-# 768ch 4631 Ms/s; 896ch+ OOMs — the 514-wide conv result materializes
-# (ch, frames, 514) f32 ahead of the power epilogue, ~6.9 GB at 896ch,
-# and lax.map chunking does not help: input+output alone are ~6 GB)
+# 768ch 4631 Ms/s). 896ch+ dense OOMs — the (ch, frames, 514) conv
+# result materializes ahead of the power epilogue; frame_chunks='auto'
+# (kernels/dft.py) lifts that wall by chunking the frame axis, but the
+# chunked 1024ch point measured 4246 Ms/s < 768ch dense (ROOFLINE.md
+# §3.4), so 768 dense stays the bench config ('auto' resolves to the
+# dense plan here and only chunks where dense would OOM).
 SECONDS = 10
 RATE = 48000
 STEPS = 2
@@ -100,6 +103,7 @@ def main():
             fft_length=NFFT, overlap_length=FRAME - HOP,
             sampling_rate=float(RATE),
             onesided=True, return_filtered=False, precision="high",
+            frame_chunks="auto",
         )
 
     out = step(x)
