@@ -175,7 +175,12 @@ from nx_signal_tpu.ops.waveforms import (
     sweep_poly,
     unit_impulse,
 )
-from nx_signal_tpu.ops.windows import get_window
+from nx_signal_tpu.ops.windows import (
+    boxcar,
+    get_window,
+    kaiser_bessel_derived,
+    triang,
+)
 from nx_signal_tpu.spectral.estimation import lombscargle, vectorstrength
 from nx_signal_tpu.ops.find_peaks import (
     Peaks,

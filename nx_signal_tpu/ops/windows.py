@@ -43,6 +43,9 @@ __all__ = [
     "taylor",
     "chebwin",
     "dpss",
+    "kaiser_bessel_derived",
+    "boxcar",
+    "triang",
     "get_window",
 ]
 
@@ -422,6 +425,7 @@ _WINDOW_BUILDERS = {
     "rectangular": lambda n, periodic, dtype: rectangular(n, dtype=dtype),
     # scipy.signal.get_window's name for the rectangular window
     "boxcar": lambda n, periodic, dtype: rectangular(n, dtype=dtype),
+    "triang": lambda n, periodic, dtype: triangular(n, dtype=dtype),
     "bartlett": lambda n, periodic, dtype: bartlett(n, dtype=dtype),
     "triangular": lambda n, periodic, dtype: triangular(n, dtype=dtype),
     "blackman": lambda n, periodic, dtype: blackman(n, periodic=periodic, dtype=dtype),
@@ -446,6 +450,9 @@ _WINDOW_BUILDERS = {
 # Windows whose spec carries positional parameters: name -> constructor taking
 # (n, *params, periodic=..., dtype=...).
 _PARAMETRIC_WINDOWS = {
+    "kaiser_bessel_derived":
+        lambda n, beta, periodic=False, dtype=None: kaiser_bessel_derived(
+            n, beta, dtype=dtype if dtype is not None else DEFAULT_FLOAT),
     "gaussian": gaussian,
     "general_gaussian": general_gaussian,
     "general_cosine": general_cosine,
@@ -492,3 +499,39 @@ def get_window(window, n: int, *, periodic: bool = False, dtype=DEFAULT_FLOAT):
         return rectangular(n, dtype=dtype) if jnp.issubdtype(dtype, jnp.integer) \
             else jnp.ones((n,), dtype=dtype)
     return _WINDOW_BUILDERS[window](n, periodic, dtype)
+
+
+def kaiser_bessel_derived(n: int, beta: float, *, dtype=DEFAULT_FLOAT):
+    """Kaiser-Bessel derived (KBD) window — scipy.signal.windows.
+    kaiser_bessel_derived semantics: the MDCT analysis/synthesis window
+    satisfying the Princen-Bradley condition, built from the cumulative
+    energy of an (n/2 + 1)-point Kaiser window:
+    w[k] = sqrt(cumsum(kaiser)[k] / sum(kaiser)) for the first half,
+    mirrored. Only defined for even n (scipy raises likewise).
+    Not in the reference."""
+    if n < 0:
+        raise ValueError("Window length n must be non-negative")
+    if n == 0:
+        return jnp.zeros((0,), dtype=dtype)
+    if n % 2:
+        raise ValueError("Kaiser-Bessel Derived windows are only defined "
+                         "for even number of points")
+    kw = kaiser(n // 2 + 1, beta=float(beta), periodic=False,
+                dtype=jnp.float32)
+    csum = jnp.cumsum(kw)
+    half = jnp.sqrt(csum[:-1] / csum[-1]).astype(dtype)
+    return jnp.concatenate([half, half[::-1]])
+
+
+def boxcar(n: int, *, dtype=DEFAULT_FLOAT):
+    """Rectangular window under scipy's name (scipy.signal.windows.boxcar);
+    float dtype by default, unlike `rectangular`'s reference-exact s64
+    (windows.ex:33-36)."""
+    return jnp.ones((n,), dtype=dtype)
+
+
+def triang(n: int, *, dtype=DEFAULT_FLOAT):
+    """Triangular window under scipy's name (scipy.signal.windows.triang —
+    non-zero endpoints, unlike bartlett); alias of `triangular` (always
+    symmetric, as the reference defines it — windows.ex:98-127)."""
+    return triangular(n, dtype=dtype)

@@ -315,6 +315,11 @@ np.testing.assert_allclose(d15, d15r, atol=1e-10)
 assert abs(a15 - a15r) < 1e-12
 assert nst15.check_COLA("hann", 256, 128) == sps15.check_COLA("hann", 256, 128) == True
 np.testing.assert_allclose(
+    np.asarray(nst15.kaiser_bessel_derived(32, 5.0)),
+    sps15.windows.kaiser_bessel_derived(32, 5.0), atol=1e-6)
+np.testing.assert_allclose(np.asarray(nst15.triang(7)),
+                           sps15.windows.triang(7), atol=1e-6)
+np.testing.assert_allclose(
     nst15.band_stop_obj(0.25, 0, np.array([0.2, 0.7]), np.array([0.35, 0.5]), 3.0, 40.0, "butter"),
     sps15.band_stop_obj(0.25, 0, np.array([0.2, 0.7]), np.array([0.35, 0.5]), 3.0, 40.0, "butter"),
     rtol=1e-10)

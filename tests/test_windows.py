@@ -130,3 +130,37 @@ def test_get_window_dispatch():
     np.testing.assert_array_equal(np.asarray(w), np.ones(4, np.float32))
     with pytest.raises(ValueError, match="unknown window"):
         windows.get_window("nope", 4)
+
+
+class TestScipyNamedExtras:
+    """boxcar / triang aliases and the Kaiser-Bessel derived window."""
+
+    @pytest.mark.parametrize("n,beta", [(8, 8.0), (32, 5.0), (128, 12.0),
+                                        (2, 1.0)])
+    def test_kaiser_bessel_derived(self, n, beta):
+        ref = sw.kaiser_bessel_derived(n, beta)
+        got = np.asarray(windows.kaiser_bessel_derived(n, beta,
+                                                       dtype=np.float64))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_kbd_validation(self):
+        assert windows.kaiser_bessel_derived(0, 4.0).shape == (0,)
+        with pytest.raises(ValueError):
+            windows.kaiser_bessel_derived(7, 4.0)
+        with pytest.raises(ValueError):
+            windows.kaiser_bessel_derived(-2, 4.0)
+
+    def test_aliases(self):
+        np.testing.assert_allclose(np.asarray(windows.boxcar(5)),
+                                   sw.boxcar(5))
+        for n in (7, 8):
+            np.testing.assert_allclose(
+                np.asarray(windows.triang(n, dtype=np.float64)),
+                sw.triang(n))
+        g = np.asarray(windows.get_window(("kaiser_bessel_derived", 8.0), 16,
+                                          dtype=np.float64))
+        np.testing.assert_allclose(
+            g, __import__("scipy.signal", fromlist=["get_window"]).get_window(("kaiser_bessel_derived", 8.0), 16,
+                              fftbins=False), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(windows.get_window("boxcar", 6)), np.ones(6))
