@@ -20,9 +20,11 @@ spectral/stft.py mirrors); this class serves users of scipy's newer API.
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nx_signal_tpu.kernels.dft import _dft_weights, good_matmul_fft_length
 from nx_signal_tpu.spectral.framing import _ola_fold, as_windowed
 
 __all__ = ["ShortTimeFFT", "closest_STFT_dual_window"]
@@ -119,7 +121,14 @@ def closest_STFT_dual_window(win, hop: int, desired_dual=None, *,
 
 
 class ShortTimeFFT:
-    """scipy.signal.ShortTimeFFT-compatible short-time FFT engine."""
+    """scipy.signal.ShortTimeFFT-compatible short-time FFT engine.
+
+    `fft_method` ('auto' default / 'fft' / 'matmul') selects the forward
+    transform of the onesided modes: 'auto' runs the MXU matmul DFT on
+    TPU backends for real input with mfft <= 1024 (XLA's TPU FFT measured
+    ~3x slower there — ROOFLINE.md §1) and jnp.fft elsewhere."""
+
+    fft_method = "auto"
 
     def __init__(self, win, hop: int, fs: float, *, fft_mode: str = "onesided",
                  mfft: int = None, dual_win=None, scale_to: str = None,
@@ -517,7 +526,7 @@ class ShortTimeFFT:
         v = frames * jnp.asarray(np.conj(self._win))
 
         if self._fft_mode in ("onesided", "onesided2X"):
-            spec = jnp.fft.rfft(v, n=self.mfft, axis=-1)
+            spec = self._forward_onesided(v)
             if self._fft_mode == "onesided2X":
                 factor = math.sqrt(2) if self._scaling == "psd" else 2.0
                 stop = self.mfft // 2 + 1 - (1 if self.mfft % 2 == 0 else 0)
@@ -535,6 +544,27 @@ class ShortTimeFFT:
         if x.ndim > 1:
             spec = jnp.moveaxis(spec, -2, axis if axis >= 0 else axis - 1)
         return spec
+
+    def _forward_onesided(self, v):
+        """rfft of the windowed frame matrix, dispatched to the MXU matmul
+        DFT on TPU backends (fft_method='auto'): XLA's TPU FFT measured ~3x
+        slower than the DFT matmul for mfft <= 1024 (ROOFLINE.md §1), the
+        same rule spectral.stft applies. The FFT path is kept for CPU
+        (f64-exact there) and large mfft."""
+        method = getattr(self, "fft_method", "auto")
+        use_matmul = method == "matmul" or (
+            method == "auto"
+            and not jnp.issubdtype(v.dtype, jnp.complexfloating)
+            and good_matmul_fft_length(self.mfft)
+            and jax.default_backend() not in ("cpu",)
+        )
+        if not use_matmul or jnp.issubdtype(v.dtype, jnp.complexfloating):
+            return jnp.fft.rfft(v, n=self.mfft, axis=-1)
+        bins = self.mfft // 2 + 1
+        w = _dft_weights(np.ones(self.m_num), self.m_num, self.mfft, True,
+                         np.float64).astype(v.dtype)
+        acc = jnp.matmul(v, jnp.asarray(w), precision="highest")
+        return jax.lax.complex(acc[..., :bins], acc[..., bins:])
 
     def spectrogram(self, x, y=None, *, p0=None, p1=None, k_offset: int = 0,
                     padding: str = "zeros", axis: int = -1):

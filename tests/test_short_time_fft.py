@@ -232,3 +232,28 @@ class TestFromWinEqualsDual:
             ShortTimeFFT.from_win_equals_dual(
                 np.concatenate([np.zeros(8), sps.windows.hann(8)]), 12,
                 fs=1.0)
+
+
+class TestMatmulForwardPath:
+    """fft_method='matmul' (the TPU MXU dispatch) must match the FFT path
+    and scipy for both onesided modes, including the istft round trip."""
+
+    @pytest.mark.parametrize("fft_mode", ["onesided", "onesided2X"])
+    def test_parity(self, fft_mode):
+        x = np.random.default_rng(9).normal(size=500)
+        g = sps.windows.hann(64, sym=False)
+        kw = dict(fft_mode=fft_mode)
+        if fft_mode == "onesided2X":
+            kw["scale_to"] = "psd"
+        ours = ShortTimeFFT(g, hop=16, fs=100.0, **kw)
+        ours.fft_method = "matmul"
+        ref = sps.ShortTimeFFT(g, hop=16, fs=100.0, **kw)
+        np.testing.assert_allclose(np.asarray(ours.stft(x)), ref.stft(x),
+                                   atol=1e-10)
+
+    def test_roundtrip(self):
+        x = np.random.default_rng(10).normal(size=400)
+        S = ShortTimeFFT(sps.windows.hann(48, sym=False), hop=12, fs=50.0)
+        S.fft_method = "matmul"
+        rec = np.asarray(S.istft(S.stft(x), k1=400))
+        np.testing.assert_allclose(rec, x, atol=1e-10)
