@@ -193,6 +193,16 @@ def firwin_2d(hsize, window, *, fc=None, sampling_rate: float = 2.0,
     designs as documented (scipy's docstring promises this but its
     implementation currently drops both; with the defaults the outputs
     match scipy exactly).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import firwin_2d
+    >>> h = firwin_2d((3, 3), ("hamming", "hamming"), fc=0.5)
+    >>> np.round(np.asarray(h), 4)
+    array([[0.0021, 0.0419, 0.0021],
+           [0.0419, 0.8237, 0.0419],
+           [0.0021, 0.0419, 0.0021]], dtype=float32)
     """
     if len(hsize) != 2:
         raise ValueError("hsize must be a 2-element tuple or list")

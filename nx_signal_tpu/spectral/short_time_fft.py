@@ -69,7 +69,24 @@ def closest_STFT_dual_window(win, hop: int, desired_dual=None, *,
     closed form per class); `alpha` is 1 otherwise. Returns
     ``(dual_win, alpha)``. Raises ValueError when a residue class of `win`
     has no energy (no dual exists) or win and desired_dual are orthogonal
-    in every class (the optimal scale degenerates)."""
+    in every class (the optimal scale degenerates).
+
+    Examples:
+
+    A periodic Hann window at half-window hop satisfies COLA, so its
+    closest-to-rectangular dual IS the rectangular window:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import get_window
+    >>> from nx_signal_tpu.spectral.short_time_fft import (
+    ...     closest_STFT_dual_window)
+    >>> w = np.asarray(get_window("hann", 8, periodic=True), np.float64)
+    >>> d, alpha = closest_STFT_dual_window(w, 4)
+    >>> np.round(d, 4)
+    array([1., 1., 1., 1., 1., 1., 1., 1.])
+    >>> round(alpha, 4)
+    1.0
+    """
     w = np.asarray(win)
     if w.ndim != 1 or w.size == 0:
         raise ValueError("win must be a non-empty 1-D array")

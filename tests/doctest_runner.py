@@ -32,6 +32,7 @@ DOCTEST_MODULES = [
     "nx_signal_tpu.ops.resample",
     "nx_signal_tpu.spectral.framing",
     "nx_signal_tpu.spectral.stft",
+    "nx_signal_tpu.spectral.short_time_fft",
     "nx_signal_tpu.spectral.mel",
     "nx_signal_tpu.spectral.estimation",
 ]
