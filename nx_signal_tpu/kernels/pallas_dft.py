@@ -25,7 +25,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nx_signal_tpu.kernels.dft import _dft_weights
-from nx_signal_tpu.spectral.framing import _frame_block_widths
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
 __all__ = ["framed_dft_pallas", "fir_framed_dft_power_pallas",

@@ -8,11 +8,8 @@ __call__ is pure and jittable; construction (filter design, window build)
 happens once at Python level.
 """
 
-import math
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 
-import jax
 import jax.numpy as jnp
 
 from nx_signal_tpu.ops.convolution import oaconvolve

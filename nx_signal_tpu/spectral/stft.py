@@ -10,7 +10,6 @@ FFT runs as one XLA FFT op over all frames. Extra leading batch axes
 axis in nx_signal_tpu.parallel.
 """
 
-import math
 from typing import NamedTuple
 
 import jax.numpy as jnp
