@@ -334,9 +334,49 @@ def fir_dft_fold_weights(taps, window, n_fft: int, onesided: bool,
     return jnp.asarray((toeplitz @ dft_w).astype(DEFAULT_FLOAT))
 
 
+def _fir_framed_dft_power_nopad(x, weights, *, ext, stride, pad_left,
+                                num_frames, bins, precision):
+    """Copy-free edge handling for the fused power chain: instead of
+    materializing the padded signal copy xp (an ~8 B/sample HBM round
+    trip), shift the folded weight rows down by s = (-pad_left) % stride so
+    the left context becomes WHOLE zero hop-blocks, then express both edge
+    paddings as the conv's own spatial padding config — the TPU conv
+    emitter generates boundary zeros internally, no input copy exists.
+    Requires the signal length to be a multiple of the hop and the shifted
+    weights to still fit the same tap count (true for the bench geometry:
+    766+1 <= 6*128). Returns None when the geometry does not apply (caller
+    falls back to the padded-copy path). The extra all-zero weight rows
+    contribute exact +0.0 terms, so accuracy is unchanged (same contraction
+    values; association may differ from the padded path by the zero-row
+    placement)."""
+    length = x.shape[-1]
+    s = (-pad_left) % stride
+    c_blocks = -(-ext // stride)
+    if length % stride or s + ext > c_blocks * stride or c_blocks <= 1:
+        return None
+    batch = x.shape[:-1]
+    w = jnp.pad(weights, [(s, c_blocks * stride - ext - s), (0, 0)])
+    kernel = w.reshape(c_blocks, stride, weights.shape[-1])     # WIO
+    left_blocks = (pad_left + s) // stride
+    n_in_blocks = length // stride
+    # output position m contracts padded blocks [m, m + c_blocks); block j
+    # of the padded sequence is input block j - left_blocks
+    right_blocks = max(0, num_frames + c_blocks - 1
+                       - (left_blocks + n_in_blocks))
+    blocks = x.astype(DEFAULT_FLOAT).reshape(*batch, n_in_blocks, stride)
+    flat = blocks.reshape(-1, n_in_blocks, stride)
+    acc = lax.conv_general_dilated(
+        flat, kernel, window_strides=(1,),
+        padding=[(left_blocks, right_blocks)],
+        dimension_numbers=("NWC", "WIO", "NWC"), precision=precision,
+    )[:, :num_frames]
+    acc = acc.reshape(*batch, num_frames, weights.shape[-1])
+    return acc[..., :bins] ** 2 + acc[..., bins:] ** 2
+
+
 def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
                    onesided: bool = False, precision="highest",
-                   output: str = "complex", frame_chunks=1):
+                   output: str = "complex", frame_chunks=1, edge: str = "pad"):
     """FIR filtering fused INTO the framed DFT: the spectrum of
     convolve(x, taps, 'same') computed as one blocked matmul chain, with the
     Toeplitz filter matrix folded into the DFT weights at build time:
@@ -362,6 +402,14 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
     1 (no overhead) whenever the dense dispatch fits, so large-batch calls
     degrade to chunking instead of OOM (measured: 1024ch x 10 s @ 48 kHz
     runs chunked at ~94% of the 768ch dense rate; dense OOMs at ≥896ch).
+
+    `edge='conv'` (power output, unchunked) eliminates the padded input
+    COPY by folding the 'same' left context into the conv's own spatial
+    padding (`_fir_framed_dft_power_nopad`): the weight rows shift by
+    (-pad_left) % stride so both edges become whole zero hop-blocks the
+    conv emitter generates internally — saving an ~8 B/sample HBM round
+    trip when the geometry applies (hop | signal length and the shifted
+    weights keep their tap count); falls back to `edge='pad'` otherwise.
     """
     x = jnp.asarray(x)
     traced = isinstance(taps, jax.core.Tracer) or isinstance(window, jax.core.Tracer)
@@ -390,6 +438,12 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
     # covers x[m*stride - pad_left, ...] with pad_left = (k-1) - (k-1)//2
     pad_left = (k - 1) - (k - 1) // 2
     batch = x.shape[:-1]
+    if edge == "conv" and output == "power" and frame_chunks in (1, "auto"):
+        out = _fir_framed_dft_power_nopad(
+            x, weights, ext=ext, stride=stride, pad_left=pad_left,
+            num_frames=num_frames, bins=bins, precision=precision)
+        if out is not None:
+            return out
     xp = jnp.pad(x.astype(DEFAULT_FLOAT), [(0, 0)] * len(batch) + [(pad_left, k - 1)])
     if frame_chunks == "auto":
         frame_chunks = _auto_frame_chunks(

@@ -343,6 +343,12 @@ _auto16 = np.asarray(_ffd16(_x16, _t16, _w16, stride=128, n_fft=512,
                             onesided=True, output="power",
                             frame_chunks="auto"))
 np.testing.assert_allclose(_auto16, _ref16, atol=1e-5 * _ref16.max())
+_xe16 = np.random.default_rng(18).normal(size=(2, 6400)).astype(np.float32)
+_re16 = np.asarray(_ffd16(_xe16, _t16, _w16, stride=128, n_fft=512,
+                          onesided=True, output="power"))
+_ce16 = np.asarray(_ffd16(_xe16, _t16, _w16, stride=128, n_fft=512,
+                          onesided=True, output="power", edge="conv"))
+np.testing.assert_allclose(_ce16, _re16, atol=1e-5 * _re16.max())
 _pal16 = np.asarray(_pp16(_x16, _t16, _w16, stride=128, n_fft=512,
                           interpret=True))
 np.testing.assert_allclose(_pal16, _ref16, atol=1e-5 * _ref16.max())

@@ -279,6 +279,19 @@ class TestSTFTMethods:
         assert K._auto_frame_chunks(3, 105, 514, x.size) == 1
         assert K._auto_frame_chunks(768, 3744, 514, 768 * 480000) == 1
         assert K._auto_frame_chunks(1024, 3744, 514, 1024 * 480000) > 1
+        # edge='conv': copy-free edges via conv spatial padding — must
+        # match the padded-copy path (exact zero-term contraction)
+        x_al = rng.normal(size=(3, 7040)).astype(np.float32)  # hop | length
+        taps255 = rng.normal(size=255).astype(np.float32)
+        w512 = np.hanning(512).astype(np.float32)
+        ref_al = np.asarray(fir_framed_dft(
+            x_al, taps255, w512, stride=128, n_fft=512, onesided=True,
+            output="power"))
+        nopad = np.asarray(fir_framed_dft(
+            x_al, taps255, w512, stride=128, n_fft=512, onesided=True,
+            output="power", edge="conv"))
+        np.testing.assert_allclose(nopad, ref_al,
+                                   atol=1e-6 * np.abs(ref_al).max())
         auto = np.asarray(fir_framed_dft(
             x, taps, w, stride=64, n_fft=256, onesided=True,
             output="power", frame_chunks="auto"))
