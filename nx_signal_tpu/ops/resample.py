@@ -56,33 +56,59 @@ def _upfirdn_phase_outputs(ext, bank, up: int, down: int, *, n_offset: int,
     per-device body of parallel.sharded_upfirdn / sharded_resample_poly
     (n_offset = the global output offset, identical on every device because
     out_block*down == block_in*up makes the phase pattern device-periodic).
-    """
+
+    Evaluation: ONE blocked conv-of-blocks matmul for all residue classes
+    at once. Column r of the weight matrix holds phase filter p_r at row
+    offset o_r - o_min (o_r = the class's window start), so a stride-`down`
+    framed matmul over ext emits the (..., J, up) output grid directly —
+    no frame matrix is ever materialized (the previous as_windowed + matvec
+    form expanded the input T/down-fold: 14 GB for 64ch x 60 s @ 48 kHz
+    with a 61-tap phase filter, found by scripts/configs_bench.py)."""
+    import jax
+
+    from nx_signal_tpu.kernels.dft import blocked_frame_matmul
+
     t_taps = bank.shape[1]
     batch = ext.shape[:-1]
-    j_max = (n_count - 1) // up  # most frames any residue class needs
-    outs = []
-    for r in range(min(up, n_count)):
-        n = n_offset + r
-        p = (n * down) % up
-        # absolute in ext's indexing (window for output n is
-        # ext[q_n : q_n + T] by the ext[q + T - 1] = x[q] convention)
-        offset = (n * down) // up
-        n_frames = (n_count - 1 - r) // up + 1  # locals ℓ = j*up + r < n_count
-        frames = as_windowed(
-            ext[..., offset:], window_length=t_taps, stride=down
-        )[..., :n_frames, :]
-        outs.append(frames @ bank[p])
+    n_classes = min(up, n_count)
+    offsets = [((n_offset + r) * down) // up for r in range(n_classes)]
+    phases = [((n_offset + r) * down) % up for r in range(n_classes)]
+    o_min = min(offsets)
+    window_length = t_taps + max(offsets) - o_min
+    num_frames = (n_count - 1) // up + 1
+    if isinstance(bank, jax.core.Tracer):
+        w = jnp.zeros((window_length, n_classes), dtype=bank.dtype)
+        for r in range(n_classes):
+            s = offsets[r] - o_min
+            w = w.at[s:s + t_taps, r].set(bank[phases[r]])
+    else:
+        import numpy as _np
+
+        bank_np = _np.asarray(bank)
+        w_np = _np.zeros((window_length, n_classes), dtype=bank_np.dtype)
+        for r in range(n_classes):
+            s = offsets[r] - o_min
+            w_np[s:s + t_taps, r] = bank_np[phases[r]]
+        w = jnp.asarray(w_np)
+    # conv-of-blocks when the block-axis kernel stays short; the C-tap
+    # conv reads each input sample from its VMEM window (no frame
+    # materialization). Long kernels (small `down`) and complex dtypes
+    # take the materialized-frames matmul instead (lax.conv measured ~25x
+    # slower for long stride-1 kernels on TPU, and TPU conv lowering is
+    # real-only).
+    c_blocks = -(-window_length // down)
+    strategy = ("conv" if c_blocks <= 32
+                and not is_complex_dtype(ext.dtype)
+                and not is_complex_dtype(w.dtype) else "materialize")
+    out = blocked_frame_matmul(
+        ext[..., o_min:], w, window_length=window_length, stride=down,
+        num_frames=num_frames, precision="highest", strategy=strategy,
+    )  # (..., J, n_classes): cell (j, r) = output j*up + r
     if up == 1:
-        return outs[0]
-    # Interleave residue classes: out[j*up + r] = outs[r][j]
-    padded = [
-        jnp.pad(o, [(0, 0)] * len(batch) + [(0, j_max + 1 - o.shape[-1])])
-        for o in outs
-    ]
-    while len(padded) < up:
-        padded.append(jnp.zeros_like(padded[0]))
-    stacked = jnp.stack(padded, axis=-1)  # (..., J, up)
-    return stacked.reshape(*batch, (j_max + 1) * up)[..., :n_count]
+        return out[..., :n_count, 0]
+    if n_classes < up:  # n_count < up: single partial row
+        return out.reshape(*batch, num_frames * n_classes)[..., :n_count]
+    return out.reshape(*batch, num_frames * up)[..., :n_count]
 
 
 def upfirdn(h, x, up: int = 1, down: int = 1):
