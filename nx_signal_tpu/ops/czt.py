@@ -65,6 +65,18 @@ def czt(x, m: int = None, w=None, a=1.0 + 0.0j, *, axis: int = -1):
     implementation is strictly more accurate in the matmul regime; tests
     gate against the direct-definition f64 oracle there, and against scipy
     on the unit circle.
+
+    Examples:
+
+    With the defaults czt is the DFT — a constant has all its energy in
+    bin 0:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.czt import czt
+    >>> y = czt(jnp.asarray([1.0, 1.0, 1.0, 1.0]), m=4)
+    >>> np.round(np.asarray(y), 4)
+    array([ 4.+0.j, -0.+0.j,  0.-0.j,  0.+0.j], dtype=complex64)
     """
     x = jnp.asarray(x)
     n = x.shape[axis]
@@ -224,7 +236,20 @@ def zoom_fft(x, fn, m: int = None, *, fs: float = 2.0, endpoint: bool = False,
     """DFT of `x` evaluated only over the band `fn` = [f1, f2] (or [0, fn]
     for scalar fn) at `m` points — scipy.signal.zoom_fft semantics: a czt
     along the unit circle, equivalent to zero-padding the FFT to the matching
-    resolution and slicing, without ever computing the full spectrum."""
+    resolution and slicing, without ever computing the full spectrum.
+
+    Examples:
+
+    Three bins over [0.2, 0.3] cycles/sample of a 0.125-cycle cosine (the
+    leakage tail falls away from the tone):
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.czt import zoom_fft
+    >>> x = jnp.cos(2 * jnp.pi * 0.125 * jnp.arange(16))
+    >>> np.round(np.abs(np.asarray(zoom_fft(x, [0.2, 0.3], m=3, fs=1.0))), 3)
+    array([1.522, 1.434, 1.175], dtype=float32)
+    """
     f1, f2 = _parse_band(fn, fs)
     x = jnp.asarray(x)
     if m is None:

@@ -262,7 +262,22 @@ def freqz(taps, a=None, *, n_freqs: int = 512, sampling_rate: float = 2.0,
     Returns (frequencies_hz, complex_response) — scipy.signal.freqz
     semantics; `a=None` is the FIR case. Not in the reference; provided
     for filter-design verification (used with firwin and the IIR designs).
-    Evaluation is a basis matmul (MXU) rather than per-point Horner."""
+    Evaluation is a basis matmul (MXU) rather than per-point Horner.
+
+    Examples:
+
+    The 2-tap moving average: |H| falls from 1 at DC toward the Nyquist
+    null (frequencies in units of ``sampling_rate=2.0``, i.e. Nyquist=1):
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import freqz
+    >>> w, h = freqz(jnp.asarray([0.5, 0.5]), n_freqs=4)
+    >>> np.round(np.asarray(w), 4)
+    array([0.  , 0.25, 0.5 , 0.75], dtype=float32)
+    >>> np.round(np.abs(np.asarray(h)), 4)
+    array([1.    , 0.9239, 0.7071, 0.3827], dtype=float32)
+    """
     freqs, w = _freq_grid(n_freqs, sampling_rate, whole)
     resp = _polyval_exp(jnp.asarray(taps), w)
     if a is not None:
@@ -353,7 +368,19 @@ def group_delay(b, a=None, *, n_freqs: int = 512, sampling_rate: float = 2.0,
     scipy.signal.group_delay semantics via the c = b * reverse(a)
     cepstral-derivative identity: tau(w) = Re(C'(w)/C(w)) - (len(a)-1),
     with C' the ramp-weighted polynomial. Returns (frequencies_hz, delay).
-    Not in the reference."""
+    Not in the reference.
+
+    Examples:
+
+    A linear-phase 2-tap FIR delays every frequency by half a sample:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import group_delay
+    >>> w, gd = group_delay(jnp.asarray([0.5, 0.5]), n_freqs=4)
+    >>> np.round(np.asarray(gd), 4)
+    array([0.5, 0.5, 0.5, 0.5], dtype=float32)
+    """
     b = jnp.atleast_1d(jnp.asarray(b))
     a = jnp.atleast_1d(jnp.asarray(a)) if a is not None else jnp.ones((1,), b.dtype)
     freqs, w = _freq_grid(n_freqs, sampling_rate, whole)
@@ -432,7 +459,20 @@ def savgol_filter(x, window_length: int, polyorder: int, *, deriv: int = 0,
     the blocked-Toeplitz MXU matmul (ops/convolution.py: fir_convolve_1d);
     mode='interp' edge polyfits collapse into two host-precomputed
     (halflen, window_length) matrices, so the whole op is three matmuls.
-    Not in the reference."""
+    Not in the reference.
+
+    Examples:
+
+    A polyorder-2 fit reproduces a quadratic exactly (including the
+    'interp' edges):
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import savgol_filter
+    >>> x = jnp.asarray([0.0, 1.0, 4.0, 9.0, 16.0, 25.0])
+    >>> np.round(np.asarray(savgol_filter(x, 5, 2)), 4)
+    array([-0.,  1.,  4.,  9., 16., 25.], dtype=float32)
+    """
     x = jnp.asarray(x)
     if not (jnp.issubdtype(x.dtype, jnp.floating)
             or jnp.issubdtype(x.dtype, jnp.complexfloating)):
@@ -487,6 +527,17 @@ def detrend(data, *, axis: int = -1, type: str = "linear"):
     New relative to the reference (nx_signal has no detrend). The linear
     fit uses the closed-form normal equations on a centered time index
     (numerically safe in f32), fully batched — no lstsq solve per row.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import detrend
+    >>> np.round(np.asarray(detrend(jnp.asarray([1.0, 3.0, 5.0, 7.0]))), 4)
+    array([0., 0., 0., 0.], dtype=float32)
+    >>> x = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    >>> np.round(np.asarray(detrend(x, type="constant")), 4)
+    array([-1.5, -0.5,  0.5,  1.5], dtype=float32)
     """
     x = jnp.asarray(data)
     if not jnp.issubdtype(x.dtype, jnp.floating) and not jnp.issubdtype(
@@ -550,7 +601,16 @@ def medfilt(volume, kernel_size=None):
     """N-D median filter with centered windows and zero-padded edges —
     scipy.signal.medfilt semantics (kernel_size odd in every dimension,
     default 3). The reference's `median` (above) is the anchored-forward
-    variant; this is the scipy-centered one, built on order_filter."""
+    variant; this is the scipy-centered one, built on order_filter.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import medfilt
+    >>> np.asarray(medfilt(jnp.asarray([1.0, 9.0, 2.0, 8.0, 3.0]), 3))
+    array([1., 2., 8., 3., 3.], dtype=float32)
+    """
     volume = jnp.asarray(volume)
     if kernel_size is None:
         kernel_size = 3
@@ -647,7 +707,20 @@ def max_len_seq(nbits: int, state=None, length: int = None, taps=None):
     scipy.signal.max_len_seq semantics: returns (seq of 0/1 int8,
     final_state). Default taps tables for nbits 2..32; the LFSR runs as a
     jax.lax.scan (compiled loop) over the requested length. Not in the
-    reference; the standard SDR/system-identification excitation."""
+    reference; the standard SDR/system-identification excitation.
+
+    Examples:
+
+    The period-7 m-sequence from a 3-bit register:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import max_len_seq
+    >>> seq, state = max_len_seq(3)
+    >>> np.asarray(seq)
+    array([1, 1, 1, 0, 1, 0, 0], dtype=int8)
+    >>> np.asarray(state)
+    array([1, 1, 1], dtype=int8)
+    """
     from jax import lax
 
     _taps = {

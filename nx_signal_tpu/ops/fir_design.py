@@ -77,7 +77,19 @@ def firwin2(numtaps: int, freq, gain, *, nfreqs=None, window="hamming",
     scipy.signal.firwin2 semantics: interpolate (freq, gain) onto a dense
     grid, apply the linear-phase (and, for types 3/4, 90-degree) shift,
     inverse-rFFT, truncate to `numtaps`, window. Not in the reference
-    (extends filters.ex:147-279 beyond multiband-brickwall responses)."""
+    (extends filters.ex:147-279 beyond multiband-brickwall responses).
+
+    Examples:
+
+    A lowpass whose gain falls linearly from 1 at half-band to 0 at
+    Nyquist:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.fir_design import firwin2
+    >>> h = firwin2(5, [0.0, 0.5, 1.0], [1.0, 1.0, 0.0])
+    >>> np.round(np.asarray(h), 4)
+    array([-0.0085,  0.1108,  0.75  ,  0.1108, -0.0085], dtype=float32)
+    """
     nyq = 0.5 * sampling_rate
     freq = np.asarray(freq, dtype=np.float64)
     gain = np.asarray(gain, dtype=np.float64)
@@ -161,7 +173,16 @@ def firls(numtaps: int, bands, desired, *, weight=None,
     error against a piecewise-linear desired response over the given bands.
     Closed form: the normal equations Q g = b with Q built from band
     integrals of cos(pi k x) cos(pi j x) (a Toeplitz + Hankel pair) and b
-    from the linear desired response, solved in f64. Not in the reference."""
+    from the linear desired response, solved in f64. Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.fir_design import firls
+    >>> h = firls(5, [0.0, 0.3, 0.4, 1.0], [1.0, 1.0, 0.0, 0.0])
+    >>> np.round(np.asarray(h), 4)
+    array([0.1265, 0.2786, 0.3451, 0.2786, 0.1265], dtype=float32)
+    """
     numtaps = int(numtaps)
     if numtaps % 2 == 0 or numtaps < 1:
         raise ValueError("numtaps must be odd and >= 1")
@@ -247,7 +268,20 @@ def remez(numtaps: int, bands, desired, *, weight=None, maxiter: int = 250,
     - The exchange converges to a (valid) equiripple solution whose
       magnitude response can differ from scipy's C implementation by up to
       ~3e-4 — both are minimax-optimal to their own grid/stopping rule, so
-      tap-level parity tests use a 1e-3 gate rather than the default 1e-4."""
+      tap-level parity tests use a 1e-3 gate rather than the default 1e-4.
+
+    Examples:
+
+    A 7-tap lowpass (pass to 0.2, stop from 0.3, edges in cycles/sample
+    with ``sampling_rate=1.0``):
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.fir_design import remez
+    >>> h = remez(7, [0.0, 0.2, 0.3, 0.5], [1.0, 0.0], sampling_rate=1.0)
+    >>> np.round(np.asarray(h), 4)
+    array([-0.1196,  0.    ,  0.3131,  0.5   ,  0.3131, -0.    , -0.1196],
+          dtype=float32)
+    """
     numtaps = int(numtaps)
     if numtaps < 3:
         raise ValueError("numtaps must be >= 3")
@@ -417,7 +451,18 @@ def minimum_phase(h, *, n_fft=None, half: bool = True, dtype=DEFAULT_FLOAT):
     semantics: half-magnitude log spectrum, fold the cepstrum causal,
     exponentiate. With `half=True` (default) the result has (len(h)+1)//2
     taps and sqrt-magnitude response, matching scipy. Not in the
-    reference."""
+    reference.
+
+    Examples:
+
+    The minimum-phase half of a linear-phase triangle:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.fir_design import minimum_phase
+    >>> h = minimum_phase([0.25, 0.5, 0.25])
+    >>> np.round(np.asarray(h), 4)
+    array([0.494 , 0.5058], dtype=float32)
+    """
     h = np.asarray(h, dtype=np.float64)
     if h.ndim != 1 or h.size <= 2:
         raise ValueError("h must be 1-D with at least 3 taps")

@@ -181,6 +181,18 @@ def lfilter(b, a, x, axis=-1, zi=None):
     (see module docstring). Orders above ~8 pay O(N^2) state-map cost per
     sample; prefer `sosfilt` (cascaded biquads) for high-order filters, as
     scipy also recommends.
+
+    Examples:
+
+    The impulse response of y[n] = x[n] + 0.5 y[n-1]:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir import lfilter
+    >>> b, a = jnp.asarray([1.0, 0.0]), jnp.asarray([1.0, -0.5])
+    >>> y = lfilter(b, a, jnp.asarray([1.0, 0.0, 0.0, 0.0]))
+    >>> np.round(np.asarray(y), 4)
+    array([1.   , 0.5  , 0.25 , 0.125], dtype=float32)
     """
     x = jnp.asarray(x)
     axis = axis % x.ndim
@@ -282,7 +294,21 @@ def filtfilt(b, a, x, axis=-1, padtype="odd", padlen=None):
     """Zero-phase forward-backward filtering — scipy.signal.filtfilt 'pad'
     method semantics: odd-extend by 3*max(len(a),len(b)) (default), filter
     forward and backward with lfilter_zi-scaled initial states, slice the
-    extension off. New relative to the reference (no IIR in nx_signal)."""
+    extension off. New relative to the reference (no IIR in nx_signal).
+
+    Examples:
+
+    Zero-phase smoothing settles onto a step without lag:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir import filtfilt
+    >>> from nx_signal_tpu.ops.iir_design import butter
+    >>> b, a = butter(2, 0.25)
+    >>> x = jnp.concatenate([jnp.zeros(4), jnp.ones(8)])
+    >>> np.round(np.asarray(filtfilt(b, a, x))[-3:], 4)
+    array([1.0249, 1.0102, 0.9985], dtype=float32)
+    """
     x = jnp.asarray(x)
     axis = axis % x.ndim
     ntaps = max(np.atleast_1d(a).shape[0], np.atleast_1d(b).shape[0])

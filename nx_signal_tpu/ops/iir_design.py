@@ -542,13 +542,43 @@ def iirfilter(n, wn, rp=None, rs=None, btype="lowpass", analog=False,
 
 
 def butter(n, wn, btype="lowpass", analog=False, output="ba", fs=None):
-    """Butterworth design — scipy.signal.butter semantics."""
+    """Butterworth design — scipy.signal.butter semantics.
+
+    Examples:
+
+    A digital 2nd-order lowpass at a quarter of Nyquist:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import butter
+    >>> b, a = butter(2, 0.25)
+    >>> np.round(np.asarray(b), 4)
+    array([0.0976, 0.1953, 0.0976])
+    >>> np.round(np.asarray(a), 4)
+    array([ 1.    , -0.9428,  0.3333])
+
+    ``output='sos'`` returns cascaded biquads (the TPU-recommended form,
+    run with :func:`nx_signal_tpu.ops.iir.sosfilt`):
+
+    >>> butter(4, 0.125, output="sos").shape
+    (2, 6)
+    """
     return iirfilter(n, wn, btype=btype, analog=analog, ftype="butter",
                      output=output, fs=fs)
 
 
 def cheby1(n, rp, wn, btype="lowpass", analog=False, output="ba", fs=None):
-    """Chebyshev type-I design — scipy.signal.cheby1 semantics."""
+    """Chebyshev type-I design — scipy.signal.cheby1 semantics.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import cheby1
+    >>> b, a = cheby1(2, 1.0, 0.3)
+    >>> np.round(np.asarray(b), 4)
+    array([0.1382, 0.2765, 0.1382])
+    >>> np.round(np.asarray(a), 4)
+    array([ 1.    , -0.7735,  0.3939])
+    """
     return iirfilter(n, wn, rp=rp, btype=btype, analog=analog, ftype="cheby1",
                      output=output, fs=fs)
 
@@ -560,7 +590,20 @@ def cheby2(n, rs, wn, btype="lowpass", analog=False, output="ba", fs=None):
 
 
 def ellip(n, rp, rs, wn, btype="lowpass", analog=False, output="ba", fs=None):
-    """Elliptic (Cauer) design — scipy.signal.ellip semantics."""
+    """Elliptic (Cauer) design — scipy.signal.ellip semantics.
+
+    Examples:
+
+    1 dB passband ripple, 40 dB stopband attenuation:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import ellip
+    >>> b, a = ellip(2, 1.0, 40.0, 0.3)
+    >>> np.round(np.asarray(b), 4)
+    array([0.1445, 0.2673, 0.1445])
+    >>> np.round(np.asarray(a), 4)
+    array([ 1.    , -0.7727,  0.3967])
+    """
     return iirfilter(n, wn, rp=rp, rs=rs, btype=btype, analog=analog,
                      ftype="ellip", output=output, fs=fs)
 
@@ -900,7 +943,18 @@ def _design_notch_peak(w0, q, kind, fs=2.0):
 
 
 def iirnotch(w0, q, fs=2.0):
-    """Second-order notch filter — scipy.signal.iirnotch semantics."""
+    """Second-order notch filter — scipy.signal.iirnotch semantics.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import iirnotch
+    >>> b, a = iirnotch(0.25, 30.0)
+    >>> np.round(np.asarray(b), 4)
+    array([ 0.9871, -1.3959,  0.9871])
+    >>> np.round(np.asarray(a), 4)
+    array([ 1.    , -1.3959,  0.9742])
+    """
     return _design_notch_peak(w0, q, "notch", fs)
 
 

@@ -20,7 +20,21 @@ __all__ = ["mix_down", "demodulate_channel"]
 def mix_down(x, carrier_frequency, sampling_rate, *, phase: float = 0.0):
     """Multiply by exp(-2*pi*i*fc*t): shift the band at `carrier_frequency`
     down to DC (complex baseband). Operates along the last axis; sample
-    times are n / sampling_rate."""
+    times are n / sampling_rate.
+
+    Examples:
+
+    Mixing a quarter-rate cosine down by its own carrier leaves DC (0.5)
+    plus the -2fc image alternating on top of it:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.mixing import mix_down
+    >>> y = mix_down(jnp.cos(2 * jnp.pi * 0.25 * jnp.arange(8)), 0.25, 1.0)
+    >>> np.round(np.asarray(y), 4)
+    array([1.+0.j, 0.+0.j, 1.-0.j, 0.+0.j, 1.-0.j, 0.+0.j, 1.-0.j, 0.+0.j],
+          dtype=complex64)
+    """
     x = jnp.asarray(x)
     n = jnp.arange(x.shape[-1], dtype=DEFAULT_FLOAT)
     lo_phase = -2.0 * math.pi * (carrier_frequency / sampling_rate) * n - phase

@@ -121,6 +121,18 @@ def upfirdn(h, x, up: int = 1, down: int = 1):
     Outputs are grouped by n mod up so each group is one strided-frame
     matrix times a phase filter (MXU matvec); no stuffed zeros are ever
     materialized or multiplied.
+
+    Examples:
+
+    2x zero-stuffed upsampling through a length-3 boxcar:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.resample import upfirdn
+    >>> h = jnp.asarray([1.0, 1.0, 1.0])
+    >>> y = upfirdn(h, jnp.asarray([1.0, 2.0, 3.0]), up=2, down=1)
+    >>> np.round(np.asarray(y), 4)
+    array([1., 1., 3., 2., 5., 3., 3.], dtype=float32)
     """
     h = jnp.asarray(h)
     x = jnp.asarray(x)
@@ -261,6 +273,18 @@ def resample(x, num: int, *, axis: int = -1, window=None):
     length-N array) is applied to the spectrum, ifftshift-aligned, before
     resampling. Real input returns real output via the complex FFT (the
     Nyquist-split logic is exact either way).
+
+    Examples:
+
+    A 4-point sine period resampled to 8 points reproduces the sine:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.resample import resample
+    >>> y = resample(jnp.asarray([0.0, 1.0, 0.0, -1.0]), 8)
+    >>> np.round(np.asarray(y), 4)
+    array([ 0.    ,  0.7071,  1.    ,  0.7071,  0.    , -0.7071, -1.    ,
+           -0.7071], dtype=float32)
     """
     from nx_signal_tpu.ops.windows import get_window
 
@@ -322,6 +346,18 @@ def decimate(x, q: int, *, n: int = None, ftype: str = "iir", axis: int = -1,
     New relative to the reference. The IIR path runs as log-depth
     associative-scan biquads, the FIR path as the MXU Toeplitz convolver —
     both TPU-resident (ops/iir.py, ops/convolution.py).
+
+    Examples:
+
+    A ramp decimated 2x (FIR path) stays a ramp away from the edges:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.resample import decimate
+    >>> y = decimate(jnp.arange(16.0), 2, ftype="fir")
+    >>> np.round(np.asarray(y), 3)
+    array([ 0.134,  2.027,  3.93 ,  6.139,  7.797, 10.348, 11.458, 15.105],
+          dtype=float32)
     """
     from nx_signal_tpu.ops.iir import filtfilt, lfilter
     from nx_signal_tpu.ops.iir_design import cheby1

@@ -28,7 +28,16 @@ __all__ = [
 def gauss_spline(x, n: int):
     """Gaussian approximation of an order-`n` B-spline —
     scipy.signal.gauss_spline semantics: a normal density with variance
-    (n+1)/12."""
+    (n+1)/12.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.splines import gauss_spline
+    >>> np.round(np.asarray(gauss_spline(jnp.asarray([0.0, 1.0]), 2)), 4)
+    array([0.7979, 0.108 ], dtype=float32)
+    """
     x = jnp.asarray(x)
     sigma2 = (n + 1) / 12.0
     return (1.0 / jnp.sqrt(2.0 * jnp.pi * sigma2)
@@ -201,7 +210,17 @@ def cspline1d(signal, lamb: float = 0.0):
     scipy.signal.cspline1d semantics (lamb=0, exact interpolation). The
     smoothing case routes through symiirorder2 with the smoothing root of
     `lamb` (scipy's _cubic_smooth_coeff equivalent, same transfer
-    function)."""
+    function).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.splines import cspline1d
+    >>> c = cspline1d(jnp.asarray([0.0, 1.0, 2.0, 3.0]))
+    >>> np.round(np.asarray(c), 4)
+    array([-0.2082,  1.0698,  1.929 ,  3.2142], dtype=float32)
+    """
     if lamb != 0.0:
         x = jnp.asarray(signal)
         r, omega = _smooth_root(lamb)

@@ -64,6 +64,17 @@ def hilbert(x, *, n: int = None, axis: int = -1):
     non-power-of-two FFT lowers to a dense O(N^2) DFT there (CLAUDE.md) —
     for long signals on TPU pass n=utils.shapes.fft_fast_length(length) and
     slice, accepting the slight boundary difference.
+
+    Examples:
+
+    The envelope of a full-period cosine is exactly 1:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.transforms import hilbert
+    >>> xa = hilbert(jnp.cos(2 * jnp.pi * jnp.arange(8) / 8))
+    >>> np.round(np.abs(np.asarray(xa)), 4)
+    array([1., 1., 1., 1., 1., 1., 1., 1.], dtype=float32)
     """
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):

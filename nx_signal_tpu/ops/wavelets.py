@@ -44,7 +44,15 @@ def ricker(points: int, a, *, dtype=DEFAULT_FLOAT):
     derivative of a Gaussian, A (1 - (x/a)^2) e^{-x^2/(2a^2)} with
     A = 2 / (sqrt(3a) pi^{1/4}), sampled at x = arange(points) -
     (points-1)/2 — scipy.signal.ricker (legacy) semantics. Host-side f64
-    table, cast to `dtype`."""
+    table, cast to `dtype`.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.wavelets import ricker
+    >>> np.round(np.asarray(ricker(5, 1.0)), 4)
+    array([-0.3521,  0.    ,  0.8673,  0.    , -0.3521], dtype=float32)
+    """
     return jnp.asarray(_ricker_np(points, a), dtype=dtype)
 
 

@@ -473,6 +473,15 @@ def get_window(window, n: int, *, periodic: bool = False, dtype=DEFAULT_FLOAT):
     The firwin dispatch analog (reference: lib/nx_signal/filters.ex:254-279),
     widened to the scipy.signal.get_window surface; defaults to symmetric
     windows as filter design requires.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import get_window
+    >>> np.round(np.asarray(get_window("hann", 4)), 4)
+    array([0.  , 0.75, 0.75, 0.  ], dtype=float32)
+    >>> np.round(np.asarray(get_window(("kaiser", 8.0), 5)), 4)
+    array([0.0023, 0.369 , 1.    , 0.369 , 0.0023], dtype=float32)
     """
     if isinstance(window, (tuple, list)):
         name, *params = window

@@ -385,7 +385,20 @@ def coherence(x, y, *, sampling_rate=1.0, window="hann", segment_length=256,
     """Magnitude-squared coherence C_xy = |P_xy|**2 / (P_xx * P_yy)
     (scipy.signal.coherence semantics). Returns (frequencies, C_xy) with
     C_xy real in [0, 1]; needs overlapping segments (>= 2) to be
-    meaningful — with one segment it is identically 1."""
+    meaningful — with one segment it is identically 1.
+
+    Examples:
+
+    A signal is perfectly coherent with itself at every frequency:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.spectral.estimation import coherence
+    >>> x = jnp.sin(2 * jnp.pi * 0.1 * jnp.arange(512))
+    >>> f, c = coherence(x, x, segment_length=128)
+    >>> float(np.asarray(c).min()), float(np.asarray(c).max())
+    (1.0, 1.0)
+    """
     common = dict(
         sampling_rate=sampling_rate, window=window,
         segment_length=segment_length, overlap_length=overlap_length,

@@ -28,8 +28,15 @@ DOCTEST_MODULES = [
     "nx_signal_tpu.ops.find_peaks",
     "nx_signal_tpu.ops.lambert_w",
     "nx_signal_tpu.ops.iir",
+    "nx_signal_tpu.ops.iir_design",
+    "nx_signal_tpu.ops.fir_design",
     "nx_signal_tpu.ops.ltisys",
     "nx_signal_tpu.ops.resample",
+    "nx_signal_tpu.ops.czt",
+    "nx_signal_tpu.ops.transforms",
+    "nx_signal_tpu.ops.mixing",
+    "nx_signal_tpu.ops.splines",
+    "nx_signal_tpu.ops.wavelets",
     "nx_signal_tpu.spectral.framing",
     "nx_signal_tpu.spectral.stft",
     "nx_signal_tpu.spectral.short_time_fft",

@@ -26,4 +26,4 @@ def test_docstring_examples():
     assert res.returncode == 0, res.stdout + res.stderr
     assert "DOCTESTS_OK" in res.stdout
     attempted = int(res.stdout.split("DOCTESTS_OK")[1].split()[0])
-    assert attempted >= 60, f"only {attempted} doctest lines ran"
+    assert attempted >= 250, f"only {attempted} doctest lines ran"
