@@ -96,7 +96,17 @@ def convolve2d(in1, in2, *, mode="full", boundary="fill", fillvalue=0):
     including the edge sample). Implemented as boundary padding by the full
     kernel overhang followed by a valid lax.conv (MXU) and the scipy mode
     slices. Not in the reference (its convolve covers only zero boundaries,
-    convolution.ex:95-211)."""
+    convolution.ex:95-211).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.convolution import convolve2d
+    >>> np.asarray(convolve2d(jnp.ones((3, 3)), jnp.ones((2, 2)), mode="valid"))
+    array([[4., 4.],
+           [4., 4.]], dtype=float32)
+    """
     _check_mode_method(mode, "direct")
     if boundary not in _BOUNDARIES:
         raise ValueError(

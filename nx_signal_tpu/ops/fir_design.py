@@ -58,7 +58,17 @@ def kaiser_atten(numtaps: int, width: float) -> float:
 def kaiserord(ripple: float, width: float):
     """(numtaps, beta) meeting `ripple` dB ripple/attenuation with transition
     width `width` (fraction of Nyquist) — scipy.signal.kaiserord semantics,
-    including the odd result parity guarantee. Not in the reference."""
+    including the odd result parity guarantee. Not in the reference.
+
+    Examples:
+
+    65 dB of attenuation over a tenth-of-Nyquist transition:
+
+    >>> from nx_signal_tpu.ops.fir_design import kaiserord
+    >>> numtaps, beta = kaiserord(65.0, 0.1)
+    >>> numtaps, round(beta, 5)
+    (81, 6.20426)
+    """
     a = abs(ripple)
     if a < 8:
         raise ValueError(

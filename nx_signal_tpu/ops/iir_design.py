@@ -769,7 +769,15 @@ def buttord(wp, ws, gpass, gstop, analog=False, fs=None):
     """Minimum Butterworth order (and the -gpass natural frequency wn to
     pass to `butter`) meeting gpass/gstop dB specs —
     scipy.signal.buttord semantics for all four band types, including the
-    bandstop passband-edge optimization. Not in the reference."""
+    bandstop passband-edge optimization. Not in the reference.
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.iir_design import buttord
+    >>> n, wn = buttord(0.2, 0.3, 3.0, 40.0)
+    >>> n, round(wn, 6)
+    (11, 0.20004)
+    """
     scalar = np.ndim(wp) == 0
     wp, ws, ftype, passb, stopb, nat, order = _ord_common(
         wp, ws, gpass, gstop, analog, fs, "butter")

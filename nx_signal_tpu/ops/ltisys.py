@@ -129,7 +129,21 @@ def bilinear(b, a, fs: float = 1.0):
 
 def tf2ss(num, den):
     """Transfer function -> controller-canonical state space —
-    scipy.signal.tf2ss semantics."""
+    scipy.signal.tf2ss semantics.
+
+    Examples:
+
+    H(s) = (s + 2) / (s^2 + 3s + 5):
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import tf2ss
+    >>> A, B, C, D = tf2ss([1.0, 2.0], [1.0, 3.0, 5.0])
+    >>> np.round(np.asarray(A), 4)
+    array([[-3., -5.],
+           [ 1.,  0.]])
+    >>> np.asarray(C)
+    array([[1., 2.]])
+    """
     num, den = normalize(num, den)
     num2 = np.atleast_2d(num)
     n = den.shape[0]

@@ -85,7 +85,16 @@ def morlet2(points: int, s, w: float = 5.0):
 def qmf(hk):
     """Quadrature mirror filter of a FIR filter: reverse the taps and
     negate every second one, g[n] = (-1)^n h[N-1-n] —
-    scipy.signal.qmf (legacy) semantics."""
+    scipy.signal.qmf (legacy) semantics.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.wavelets import qmf
+    >>> np.asarray(qmf(jnp.asarray([1.0, 2.0, 3.0, 4.0])))
+    array([ 4., -3.,  2., -1.], dtype=float32)
+    """
     hk = jnp.atleast_1d(jnp.asarray(hk))
     if hk.ndim != 1:
         raise ValueError("qmf expects a rank-1 tap vector")
@@ -114,7 +123,20 @@ def cwt(data, wavelet, widths, *, dtype=None):
 
     One shared-length FFT of the data + one batched FFT of the whole
     wavelet bank replaces scipy's per-scale convolution loop (see module
-    docstring); per-scale 'same' windows are static slices."""
+    docstring); per-scale 'same' windows are static slices.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.wavelets import cwt, ricker
+    >>> sig = jnp.cos(2 * jnp.pi * 0.1 * jnp.arange(32))
+    >>> m = cwt(sig, ricker, jnp.asarray([1.0, 2.0]))
+    >>> m.shape
+    (2, 32)
+    >>> round(float(np.asarray(m)[0, 0]), 4)
+    0.2346
+    """
     data = jnp.atleast_1d(jnp.asarray(data))
     if data.ndim != 1:
         raise ValueError("cwt expects rank-1 data")

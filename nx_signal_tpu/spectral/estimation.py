@@ -41,7 +41,20 @@ def lombscargle(x, y, freqs, *, precenter: bool = False,
     TPU mapping: the (n_freqs, n_samples) phase matrix w x^T is built once
     and every sum is a row reduction / matvec — the whole periodogram is a
     handful of MXU-shaped products, not scipy's per-frequency loop. Not in
-    the reference (no unevenly-sampled support there)."""
+    the reference (no unevenly-sampled support there).
+
+    Examples:
+
+    A 2 rad/s sine shows its power at w = 2:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.spectral.estimation import lombscargle
+    >>> t = jnp.asarray(np.linspace(0, 10, 50))
+    >>> p = lombscargle(t, jnp.sin(2.0 * t), jnp.asarray([1.0, 2.0, 3.0]))
+    >>> np.round(np.asarray(p), 4)
+    array([ 0.4509, 12.243 ,  0.4375], dtype=float32)
+    """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     freqs = jnp.asarray(freqs)
