@@ -46,6 +46,16 @@ _MAX_MATMUL_FFT = 1024
 _AUTO_CHUNK_HBM_BUDGET = 12.5 * 1024 ** 3
 
 
+def _tpu_backend() -> bool:
+    """True when the default JAX backend is a TPU (where Mosaic kernels
+    compile); False on CPU/GPU — the sharded/virtual-device test meshes
+    stay on the XLA matmul paths."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _auto_frame_chunks(batch_elems: int, num_frames: int, cols: int,
                        in_elems: int) -> int:
     """Chunk count bounding peak HBM. Modeled footprints (f32 bytes):
@@ -376,7 +386,8 @@ def _fir_framed_dft_power_nopad(x, weights, *, ext, stride, pad_left,
 
 def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
                    onesided: bool = False, precision="highest",
-                   output: str = "complex", frame_chunks=1, edge: str = "pad"):
+                   output: str = "complex", frame_chunks=1, edge: str = "pad",
+                   kernel: str = "auto"):
     """FIR filtering fused INTO the framed DFT: the spectrum of
     convolve(x, taps, 'same') computed as one blocked matmul chain, with the
     Toeplitz filter matrix folded into the DFT weights at build time:
@@ -410,6 +421,17 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
     conv emitter generates internally — saving an ~8 B/sample HBM round
     trip when the geometry applies (hop | signal length and the shifted
     weights keep their tap count); falls back to `edge='pad'` otherwise.
+
+    `kernel='auto'` (default) dispatches the one-sided real power chain to
+    the fused Pallas kernel (kernels/pallas_dft.py) on TPU when the
+    alignment constraints hold (stride % 128 == 0) AND the batch is small
+    (<= 128 channels) — the regime where it is measured 1.54x faster than
+    the conv strategy on silicon (scripts/pallas_bench_r4.py, v5e: 33.2 vs
+    51.0 ms at 128ch). At >= 512 channels XLA's conv emitter wins (~1.5x)
+    against every kernel schedule tried — 3 DMA plans x 3 tile sizes, see
+    ROOFLINE.md §6 — so large batches stay on the conv path. 'xla' forces
+    the conv-of-blocks matmul path; 'pallas' forces the Pallas kernel
+    (raises when unsupported).
     """
     x = jnp.asarray(x)
     traced = isinstance(taps, jax.core.Tracer) or isinstance(window, jax.core.Tracer)
@@ -428,6 +450,26 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
         )
     num_frames = (length - frame_length) // stride + 1
     bins = n_fft // 2 + 1 if onesided else n_fft
+
+    if kernel not in ("auto", "xla", "pallas"):
+        raise ValueError(f"kernel must be 'auto', 'xla' or 'pallas', got {kernel!r}")
+    if kernel != "xla":
+        real_in = not jnp.issubdtype(x.dtype, jnp.complexfloating)
+        eligible = (output == "power" and onesided and not traced and real_in
+                    and stride % 128 == 0 and edge == "pad")
+        if kernel == "pallas" and not eligible:
+            raise ValueError(
+                "kernel='pallas' requires output='power', onesided=True, "
+                "real input, concrete taps/window, edge='pad' and "
+                "stride % 128 == 0")
+        batch_elems = int(np.prod(x.shape[:-1], dtype=np.int64)) if x.ndim > 1 else 1
+        if kernel == "pallas" or (eligible and batch_elems <= 128
+                                  and _tpu_backend()):
+            from nx_signal_tpu.kernels.pallas_dft import (
+                fir_framed_dft_power_pallas)
+            return fir_framed_dft_power_pallas(
+                x, taps, window_arr, stride=stride, n_fft=n_fft,
+                onesided=True, precision=precision)
 
     ext = frame_length + k - 1
     weights = fir_dft_fold_weights(taps, window_arr, n_fft, onesided,

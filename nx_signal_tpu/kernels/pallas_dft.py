@@ -13,6 +13,12 @@ the MXU and writes the (TILE_M, 2*bins) [Re | Im] tile.
 
 Requires stride % 128 == 0 (lane alignment); the dispatcher falls back to
 the XLA path otherwise.
+
+Round-4 status: Mosaic compiles on the real chip (scripts/pallas_probe.py
+prints PALLAS_OK; rounds 1-3 it hung the chipless remote compiler). All
+three kernels are silicon-verified against the XLA paths, the OLA kernel
+bitwise (scripts/pallas_bench_r4.py); kernels/dft.py:fir_framed_dft
+dispatches the one-sided real power chain here on TPU (kernel='auto').
 """
 
 import functools
@@ -33,6 +39,44 @@ __all__ = ["framed_dft_pallas", "fir_framed_dft_power_pallas",
 _TILE_M = 256  # frames per program
 
 
+def _norm_precision(precision):
+    """'highest' -> exact-f32 MXU dots; 'high'/'default' -> the manual
+    bf16 decomposition (Mosaic supports only DEFAULT/HIGHEST dot
+    precisions, so bf16_3x is built from 3 native-bf16 passes)."""
+    name = getattr(precision, "name", str(precision)).lower()
+    if name in ("highest", "precision.highest"):
+        return "highest"
+    if name in ("high", "precision.high"):
+        return "high"
+    return "default"
+
+
+def _split_bf16(w):
+    """hi + lo bf16 pair with hi = bf16(w), lo = bf16(w - hi) — the
+    operand split of XLA's bf16_3x algorithm (ROOFLINE.md §2)."""
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _block_dot(x, w_block, mode):
+    """One (tile_m, stride) x (stride, out_cols) MXU contraction at the
+    requested precision. `w_block` is f32 for 'highest'/'default' and the
+    stacked (2, stride, out_cols) bf16 hi/lo pair for 'high'."""
+    if mode == "highest":
+        return jnp.dot(x, w_block, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if mode == "default":
+        return jnp.dot(x, w_block, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
+    x_hi, x_lo = _split_bf16(x)
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    return (jnp.dot(x_hi, w_block[0], **kw)
+            + jnp.dot(x_hi, w_block[1], **kw)
+            + jnp.dot(x_lo, w_block[0], **kw))
+
+
 def pallas_dft_supported(stride: int, frame_length: int) -> bool:
     """True when the Pallas kernel's alignment constraints hold: hop a
     multiple of the 128-lane width and frame a multiple of the hop."""
@@ -40,7 +84,7 @@ def pallas_dft_supported(stride: int, frame_length: int) -> bool:
 
 
 def _kernel(x_hbm, w_vmem, o_vmem, x_vmem, sems, *, stride, num_blocks,
-            tile_m, out_cols, rows_per_channel):
+            tile_m, out_cols, rows_per_channel, mode):
     c = pl.program_id(0)
     mt = pl.program_id(1)
     row0 = c * rows_per_channel + mt * tile_m
@@ -53,17 +97,19 @@ def _kernel(x_hbm, w_vmem, o_vmem, x_vmem, sems, *, stride, num_blocks,
         pltpu.make_async_copy(
             x_hbm.at[pl.ds(row0 + r, tile_m), :], x_vmem.at[r], sems.at[r]
         ).wait()
-        acc = acc + jnp.dot(
-            x_vmem[r], w_vmem[pl.ds(r * stride, stride), :],
-            preferred_element_type=jnp.float32,
-        )
+        w_block = (w_vmem[:, pl.ds(r * stride, stride), :] if mode == "high"
+                   else w_vmem[pl.ds(r * stride, stride), :])
+        acc = acc + _block_dot(x_vmem[r], w_block, mode)
     o_vmem[0, :, :] = acc
 
 
 def framed_dft_pallas(x, window, *, stride: int, n_fft: int,
-                      onesided: bool = False, interpret: bool = False):
+                      onesided: bool = False, precision="highest",
+                      interpret: bool = False):
     """Windowed framed DFT of a (..., L) signal as a Pallas TPU kernel;
-    same contract as kernels.dft.framed_dft (complex (..., M, bins))."""
+    same contract as kernels.dft.framed_dft (complex (..., M, bins)).
+    `precision` selects the MXU pass count exactly as in kernels.dft
+    ('highest' = f32-exact, 'high' = bf16_3x)."""
     x = jnp.asarray(x).astype(DEFAULT_FLOAT)
     window = jnp.asarray(window)
     frame_length = window.shape[-1]
@@ -85,6 +131,9 @@ def framed_dft_pallas(x, window, *, stride: int, n_fft: int,
     num_blocks = frame_length // stride
 
     weights = _dft_weights(window, frame_length, n_fft, onesided, DEFAULT_FLOAT)
+    mode = _norm_precision(precision)
+    if mode == "high":
+        weights = jnp.stack(_split_bf16(jnp.asarray(weights, jnp.float32)))
 
     tile_m = min(_TILE_M, max(8, -(-num_frames // 8) * 8))
     num_tiles = -(-num_frames // tile_m)
@@ -99,14 +148,14 @@ def framed_dft_pallas(x, window, *, stride: int, n_fft: int,
 
     kernel = functools.partial(
         _kernel, stride=stride, num_blocks=num_blocks, tile_m=tile_m,
-        out_cols=out_cols, rows_per_channel=rows_per_channel,
+        out_cols=out_cols, rows_per_channel=rows_per_channel, mode=mode,
     )
     out = pl.pallas_call(
         kernel,
         grid=(channels, num_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # row-matrix in HBM
-            pl.BlockSpec(weights.shape, lambda c, m: (0, 0),
+            pl.BlockSpec(weights.shape, lambda c, m, _nd=weights.ndim: (0,) * _nd,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile_m, out_cols), lambda c, m: (c, m, 0),
@@ -129,7 +178,7 @@ def framed_dft_pallas(x, window, *, stride: int, n_fft: int,
 # ---------------------------------------------- fused FIR + DFT + power
 
 def _power_kernel(x_hbm, w_vmem, o_vmem, x_vmem, sems, *, stride, num_blocks,
-                  tile_m, bins, rows_per_channel):
+                  tile_m, bins, rows_per_channel, mode):
     """One program: a TILE_M-frame tile of the one-sided POWER spectrum for
     one channel. Identical block-DMA/matmul pipeline to `_kernel`, plus the
     re^2 + im^2 epilogue computed while the accumulator is still in VMEM —
@@ -150,15 +199,81 @@ def _power_kernel(x_hbm, w_vmem, o_vmem, x_vmem, sems, *, stride, num_blocks,
         pltpu.make_async_copy(
             x_hbm.at[pl.ds(row0 + r, tile_m), :], x_vmem.at[r], sems.at[r]
         ).wait()
-        acc = acc + jnp.dot(
-            x_vmem[r], w_vmem[pl.ds(r * stride, stride), :],
-            preferred_element_type=jnp.float32,
-        )
+        w_block = (w_vmem[:, pl.ds(r * stride, stride), :] if mode == "high"
+                   else w_vmem[pl.ds(r * stride, stride), :])
+        acc = acc + _block_dot(x_vmem[r], w_block, mode)
+    o_vmem[0, :, :] = acc[:, :bins] ** 2 + acc[:, bins:] ** 2
+
+
+def _power_kernel_window(x_hbm, w_vmem, o_vmem, x_vmem, sem, *, stride,
+                         num_blocks, tile_m, dma_rows, bins,
+                         rows_per_channel, mode):
+    """Single-window variant of `_power_kernel`: ONE (tile_m + halo,
+    stride) DMA per program instead of num_blocks overlapping block
+    windows — the frame overlap becomes sublane-offset VMEM row slices of
+    the same resident window, cutting the x HBM read traffic by the
+    ~num_blocks factor (6x at the bench geometry). The bf16 hi/lo operand
+    split for 'high' precision is computed once per window, not per
+    block."""
+    c = pl.program_id(0)
+    mt = pl.program_id(1)
+    row0 = c * rows_per_channel + mt * tile_m
+    cp = pltpu.make_async_copy(x_hbm.at[pl.ds(row0, dma_rows), :], x_vmem, sem)
+    cp.start()
+    cp.wait()
+    if mode == "high":
+        x_hi, x_lo = _split_bf16(x_vmem[...])
+    acc = jnp.zeros((tile_m, 2 * bins), dtype=jnp.float32)
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    for r in range(num_blocks):
+        if mode == "high":
+            a_hi = x_hi[r:r + tile_m, :]
+            a_lo = x_lo[r:r + tile_m, :]
+            w_hi = w_vmem[0, pl.ds(r * stride, stride), :]
+            w_lo = w_vmem[1, pl.ds(r * stride, stride), :]
+            acc = acc + (jnp.dot(a_hi, w_hi, **kw)
+                         + jnp.dot(a_hi, w_lo, **kw)
+                         + jnp.dot(a_lo, w_hi, **kw))
+        else:
+            acc = acc + _block_dot(
+                x_vmem[pl.ds(r, tile_m), :],
+                w_vmem[pl.ds(r * stride, stride), :], mode)
+    o_vmem[0, :, :] = acc[:, :bins] ** 2 + acc[:, bins:] ** 2
+
+
+def _power_kernel_concat(x_hbm, w_vmem, o_vmem, x_vmem, f_vmem, sem, *,
+                         stride, num_blocks, tile_m, dma_rows, bins,
+                         rows_per_channel, mode):
+    """Concat variant: same single-window DMA as `_power_kernel_window`,
+    but the num_blocks shifted row-slices are copied side by side into a
+    (tile_m, num_blocks*stride) VMEM scratch so the whole extended frame
+    contracts in ONE K = num_blocks*stride MXU dot per pass — trading
+    VPU copy traffic for maximal MXU pipeline occupancy."""
+    c = pl.program_id(0)
+    mt = pl.program_id(1)
+    row0 = c * rows_per_channel + mt * tile_m
+    cp = pltpu.make_async_copy(x_hbm.at[pl.ds(row0, dma_rows), :], x_vmem, sem)
+    cp.start()
+    cp.wait()
+    for r in range(num_blocks):
+        f_vmem[:, r * stride:(r + 1) * stride] = x_vmem[pl.ds(r, tile_m), :]
+    frames = f_vmem[...]
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    if mode == "high":
+        f_hi, f_lo = _split_bf16(frames)
+        acc = (jnp.dot(f_hi, w_vmem[0], **kw)
+               + jnp.dot(f_hi, w_vmem[1], **kw)
+               + jnp.dot(f_lo, w_vmem[0], **kw))
+    else:
+        acc = _block_dot(frames, w_vmem[...], mode)
     o_vmem[0, :, :] = acc[:, :bins] ** 2 + acc[:, bins:] ** 2
 
 
 def fir_framed_dft_power_pallas(x, taps, window, *, stride: int, n_fft: int,
-                                onesided: bool = True,
+                                onesided: bool = True, precision="highest",
+                                tile_m: int = None, dma: str = "window",
                                 interpret: bool = False):
     """The full bench chain as ONE Pallas kernel: FIR (Toeplitz-folded into
     the weights, as kernels.dft.fir_framed_dft) + Hann framed DFT + power
@@ -168,10 +283,17 @@ def fir_framed_dft_power_pallas(x, taps, window, *, stride: int, n_fft: int,
     This is the kernel ROOFLINE.md §3 names as the biggest remaining perf
     lever: it removes the conv intermediate's HBM round-trip (~32 B/sample
     at the bench shape) AND the ≥896-channel memory wall in one stroke.
-    Interpreter-verified (tests/test_pallas_kernels.py); the chipless axon
-    remote compiler still hangs on Mosaic compiles (probed r01/r02/r03 —
-    scripts/pallas_probe.py), so the XLA conv-of-blocks path remains the
-    production default until the environment gains Mosaic support.
+    First compiled on silicon in round 4 (the chipless remote compiler
+    gained Mosaic support — scripts/pallas_probe.py): verified vs the XLA
+    path at 2e-7 ('highest') / 4e-6 ('high') relative error
+    (scripts/pallas_bench_r4.py). Mosaic exposes only DEFAULT/HIGHEST dot
+    precisions, so 'high' (bf16_3x) runs as a manual 3-pass hi/lo bf16
+    operand split (`_split_bf16`) — same algorithm XLA uses.
+
+    `dma='window'` (default) issues one (tile_m + halo, stride) DMA per
+    program and slices the frame overlap out of VMEM; 'blocks' re-reads
+    each overlapping block window from HBM (num_blocks x the read
+    traffic). `tile_m` is the frames-per-program MXU tile (default 256).
     """
     x = jnp.asarray(x).astype(DEFAULT_FLOAT)
     if stride % 128 != 0:
@@ -206,44 +328,82 @@ def fir_framed_dft_power_pallas(x, taps, window, *, stride: int, n_fft: int,
     pad_rows = num_blocks * stride - ext
     if pad_rows:
         weights = np.pad(weights, [(0, pad_rows), (0, 0)])
+    bins_eff = bins
+    if dma == "concat_pad":
+        # lane-align the Re/Im halves: the power epilogue's
+        # acc[:, bins:] slice starts at lane `bins` (257 at the bench
+        # shape) — padding each half to a 128 multiple keeps every
+        # in-kernel slice relayout-free at the cost of wasted columns
+        bins_eff = -(-bins // 128) * 128
+        z = np.zeros((weights.shape[0], bins_eff - bins), weights.dtype)
+        weights = np.concatenate(
+            [weights[:, :bins], z, weights[:, bins:], z], axis=1)
     weights = jnp.asarray(weights)
+    mode = _norm_precision(precision)
+    if mode == "high":
+        weights = jnp.stack(_split_bf16(weights))
 
     # 'same' alignment: extended frame m starts at xp[m*stride] with
     # xp = pad(x, (pad_left, k - 1)) — identical to fir_framed_dft
     pad_left = (k - 1) - (k - 1) // 2
-    tile_m = min(_TILE_M, max(8, -(-num_frames // 8) * 8))
+    if tile_m is None:
+        tile_m = _TILE_M
+    tile_m = min(tile_m, max(8, -(-num_frames // 8) * 8))
     num_tiles = -(-num_frames // tile_m)
-    rows_per_channel = -(-(num_tiles * tile_m + num_blocks - 1) // 8) * 8
+    if dma in ("window", "concat", "concat_pad"):
+        halo = -(-(num_blocks - 1) // 8) * 8
+        dma_rows = tile_m + halo
+        rows_per_channel = num_tiles * tile_m + halo
+    else:
+        rows_per_channel = -(-(num_tiles * tile_m + num_blocks - 1) // 8) * 8
     padded_len = rows_per_channel * stride
     xp = jnp.pad(x, [(0, 0), (pad_left, max(0, padded_len - length - pad_left))])
     xp = xp[:, :padded_len]
     x_rows = xp.reshape(channels * rows_per_channel, stride)
 
-    kernel = functools.partial(
-        _power_kernel, stride=stride, num_blocks=num_blocks, tile_m=tile_m,
-        bins=bins, rows_per_channel=rows_per_channel,
-    )
+    if dma in ("concat", "concat_pad"):
+        kernel = functools.partial(
+            _power_kernel_concat, stride=stride, num_blocks=num_blocks,
+            tile_m=tile_m, dma_rows=dma_rows, bins=bins_eff,
+            rows_per_channel=rows_per_channel, mode=mode,
+        )
+        scratch = [pltpu.VMEM((dma_rows, stride), jnp.float32),
+                   pltpu.VMEM((tile_m, num_blocks * stride), jnp.float32),
+                   pltpu.SemaphoreType.DMA]
+    elif dma == "window":
+        kernel = functools.partial(
+            _power_kernel_window, stride=stride, num_blocks=num_blocks,
+            tile_m=tile_m, dma_rows=dma_rows, bins=bins,
+            rows_per_channel=rows_per_channel, mode=mode,
+        )
+        scratch = [pltpu.VMEM((dma_rows, stride), jnp.float32),
+                   pltpu.SemaphoreType.DMA]
+    else:
+        kernel = functools.partial(
+            _power_kernel, stride=stride, num_blocks=num_blocks,
+            tile_m=tile_m, bins=bins, rows_per_channel=rows_per_channel,
+            mode=mode,
+        )
+        scratch = [pltpu.VMEM((num_blocks, tile_m, stride), jnp.float32),
+                   pltpu.SemaphoreType.DMA((num_blocks,))]
     out = pl.pallas_call(
         kernel,
         grid=(channels, num_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # row-matrix in HBM
-            pl.BlockSpec(weights.shape, lambda c, m: (0, 0),
+            pl.BlockSpec(weights.shape, lambda c, m, _nd=weights.ndim: (0,) * _nd,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_m, bins), lambda c, m: (c, m, 0),
+        out_specs=pl.BlockSpec((1, tile_m, bins_eff), lambda c, m: (c, m, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (channels, num_tiles * tile_m, bins), jnp.float32
+            (channels, num_tiles * tile_m, bins_eff), jnp.float32
         ),
-        scratch_shapes=[
-            pltpu.VMEM((num_blocks, tile_m, stride), jnp.float32),
-            pltpu.SemaphoreType.DMA((num_blocks,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(x_rows, weights)
 
-    out = out[:, :num_frames, :]
+    out = out[:, :num_frames, :bins]
     return out[0] if squeeze else out
 
 

@@ -39,25 +39,42 @@ def test_pallas_framed_dft_1d_input(rng):
     np.testing.assert_allclose(np.asarray(zp), np.asarray(zr), atol=1e-5 * scale)
 
 
+@pytest.mark.parametrize("dma", ["blocks", "window", "concat"])
 @pytest.mark.parametrize("channels,length,taps,frame,stride,nfft", [
     (2, 5000, 255, 512, 128, 512),   # the bench chain's exact shape family
     (1, 3000, 63, 384, 128, 512),    # ext % stride != 0, nfft > frame
     (3, 4096, 100, 256, 128, 256),   # even tap count, short frame
 ])
 def test_pallas_fused_power_matches_xla(channels, length, taps, frame,
-                                        stride, nfft, rng):
+                                        stride, nfft, dma, rng):
     # the fused FIR+DFT+power kernel (ROOFLINE.md §3 item 1) vs the XLA
-    # conv-of-blocks production path
+    # conv-of-blocks production path, all three DMA schedules
     x = rng.normal(size=(channels, length)).astype(np.float32)
     t = rng.normal(size=taps).astype(np.float32)
     w = np.asarray(windows.hann(frame))
     ref = np.asarray(fir_framed_dft(x, t, w, stride=stride, n_fft=nfft,
                                     onesided=True, output="power",
-                                    precision="highest"))
+                                    precision="highest", kernel="xla"))
     got = np.asarray(fir_framed_dft_power_pallas(
-        x, t, w, stride=stride, n_fft=nfft, interpret=True))
+        x, t, w, stride=stride, n_fft=nfft, dma=dma, interpret=True))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-5 * np.abs(ref).max())
+
+
+def test_pallas_fused_power_high_precision_split(rng):
+    # the manual 3-pass bf16 hi/lo operand split ('high') stays inside the
+    # 1e-4 gate on every DMA schedule
+    x = rng.normal(size=(2, 5000)).astype(np.float32)
+    t = rng.normal(size=255).astype(np.float32)
+    w = np.asarray(windows.hann(512))
+    ref = np.asarray(fir_framed_dft(x, t, w, stride=128, n_fft=512,
+                                    onesided=True, output="power",
+                                    precision="highest", kernel="xla"))
+    for dma in ("blocks", "window", "concat"):
+        got = np.asarray(fir_framed_dft_power_pallas(
+            x, t, w, stride=128, n_fft=512, precision="high", dma=dma,
+            interpret=True))
+        np.testing.assert_allclose(got, ref, atol=1e-4 * np.abs(ref).max())
 
 
 def test_pallas_fused_power_1d_and_validation(rng):
