@@ -507,7 +507,15 @@ def correlation_lags(in1_len: int, in2_len: int, mode: str = "full"):
     """Lag indices for the output of `correlate(in1, in2, mode=mode)` —
     scipy.signal.correlation_lags semantics: lag k corresponds to
     correlation between in1 and in2 shifted by k samples. Host-side numpy
-    (shape math, not tensor compute). Not in the reference."""
+    (shape math, not tensor compute). Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.convolution import correlation_lags
+    >>> np.asarray(correlation_lags(3, 3, mode="full"))
+    array([-2, -1,  0,  1,  2])
+    """
     import numpy as np
 
     in1_len, in2_len = int(in1_len), int(in2_len)
@@ -537,7 +545,22 @@ def deconvolve(signal, divisor):
     scipy.signal.deconvolve semantics via inverse filtering: the quotient is
     the impulse response of the IIR filter b=signal, a=divisor truncated to
     N - D + 1 samples. 1-D only, f64 host-grade accuracy through the scan
-    lfilter. Not in the reference."""
+    lfilter. Not in the reference.
+
+    Examples:
+
+    (1 + x)^3 divided by (1 + x) gives (1 + x)^2 exactly:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.convolution import deconvolve
+    >>> q, r = deconvolve(jnp.asarray([1.0, 3.0, 3.0, 1.0]),
+    ...                   jnp.asarray([1.0, 1.0]))
+    >>> np.round(np.asarray(q), 4)
+    array([1., 2., 1.], dtype=float32)
+    >>> np.round(np.asarray(r), 4)
+    array([0., 0., 0., 0.], dtype=float32)
+    """
     from nx_signal_tpu.ops.iir import lfilter
 
     num = jnp.atleast_1d(jnp.asarray(signal))

@@ -289,7 +289,20 @@ def sosfreqz(sos, *, n_freqs: int = 512, sampling_rate: float = 2.0,
              whole: bool = False):
     """Frequency response of cascaded second-order sections —
     scipy.signal.sosfreqz semantics. Returns (frequencies_hz, response).
-    Not in the reference (no IIR there)."""
+    Not in the reference (no IIR there).
+
+    Examples:
+
+    One FIR section holding the 2-tap moving average:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import sosfreqz
+    >>> sos = jnp.asarray([[0.5, 0.5, 0.0, 1.0, 0.0, 0.0]])
+    >>> w, h = sosfreqz(sos, n_freqs=4)
+    >>> np.round(np.abs(np.asarray(h)), 4)
+    array([1.    , 0.9239, 0.7071, 0.3827], dtype=float32)
+    """
     sos = jnp.asarray(sos)
     if sos.ndim != 2 or sos.shape[1] != 6:
         raise ValueError("sos array must be shape (n_sections, 6)")
@@ -424,7 +437,15 @@ def savgol_coeffs(window_length: int, polyorder: int, *, deriv: int = 0,
     semantics: the least-squares polynomial-fit weights for the `deriv`-th
     derivative at position `pos` of a length-`window_length` window, in
     'conv' (reversed, for convolution) or 'dot' orientation. f64 host
-    design math. Not in the reference."""
+    design math. Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import savgol_coeffs
+    >>> np.round(np.asarray(savgol_coeffs(5, 2)), 4)
+    array([-0.0857,  0.3429,  0.4857,  0.3429, -0.0857], dtype=float32)
+    """
     return jnp.asarray(
         _savgol_coeffs_np(window_length, polyorder, deriv, delta, pos, use),
         dtype=dtype,

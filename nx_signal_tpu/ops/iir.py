@@ -209,7 +209,17 @@ def lfilter_zi(b, a):
     """Initial DF2T state for step-response steady state —
     scipy.signal.lfilter_zi semantics (solve (I - A^T) zi = B with A the
     companion matrix of `a` and B = b[1:] - a[1:] b[0]). Host-side f64
-    numpy: filter design/state math is tiny and happens once."""
+    numpy: filter design/state math is tiny and happens once.
+
+    Examples:
+
+    The one-pole smoother settles to zi = 1 for a unit step:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir import lfilter_zi
+    >>> np.round(lfilter_zi([1.0, 0.0], [1.0, -0.5]), 4)
+    array([1.])
+    """
     b = np.atleast_1d(np.asarray(b, dtype=np.float64))
     a = np.atleast_1d(np.asarray(a, dtype=np.float64))
     while len(a) > 1 and a[0] == 0.0:
@@ -378,7 +388,15 @@ def sosfilt(sos, x, axis=-1, zi=None):
 def sosfilt_zi(sos):
     """Initial states for sosfilt step-response steady state —
     scipy.signal.sosfilt_zi semantics: per-section lfilter_zi scaled by the
-    cumulative DC gain of the preceding sections. Host-side numpy."""
+    cumulative DC gain of the preceding sections. Host-side numpy.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir import sosfilt_zi
+    >>> np.round(sosfilt_zi([[0.5, 0.0, 0.0, 1.0, -0.5, 0.0]]), 4)
+    array([[0.5, 0. ]])
+    """
     sos = np.asarray(sos, dtype=np.float64)
     if sos.ndim != 2 or sos.shape[1] != 6:
         raise ValueError("sos array must be shape (n_sections, 6)")

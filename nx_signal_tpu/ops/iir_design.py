@@ -285,14 +285,32 @@ def _real_if_conjugate(poly_coeffs, tol=1e-10):
 
 
 def zpk2tf(z, p, k):
-    """(zeros, poles, gain) -> (b, a) polynomial coefficients."""
+    """(zeros, poles, gain) -> (b, a) polynomial coefficients.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import zpk2tf
+    >>> b, a = zpk2tf([1.0], [0.5, 0.25], 2.0)
+    >>> np.round(b, 4), np.round(a, 4)
+    (array([ 2., -2.]), array([ 1.   , -0.75 ,  0.125]))
+    """
     b = k * np.atleast_1d(np.poly(np.asarray(z, dtype=complex)))
     a = np.atleast_1d(np.poly(np.asarray(p, dtype=complex)))
     return _real_if_conjugate(b), _real_if_conjugate(a)
 
 
 def tf2zpk(b, a):
-    """(b, a) -> (zeros, poles, gain)."""
+    """(b, a) -> (zeros, poles, gain).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import tf2zpk
+    >>> z, p, k = tf2zpk([1.0, -1.0], [1.0, -0.25])
+    >>> np.asarray(z), np.asarray(p), float(k)
+    (array([1.]), array([0.25]), 1.0)
+    """
     b = np.atleast_1d(np.asarray(b, dtype=np.float64) if not np.iscomplexobj(b)
                       else np.asarray(b))
     a = np.atleast_1d(np.asarray(a, dtype=np.float64) if not np.iscomplexobj(a)
@@ -376,7 +394,15 @@ def zpk2sos(z, p, k):
 
 
 def tf2sos(b, a):
-    """(b, a) -> second-order sections."""
+    """(b, a) -> second-order sections.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import tf2sos
+    >>> np.round(tf2sos([1.0, 0.0, -1.0], [1.0, 0.0, 0.25]), 4)
+    array([[ 1.  ,  0.  , -1.  ,  1.  ,  0.  ,  0.25]])
+    """
     return zpk2sos(*tf2zpk(b, a))
 
 

@@ -37,7 +37,17 @@ def _as_float(t):
 
 def sawtooth(t, *, width: float = 1.0):
     """Periodic sawtooth with period 2*pi: rises -1 -> 1 over [0, 2*pi*width],
-    falls back over the rest (reference: waveforms.ex:29-54)."""
+    falls back over the rest (reference: waveforms.ex:29-54).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.waveforms import sawtooth
+    >>> t = jnp.asarray([0.0, jnp.pi / 2, jnp.pi, 3 * jnp.pi / 2])
+    >>> np.round(np.asarray(sawtooth(t)), 4)
+    array([-1. , -0.5,  0. ,  0.5], dtype=float32)
+    """
     if not 0 <= width <= 1:
         raise ValueError(f"width must be between 0 and 1, inclusive. Got: {width}")
     t = _as_float(t)
@@ -202,7 +212,15 @@ def gausspulse(t, fc: float = 1000.0, bw: float = 0.5, bwr: float = -6.0,
 
 def unit_impulse(shape, *, index=0, dtype=DEFAULT_FLOAT):
     """Delta function: 1 at `index` (an int, index tuple/array, or
-    'midpoint'), 0 elsewhere (reference: waveforms.ex:406-437)."""
+    'midpoint'), 0 elsewhere (reference: waveforms.ex:406-437).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.waveforms import unit_impulse
+    >>> np.asarray(unit_impulse(5, index=2))
+    array([0., 0., 1., 0., 0.], dtype=float32)
+    """
     if isinstance(shape, int):
         shape = (shape,)
     rank = len(shape)
@@ -218,7 +236,16 @@ def unit_impulse(shape, *, index=0, dtype=DEFAULT_FLOAT):
 
 def sinc(t):
     """Normalized sinc(t) = sin(pi t) / (pi t) with sinc(0) = 1 (reference:
-    waveforms.ex:451-457)."""
+    waveforms.ex:451-457).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.waveforms import sinc
+    >>> np.round(np.asarray(sinc(jnp.asarray([0.0, 0.5, 1.0]))), 4)
+    array([ 1.    ,  0.6366, -0.    ], dtype=float32)
+    """
     t = _as_float(t)
     x = t * math.pi
     # Substitute 1 where x == 0 *before* dividing so no NaN enters the graph

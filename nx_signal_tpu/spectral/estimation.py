@@ -88,7 +88,19 @@ def vectorstrength(events, period):
     """Vector strength (and phase) of events relative to one or more
     periods — scipy.signal.vectorstrength semantics: each event is a unit
     phasor exp(i 2 pi t / T); strength is the mean phasor magnitude, phase
-    its angle. Not in the reference."""
+    its angle. Not in the reference.
+
+    Examples:
+
+    Three events evenly spread across the period partially cancel:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.spectral.estimation import vectorstrength
+    >>> s, phase = vectorstrength(jnp.asarray([0.0, 0.5, 1.0]), 1.0)
+    >>> round(float(s), 4), round(float(phase), 4)
+    (0.3333, 0.0)
+    """
     events = jnp.asarray(events)
     period = jnp.asarray(period)
     if events.ndim != 1:
