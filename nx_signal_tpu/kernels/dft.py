@@ -46,16 +46,6 @@ _MAX_MATMUL_FFT = 1024
 _AUTO_CHUNK_HBM_BUDGET = 12.5 * 1024 ** 3
 
 
-def _tpu_backend() -> bool:
-    """True when the default JAX backend is a TPU (where Mosaic kernels
-    compile); False on CPU/GPU — the sharded/virtual-device test meshes
-    stay on the XLA matmul paths."""
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
-
-
 def _auto_frame_chunks(batch_elems: int, num_frames: int, cols: int,
                        in_elems: int) -> int:
     """Chunk count bounding peak HBM. Modeled footprints (f32 bytes):
@@ -422,16 +412,15 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
     trip when the geometry applies (hop | signal length and the shifted
     weights keep their tap count); falls back to `edge='pad'` otherwise.
 
-    `kernel='auto'` (default) dispatches the one-sided real power chain to
-    the fused Pallas kernel (kernels/pallas_dft.py) on TPU when the
-    alignment constraints hold (stride % 128 == 0) AND the batch is small
-    (<= 128 channels) — the regime where it is measured 1.54x faster than
-    the conv strategy on silicon (scripts/pallas_bench_r4.py, v5e: 33.2 vs
-    51.0 ms at 128ch). At >= 512 channels XLA's conv emitter wins (~1.5x)
-    against every kernel schedule tried — 3 DMA plans x 3 tile sizes, see
-    ROOFLINE.md §6 — so large batches stay on the conv path. 'xla' forces
-    the conv-of-blocks matmul path; 'pallas' forces the Pallas kernel
-    (raises when unsupported).
+    `kernel` selects the implementation of the one-sided real power
+    chain: 'auto'/'xla' run the conv-of-blocks matmul path (production —
+    measured faster than every Pallas schedule tried at every channel
+    count when compared within one process: 23.3 vs 29.4 ms at 128ch,
+    58.2 vs 73.2 at 512ch on v5e, ROOFLINE.md §6); 'pallas' forces the
+    silicon-verified fused Pallas kernel (kernels/pallas_dft.py — raises
+    when output/'onesided'/alignment make it ineligible), kept as the
+    platform for schedule experiments and the likely winner if Mosaic's
+    matmul codegen closes its ~25% gap to XLA's dot emitter.
     """
     x = jnp.asarray(x)
     traced = isinstance(taps, jax.core.Tracer) or isinstance(window, jax.core.Tracer)
@@ -462,9 +451,7 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
                 "kernel='pallas' requires output='power', onesided=True, "
                 "real input, concrete taps/window, edge='pad' and "
                 "stride % 128 == 0")
-        batch_elems = int(np.prod(x.shape[:-1], dtype=np.int64)) if x.ndim > 1 else 1
-        if kernel == "pallas" or (eligible and batch_elems <= 128
-                                  and _tpu_backend()):
+        if kernel == "pallas":
             from nx_signal_tpu.kernels.pallas_dft import (
                 fir_framed_dft_power_pallas)
             return fir_framed_dft_power_pallas(

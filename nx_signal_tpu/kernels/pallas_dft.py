@@ -17,8 +17,12 @@ the XLA path otherwise.
 Round-4 status: Mosaic compiles on the real chip (scripts/pallas_probe.py
 prints PALLAS_OK; rounds 1-3 it hung the chipless remote compiler). All
 three kernels are silicon-verified against the XLA paths, the OLA kernel
-bitwise (scripts/pallas_bench_r4.py); kernels/dft.py:fir_framed_dft
-dispatches the one-sided real power chain here on TPU (kernel='auto').
+bitwise (scripts/pallas_bench_r4.py). Five DMA/compute schedules were
+benched (ROOFLINE.md §6): 'pipeline' (index-mapped blocks + VMEM carry,
+Mosaic's own double-buffering) is the fastest, but XLA's conv-of-blocks
+emitter still wins at every channel count within one process — so the
+XLA path stays production (`kernels/dft.py fir_framed_dft kernel='auto'`)
+and the Pallas chain is the explicit `kernel='pallas'` option.
 """
 
 import functools
@@ -271,6 +275,41 @@ def _power_kernel_concat(x_hbm, w_vmem, o_vmem, x_vmem, f_vmem, sem, *,
     o_vmem[0, :, :] = acc[:, :bins] ** 2 + acc[:, bins:] ** 2
 
 
+def _power_kernel_pipeline(x_vmem, w_vmem, o_vmem, carry, frames, *,
+                           stride, num_blocks, tile_m, bins, num_tiles,
+                           mode):
+    """Pipelined variant: NO manual DMA — `x_vmem` is an index-mapped
+    input block Mosaic prefetches/double-buffers itself, the schedule the
+    XLA conv emitter uses. One-tile lag: program p holds block p in
+    `x_vmem` and block p-1 in the persistent `carry` scratch, and computes
+    output tile p-1 from carry + the first halo rows of the current block
+    (both VMEM-resident). The output index map sends consecutive programs
+    (p=0, p=1) to the same tile-0 block, so p=0's pass writes nothing
+    visible — its buffer is overwritten by p=1 before the single
+    write-back."""
+    p = pl.program_id(1)
+    cur = x_vmem[0]
+    for r in range(num_blocks):
+        if r == 0:
+            frames[:, :stride] = carry[...]
+        else:
+            src = jnp.concatenate(
+                [carry[r:, :], cur[:r, :]], axis=0)
+            frames[:, r * stride:(r + 1) * stride] = src
+    fr = frames[...]
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    if mode == "high":
+        f_hi, f_lo = _split_bf16(fr)
+        acc = (jnp.dot(f_hi, w_vmem[0], **kw)
+               + jnp.dot(f_hi, w_vmem[1], **kw)
+               + jnp.dot(f_lo, w_vmem[0], **kw))
+    else:
+        acc = _block_dot(fr, w_vmem[...], mode)
+    o_vmem[0, :, :] = acc[:, :bins] ** 2 + acc[:, bins:] ** 2
+    carry[...] = cur
+
+
 def fir_framed_dft_power_pallas(x, taps, window, *, stride: int, n_fft: int,
                                 onesided: bool = True, precision="highest",
                                 tile_m: int = None, dma: str = "window",
@@ -290,10 +329,16 @@ def fir_framed_dft_power_pallas(x, taps, window, *, stride: int, n_fft: int,
     precisions, so 'high' (bf16_3x) runs as a manual 3-pass hi/lo bf16
     operand split (`_split_bf16`) — same algorithm XLA uses.
 
-    `dma='window'` (default) issues one (tile_m + halo, stride) DMA per
-    program and slices the frame overlap out of VMEM; 'blocks' re-reads
-    each overlapping block window from HBM (num_blocks x the read
-    traffic). `tile_m` is the frames-per-program MXU tile (default 256).
+    `dma` selects the memory schedule (all bitwise-identical outputs,
+    silicon numbers in ROOFLINE.md §6): 'pipeline' — the fastest — has no
+    manual DMA at all (index-mapped input blocks Mosaic double-buffers, a
+    persistent VMEM carry, one-tile output lag); 'window' (default for
+    its minimal VMEM) issues one (tile_m + halo, stride) DMA per program
+    and slices the overlap out of VMEM; 'blocks' re-reads each
+    overlapping block window from HBM; 'concat'/'concat_pad' copy the
+    shifted slices side by side for one K=ext dot per pass (pad =
+    lane-aligned Re/Im halves). `tile_m` is the frames-per-program MXU
+    tile (default 256).
     """
     x = jnp.asarray(x).astype(DEFAULT_FLOAT)
     if stride % 128 != 0:
@@ -350,7 +395,11 @@ def fir_framed_dft_power_pallas(x, taps, window, *, stride: int, n_fft: int,
         tile_m = _TILE_M
     tile_m = min(tile_m, max(8, -(-num_frames // 8) * 8))
     num_tiles = -(-num_frames // tile_m)
-    if dma in ("window", "concat", "concat_pad"):
+    if dma == "pipeline":
+        if num_blocks > tile_m:
+            raise ValueError("pipeline schedule needs tile_m >= num_blocks")
+        rows_per_channel = (num_tiles + 1) * tile_m
+    elif dma in ("window", "concat", "concat_pad"):
         halo = -(-(num_blocks - 1) // 8) * 8
         dma_rows = tile_m + halo
         rows_per_channel = num_tiles * tile_m + halo
@@ -360,6 +409,37 @@ def fir_framed_dft_power_pallas(x, taps, window, *, stride: int, n_fft: int,
     xp = jnp.pad(x, [(0, 0), (pad_left, max(0, padded_len - length - pad_left))])
     xp = xp[:, :padded_len]
     x_rows = xp.reshape(channels * rows_per_channel, stride)
+
+    if dma == "pipeline":
+        x_blocks = xp.reshape(channels, rows_per_channel, stride)
+        kernel = functools.partial(
+            _power_kernel_pipeline, stride=stride, num_blocks=num_blocks,
+            tile_m=tile_m, bins=bins_eff, num_tiles=num_tiles, mode=mode,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(channels, num_tiles + 1),
+            in_specs=[
+                pl.BlockSpec((1, tile_m, stride), lambda c, p: (c, p, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(weights.shape,
+                             lambda c, p, _nd=weights.ndim: (0,) * _nd,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile_m, bins_eff),
+                lambda c, p: (c, jnp.maximum(p - 1, 0), 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (channels, num_tiles * tile_m, bins_eff), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((tile_m, stride), jnp.float32),
+                pltpu.VMEM((tile_m, num_blocks * stride), jnp.float32),
+            ],
+            interpret=interpret,
+        )(x_blocks, weights)
+        out = out[:, :num_frames, :bins]
+        return out[0] if squeeze else out
 
     if dma in ("concat", "concat_pad"):
         kernel = functools.partial(

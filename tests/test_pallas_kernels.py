@@ -39,7 +39,7 @@ def test_pallas_framed_dft_1d_input(rng):
     np.testing.assert_allclose(np.asarray(zp), np.asarray(zr), atol=1e-5 * scale)
 
 
-@pytest.mark.parametrize("dma", ["blocks", "window", "concat"])
+@pytest.mark.parametrize("dma", ["blocks", "window", "concat", "pipeline"])
 @pytest.mark.parametrize("channels,length,taps,frame,stride,nfft", [
     (2, 5000, 255, 512, 128, 512),   # the bench chain's exact shape family
     (1, 3000, 63, 384, 128, 512),    # ext % stride != 0, nfft > frame
@@ -70,7 +70,7 @@ def test_pallas_fused_power_high_precision_split(rng):
     ref = np.asarray(fir_framed_dft(x, t, w, stride=128, n_fft=512,
                                     onesided=True, output="power",
                                     precision="highest", kernel="xla"))
-    for dma in ("blocks", "window", "concat"):
+    for dma in ("blocks", "window", "concat", "concat_pad", "pipeline"):
         got = np.asarray(fir_framed_dft_power_pallas(
             x, t, w, stride=128, n_fft=512, precision="high", dma=dma,
             interpret=True))
