@@ -354,7 +354,20 @@ def freqs(b, a, worN: int = 200):
     chosen by findfreqs over the system's interesting range) or an
     explicit array of angular frequencies. Returns (w, h). Not in the
     reference. Polynomials are evaluated as one (n_freqs, n_coefs) basis
-    matmul like freqz above."""
+    matmul like freqz above.
+
+    Examples:
+
+    The RC lowpass H(s) = 1 / (s + 1) at w = 0.5, 1, 2 rad/s:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import freqs
+    >>> w, h = freqs(jnp.asarray([1.0]), jnp.asarray([1.0, 1.0]),
+    ...              worN=jnp.asarray([0.5, 1.0, 2.0]))
+    >>> np.round(np.abs(np.asarray(h)), 4)
+    array([0.8944, 0.7071, 0.4472], dtype=float32)
+    """
     w = _freqs_grid(worN, b, a, "ba")
     s = 1j * w.astype(_analysis_float())
     return w, jnp.polyval(jnp.asarray(b).astype(s.dtype), s) / \

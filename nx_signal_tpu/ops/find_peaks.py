@@ -231,7 +231,18 @@ def peak_prominences(x, peaks, *, wlen=None):
     signal edge / wlen window edge, ties resolved toward the peak).
     `peaks` may be -1-padded (the find_peaks encoding); padded rows get
     prominence 0 and bases -1. Vectorized over peaks via sparse-table
-    binary lifting (see module docstring) instead of per-peak scans."""
+    binary lifting (see module docstring) instead of per-peak scans.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.find_peaks import peak_prominences
+    >>> x = jnp.asarray([0.0, 2.0, 0.0, 3.0, 0.0])
+    >>> prom, lb, rb = peak_prominences(x, jnp.asarray([1, 3]))
+    >>> np.asarray(prom), np.asarray(lb), np.asarray(rb)
+    (array([2., 3.], dtype=float32), array([0, 2], dtype=int32), array([2, 4], dtype=int32))
+    """
     x = jnp.asarray(x).astype(DEFAULT_FLOAT)
     if x.ndim != 1:
         raise ValueError("x must be 1-D")

@@ -921,7 +921,18 @@ def iircomb(w0, q, ftype="notch", fs=2.0, *, pass_zero: bool = False):
     scipy.signal.iircomb semantics: order N = fs/w0 must be an integer;
     the single-section prototype gains place -3 dB points w0/q apart.
     `pass_zero=True` shifts the comb to odd harmonics (notches between the
-    harmonics of w0). Returns (b, a). Not in the reference."""
+    harmonics of w0). Returns (b, a). Not in the reference.
+
+    Examples:
+
+    An order-8 comb (w0 = 0.25 of Nyquist=1) has taps only at 0 and 8:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import iircomb
+    >>> b, a = iircomb(0.25, 30.0)
+    >>> np.round(np.asarray(b)[[0, 8]], 4), np.round(np.asarray(a)[[0, 8]], 4)
+    (array([ 0.9502, -0.9502]), array([ 1.    , -0.9004]))
+    """
     if ftype not in ("notch", "peak"):
         raise ValueError("ftype must be 'notch' or 'peak'")
     w0 = float(w0)

@@ -83,7 +83,16 @@ class BadCoefficients(UserWarning):
 def normalize(b, a):
     """Normalize a transfer function to a[0] == 1, trimming leading-zero
     numerator coefficients — scipy.signal.normalize semantics (b may be
-    2-D for multi-output)."""
+    2-D for multi-output).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import normalize
+    >>> b, a = normalize([2.0, 4.0], [2.0, 1.0])
+    >>> np.round(b, 4), np.round(a, 4)
+    (array([1., 2.]), array([1. , 0.5]))
+    """
     b = np.atleast_1d(np.asarray(b, dtype=np.float64)) + 0j \
         if np.iscomplexobj(b) else np.atleast_1d(np.asarray(b, dtype=np.float64))
     a = np.atleast_1d(np.asarray(a, dtype=b.dtype))
@@ -119,7 +128,18 @@ def normalize(b, a):
 def bilinear(b, a, fs: float = 1.0):
     """Tustin (bilinear) transform of an analog (b, a) transfer function —
     scipy.signal.bilinear semantics. Routed through the zpk bilinear
-    transform (ops/iir_design.py: bilinear_zpk) for numerical robustness."""
+    transform (ops/iir_design.py: bilinear_zpk) for numerical robustness.
+
+    Examples:
+
+    The RC lowpass 1/(s+1) discretized at fs = 1:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import bilinear
+    >>> b, a = bilinear([1.0], [1.0, 1.0], fs=1.0)
+    >>> np.round(b, 4), np.round(a, 4)
+    (array([0.3333, 0.3333]), array([ 1.    , -0.3333]))
+    """
     from nx_signal_tpu.ops.iir_design import bilinear_zpk, tf2zpk, zpk2tf
 
     z, p, k = tf2zpk(b, a)
@@ -250,7 +270,18 @@ def cont2discrete(system, dt: float, method: str = "zoh", alpha=None):
     semantics. `system` is (num, den), (z, p, k), or (A, B, C, D); returns
     the same representation with `dt` appended. Methods: zoh (block-matrix
     expm), foh, gbt(alpha), bilinear/tustin (gbt 1/2), euler/forward_diff
-    (gbt 0), backward_diff (gbt 1), impulse."""
+    (gbt 0), backward_diff (gbt 1), impulse.
+
+    Examples:
+
+    Zero-order hold of 1/(s+1) at dt = 0.5:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import cont2discrete
+    >>> num, den, dt = cont2discrete(([1.0], [1.0, 1.0]), 0.5)
+    >>> np.round(num, 4), np.round(den, 4), dt
+    (array([[0.    , 0.3935]]), array([ 1.    , -0.6065]), 0.5)
+    """
     if len(system) == 2:
         sysd = cont2discrete(tf2ss(*system), dt, method=method, alpha=alpha)
         return ss2tf(*sysd[:-1]) + (dt,)
@@ -652,7 +683,18 @@ def dimpulse(system, x0=None, t=None, n=None):
 
 
 def dstep(system, x0=None, t=None, n=None):
-    """Discrete step response — scipy.signal.dstep semantics."""
+    """Discrete step response — scipy.signal.dstep semantics.
+
+    Examples:
+
+    y[n] = 0.5 x[n] + 0.5 y[n-1] stepping toward 1:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import dstep
+    >>> t, (y,) = dstep(([0.5], [1.0, -0.5], 1.0), n=4)
+    >>> np.round(np.asarray(y).ravel(), 4)
+    array([0.   , 0.5  , 0.75 , 0.875], dtype=float32)
+    """
     a, b, c, d, dt = _to_dss(system)
     if n is None:
         n = 100 if t is None else len(np.atleast_1d(t))

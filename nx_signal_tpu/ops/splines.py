@@ -280,7 +280,17 @@ def _spline_eval(cj, newx, dx, x0, basis, half_support):
 def cspline1d_eval(cj, newx, dx: float = 1.0, x0=0):
     """Evaluate a cubic spline from its coefficients at arbitrary points,
     mirror-symmetric at the edges — scipy.signal.cspline1d_eval
-    semantics (gather + 4-tap B-spline weights; no recursion)."""
+    semantics (gather + 4-tap B-spline weights; no recursion).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.splines import cspline1d, cspline1d_eval
+    >>> cj = cspline1d(jnp.asarray([0.0, 1.0, 2.0, 3.0]))
+    >>> np.round(np.asarray(cspline1d_eval(cj, jnp.asarray([0.5, 1.5, 2.5]))), 4)
+    array([0.4487, 1.4996, 2.5537], dtype=float32)
+    """
     return _spline_eval(cj, newx, float(dx), x0, cubic_bspline, 2.0)
 
 

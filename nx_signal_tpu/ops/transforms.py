@@ -131,7 +131,19 @@ def envelope(z, bp_in=(1, None), *, n_out=None, squared=False,
     the residual ('lowpass' keeps only bins below the band; 'all' keeps
     everything outside; None returns just the envelope). Returns the
     envelope alone, or stack([envelope, residual]) along a new axis 0.
-    Not in the reference."""
+    Not in the reference.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.transforms import envelope
+    >>> out = envelope(jnp.sin(2 * jnp.pi * 0.1 * jnp.arange(32)))
+    >>> out.shape
+    (2, 32)
+    >>> np.round(np.asarray(out)[0, :3], 4)
+    array([0.3119, 0.9088, 0.9576], dtype=float32)
+    """
     z = jnp.asarray(z)
     if not (-z.ndim <= axis < z.ndim):
         raise ValueError(f"Invalid parameter axis={axis} for z.shape={z.shape}!")

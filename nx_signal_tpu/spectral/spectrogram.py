@@ -25,6 +25,20 @@ def spectrogram(x, sampling_rate, *, window="hann", window_length: int = 256,
     wants); `overlap_length` defaults to window_length//8 (scipy's default);
     `mode`: 'psd' (density: |z|^2 / (Fs * sum(w^2)), one-sided bins doubled
     except DC/Nyquist), 'magnitude' (|z|), or 'complex' (raw STFT).
+
+    Examples:
+
+    A 1 kHz tone sampled at 8 kHz peaks in the 1 kHz bin:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.spectral.spectrogram import spectrogram
+    >>> x = jnp.sin(2 * jnp.pi * 1000.0 * jnp.arange(2048) / 8000.0)
+    >>> f, t, S = spectrogram(x, 8000.0, window_length=256)
+    >>> S.shape
+    (129, 9)
+    >>> float(np.asarray(f)[np.asarray(S).mean(axis=-1).argmax()])
+    1000.0
     """
     if mode not in ("psd", "magnitude", "complex"):
         raise ValueError(

@@ -42,6 +42,7 @@ DOCTEST_MODULES = [
     "nx_signal_tpu.spectral.short_time_fft",
     "nx_signal_tpu.spectral.mel",
     "nx_signal_tpu.spectral.estimation",
+    "nx_signal_tpu.spectral.spectrogram",
 ]
 
 
