@@ -376,6 +376,15 @@ def fftconvolve(in1, in2, *, mode="full"):
     >>> import jax.numpy as jnp
     >>> import numpy as np
     >>> from nx_signal_tpu.ops.convolution import fftconvolve
+    >>> y = fftconvolve(jnp.asarray([1.0, 2.0, 3.0]), jnp.asarray([0.0, 1.0, 0.5]))
+    >>> np.round(np.asarray(y), 4)
+    array([-0. ,  1. ,  2.5,  4. ,  1.5], dtype=float32)
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.convolution import fftconvolve
     >>> out = fftconvolve(jnp.asarray([1.0, 2.0, 3.0]), jnp.asarray([0.0, 1.0, 0.5]))
     >>> np.round(np.asarray(out), 5)
     array([-0. ,  1. ,  2.5,  4. ,  1.5], dtype=float32)
@@ -439,6 +448,16 @@ def oaconvolve(in1, in2, *, mode="full", block_length=None):
     """Overlap-add convolution along the last axis — the streaming/long-signal
     FIR fast path missing from the reference (convolutions_test.exs:633-654
     is commented out there).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.convolution import oaconvolve
+    >>> y = oaconvolve(jnp.asarray([1.0, 2.0, 3.0]), jnp.asarray([1.0, 1.0]),
+    ...                mode="same")
+    >>> np.round(np.asarray(y), 4)
+    array([1., 3., 5.], dtype=float32)
 
     The signal (..., N) is cut into steps of B-K+1 samples, each block is
     convolved with the (..., K) kernel via rfft of power-of-two length B, and the
@@ -584,7 +603,15 @@ def choose_conv_method(in1, in2, mode: str = "full"):
     CPU crossover (measured ~25x over lax.conv for long-1D FIR,
     kernels/dft.py), so the FFT method is chosen only when the smaller
     operand is large in every convolved axis. Integer inputs always use
-    'direct' (exact, like scipy)."""
+    'direct' (exact, like scipy).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.convolution import choose_conv_method
+    >>> choose_conv_method(jnp.zeros(100), jnp.zeros(5))
+    'direct'
+    """
     in1 = jnp.asarray(in1)
     in2 = jnp.asarray(in2)
     if jnp.issubdtype(in1.dtype, jnp.integer) and jnp.issubdtype(in2.dtype, jnp.integer):

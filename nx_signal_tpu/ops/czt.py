@@ -156,7 +156,15 @@ def czt_points(m: int, w=None, a=1.0 + 0.0j):
     """The m points z_k = a * w^{-k} on the CZT's logarithmic spiral —
     scipy.signal.czt_points semantics (w defaults to exp(-2j*pi/m): the
     unit circle of the plain DFT). Not in the reference. Host-side f64
-    chirp powers for phase accuracy."""
+    chirp powers for phase accuracy.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.czt import czt_points
+    >>> np.round(np.asarray(czt_points(3)), 4)
+    array([ 1. +0.j   , -0.5+0.866j, -0.5-0.866j], dtype=complex64)
+    """
     m = int(m)
     if m <= 0:
         raise ValueError(f"m must be positive, got {m}")

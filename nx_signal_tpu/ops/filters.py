@@ -662,7 +662,18 @@ def medfilt(volume, kernel_size=None):
 
 def medfilt2d(input, kernel_size=3):
     """2-D median filter — scipy.signal.medfilt2d semantics (a 2-D
-    specialization of medfilt; scipy ships it as the fast path)."""
+    specialization of medfilt; scipy ships it as the fast path).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import medfilt2d
+    >>> np.asarray(medfilt2d(jnp.arange(9.0).reshape(3, 3), 3))
+    array([[0., 1., 0.],
+           [1., 4., 2.],
+           [0., 4., 0.]], dtype=float32)
+    """
     input = jnp.asarray(input)
     if input.ndim != 2:
         raise ValueError("input must be 2-D")

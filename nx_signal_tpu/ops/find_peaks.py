@@ -304,7 +304,18 @@ def peak_widths(x, peaks, *, rel_height=0.5, wlen=None):
     scipy.signal.peak_widths semantics (linear-interpolated crossings of
     height = peak_height - prominence*rel_height, bounded by the
     prominence bases). Returns (widths, width_heights, left_ips,
-    right_ips); -1-padded peaks give zero rows."""
+    right_ips); -1-padded peaks give zero rows.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.find_peaks import peak_widths
+    >>> x = jnp.asarray([0.0, 1.0, 2.0, 1.0, 0.0])
+    >>> widths, heights, lips, rips = peak_widths(x, jnp.asarray([2]))
+    >>> np.asarray(widths), np.asarray(heights)
+    (array([2.], dtype=float32), array([1.], dtype=float32))
+    """
     if rel_height < 0:
         raise ValueError("rel_height must be greater or equal to 0")
     x = jnp.asarray(x).astype(DEFAULT_FLOAT)

@@ -40,7 +40,14 @@ __all__ = [
 def kaiser_beta(a: float) -> float:
     """Kaiser window beta for `a` dB of sidelobe attenuation — Kaiser's
     empirical formula (scipy.signal.kaiser_beta semantics). Not in the
-    reference (its firwin takes beta directly, filters.ex:268-271)."""
+    reference (its firwin takes beta directly, filters.ex:268-271).
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.fir_design import kaiser_beta
+    >>> round(kaiser_beta(65.0), 5)
+    6.20426
+    """
     if a > 50:
         return 0.1102 * (a - 8.7)
     if a > 21:
@@ -51,7 +58,14 @@ def kaiser_beta(a: float) -> float:
 def kaiser_atten(numtaps: int, width: float) -> float:
     """Attenuation (dB) of a Kaiser-designed filter with `numtaps` taps and
     transition width `width` (fraction of Nyquist) —
-    scipy.signal.kaiser_atten semantics. Not in the reference."""
+    scipy.signal.kaiser_atten semantics. Not in the reference.
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.fir_design import kaiser_atten
+    >>> round(kaiser_atten(81, 0.1), 4)
+    65.3783
+    """
     return 2.285 * (numtaps - 1) * math.pi * width + 7.95
 
 

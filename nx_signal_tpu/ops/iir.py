@@ -244,7 +244,17 @@ def lfiltic(b, a, y, x=None):
     `y = [y[-1], y[-2], ...]` and past inputs `x = [x[-1], x[-2], ...]` —
     scipy.signal.lfiltic semantics: zi[m] = sum_i b[m+1+i] x[i] -
     sum_i a[m+1+i] y[i] after normalizing to a[0] == 1, with short y/x
-    zero-extended. Host-side f64 numpy (tiny, runs once) feeding the
+    zero-extended. Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir import lfiltic
+    >>> np.round(np.asarray(lfiltic(jnp.asarray([1.0, 0.0]),
+    ...                             jnp.asarray([1.0, -0.5]),
+    ...                             jnp.asarray([2.0]))), 4)
+    array([1.])
+
+    Host-side f64 numpy (tiny, runs once) feeding the
     jitted lfilter. Not in the reference (no IIR there)."""
     b = np.atleast_1d(np.asarray(b, dtype=np.float64))
     a = np.atleast_1d(np.asarray(a, dtype=np.float64))

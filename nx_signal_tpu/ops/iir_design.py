@@ -836,7 +836,15 @@ def buttord(wp, ws, gpass, gstop, analog=False, fs=None):
 
 def cheb1ord(wp, ws, gpass, gstop, analog=False, fs=None):
     """Minimum Chebyshev-I order and the passband edge wn —
-    scipy.signal.cheb1ord semantics. Not in the reference."""
+    scipy.signal.cheb1ord semantics. Not in the reference.
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.iir_design import cheb1ord
+    >>> n, wn = cheb1ord(0.2, 0.3, 3.0, 40.0)
+    >>> n, round(float(wn), 4)
+    (6, 0.2)
+    """
     scalar = np.ndim(wp) == 0
     wp, ws, ftype, passb, stopb, nat, order = _ord_common(
         wp, ws, gpass, gstop, analog, fs, "cheby")
@@ -878,7 +886,15 @@ def cheb2ord(wp, ws, gpass, gstop, analog=False, fs=None):
 def ellipord(wp, ws, gpass, gstop, analog=False, fs=None):
     """Minimum elliptic order and the passband edge wn —
     scipy.signal.ellipord semantics (complete-elliptic-integral degree
-    equation, K(m) by AGM). Not in the reference."""
+    equation, K(m) by AGM). Not in the reference.
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.iir_design import ellipord
+    >>> n, wn = ellipord(0.2, 0.3, 3.0, 40.0)
+    >>> n, round(float(wn), 4)
+    (4, 0.2)
+    """
     scalar = np.ndim(wp) == 0
     wp, ws, ftype, passb, stopb, nat, order = _ord_common(
         wp, ws, gpass, gstop, analog, fs, "ellip")

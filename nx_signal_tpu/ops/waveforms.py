@@ -176,7 +176,19 @@ def sweep_poly(t, poly, phi: float = 0.0):
     """scipy.signal.sweep_poly-compatible spelling of `polynomial_sweep`:
     `poly` is a coefficient sequence (highest power first) or np.poly1d,
     `phi` is in DEGREES (scipy's convention). Not in the reference under
-    this name (waveforms.ex:343-361 is the same math)."""
+    this name (waveforms.ex:343-361 is the same math).
+
+    Examples:
+
+    Instantaneous frequency 2t + 1: phase crosses full cycles at t=0.5, 1:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.waveforms import sweep_poly
+    >>> np.round(np.asarray(sweep_poly(jnp.asarray([0.0, 0.5, 1.0]),
+    ...                                [2.0, 1.0])), 4)
+    array([1., 0., 1.], dtype=float32)
+    """
     coefs = getattr(poly, "coefficients", poly)
     return polynomial_sweep(t, coefs, phi=phi, phi_unit="degrees")
 
