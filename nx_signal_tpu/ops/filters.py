@@ -329,7 +329,16 @@ def freqz_zpk(z, p, k, *, n_freqs: int = 512, sampling_rate: float = 2.0,
     — scipy.signal.freqz_zpk semantics (root-product evaluation keeps
     accuracy for high-order filters where the expanded polynomial of freqz
     loses digits). Returns (frequencies_hz, complex_response). Not in the
-    reference."""
+    reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import freqz_zpk
+    >>> w, h = freqz_zpk([1.0], [0.5], 1.0, n_freqs=3)
+    >>> np.round(np.abs(np.asarray(h)), 4)
+    array([0.    , 1.1547, 1.3093], dtype=float32)
+    """
     freqs, w = _freq_grid(n_freqs, sampling_rate, whole)
     zm = jnp.exp(1j * w)
     z = jnp.atleast_1d(jnp.asarray(z, dtype=zm.dtype))
@@ -602,7 +611,19 @@ def order_filter(a, domain, rank: int):
     TPU-native form: one shifted static slice per selected domain position
     stacked on a new axis, then a single vectorized sort — no gathers, and
     the sort length is the (static) number of selected positions. Not in
-    the reference (its `median` is the anchored-window variant above)."""
+    the reference (its `median` is the anchored-window variant above).
+
+    Examples:
+
+    Rank 1 of each centered 3-window (the middle of three values):
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import order_filter
+    >>> x = jnp.asarray([1.0, 5.0, 2.0, 4.0, 3.0])
+    >>> np.asarray(order_filter(x, jnp.ones(3), 1))
+    array([1., 2., 4., 3., 3.], dtype=float32)
+    """
     a = jnp.asarray(a)
     dom = np.asarray(domain)
     if dom.ndim != a.ndim:

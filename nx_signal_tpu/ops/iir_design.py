@@ -349,7 +349,15 @@ def _split_conj_pairs(roots, tol=1e-8):
 def zpk2sos(z, p, k):
     """zpk -> second-order sections (n_sections, 6). Pairing: poles closest
     to the unit circle matched with nearest zeros, placed last (see module
-    docstring; the cascaded transfer function equals scipy's)."""
+    docstring; the cascaded transfer function equals scipy's).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import zpk2sos
+    >>> np.round(zpk2sos([1.0, -1.0], [0.5j, -0.5j], 1.0), 4)
+    array([[ 1.  ,  0.  , -1.  ,  1.  ,  0.  ,  0.25]])
+    """
     z = np.asarray(z, dtype=complex)
     p = np.asarray(p, dtype=complex)
     if len(z) > len(p):
@@ -407,7 +415,16 @@ def tf2sos(b, a):
 
 
 def sos2tf(sos):
-    """Second-order sections -> (b, a)."""
+    """Second-order sections -> (b, a).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import sos2tf
+    >>> b, a = sos2tf([[1.0, 0.0, -1.0, 1.0, 0.0, 0.25]])
+    >>> np.round(b, 4), np.round(a, 4)
+    (array([ 1.,  0., -1.]), array([1.  , 0.  , 0.25]))
+    """
     sos = np.asarray(sos, dtype=np.float64)
     b, a = np.array([1.0]), np.array([1.0])
     for s in range(sos.shape[0]):
@@ -422,7 +439,16 @@ def sos2zpk(sos):
     """Second-order sections -> (z, p, k) — scipy.signal.sos2zpk semantics:
     every section contributes exactly two roots (sections with a shorter
     actual polynomial are padded with roots at the origin), so len(z) ==
-    len(p) == 2 * n_sections."""
+    len(p) == 2 * n_sections.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import sos2zpk
+    >>> z, p, k = sos2zpk([[1.0, 0.0, -1.0, 1.0, 0.0, 0.25]])
+    >>> np.round(np.asarray(z), 4), float(k)
+    (array([-1.+0.j,  1.+0.j]), 1.0)
+    """
     sos = np.asarray(sos, dtype=np.float64)
     if sos.ndim != 2 or sos.shape[1] != 6:
         raise ValueError("sos array must be shape (n_sections, 6)")
@@ -453,13 +479,31 @@ def _lp2_tf(b, a, zpk_transform, *args):
 
 def lp2lp(b, a, wo=1.0):
     """Lowpass-to-lowpass cutoff transform of an analog (b, a) transfer
-    function, s -> s/wo — scipy.signal.lp2lp semantics (via lp2lp_zpk)."""
+    function, s -> s/wo — scipy.signal.lp2lp semantics (via lp2lp_zpk).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import lp2lp
+    >>> b, a = lp2lp([1.0], [1.0, 1.0], wo=2.0)
+    >>> np.round(b, 4), np.round(a, 4)
+    (array([2.]), array([1., 2.]))
+    """
     return _lp2_tf(b, a, lp2lp_zpk, float(wo))
 
 
 def lp2hp(b, a, wo=1.0):
     """Lowpass-to-highpass transform, s -> wo/s — scipy.signal.lp2hp
-    semantics (via lp2hp_zpk)."""
+    semantics (via lp2hp_zpk).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import lp2hp
+    >>> b, a = lp2hp([1.0], [1.0, 1.0], wo=2.0)
+    >>> np.round(b, 4), np.round(a, 4)
+    (array([1., 0.]), array([1., 2.]))
+    """
     return _lp2_tf(b, a, lp2hp_zpk, float(wo))
 
 
@@ -610,7 +654,18 @@ def cheby1(n, rp, wn, btype="lowpass", analog=False, output="ba", fs=None):
 
 
 def cheby2(n, rs, wn, btype="lowpass", analog=False, output="ba", fs=None):
-    """Chebyshev type-II design — scipy.signal.cheby2 semantics."""
+    """Chebyshev type-II design — scipy.signal.cheby2 semantics.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import cheby2
+    >>> b, a = cheby2(2, 40.0, 0.3)
+    >>> np.round(np.asarray(b), 4)
+    array([ 0.0137, -0.0087,  0.0137])
+    >>> np.round(np.asarray(a), 4)
+    array([ 1.    , -1.798 ,  0.8167])
+    """
     return iirfilter(n, wn, rs=rs, btype=btype, analog=analog, ftype="cheby2",
                      output=output, fs=fs)
 
@@ -855,7 +910,15 @@ def cheb1ord(wp, ws, gpass, gstop, analog=False, fs=None):
 def cheb2ord(wp, ws, gpass, gstop, analog=False, fs=None):
     """Minimum Chebyshev-II order and the stopband-matched wn —
     scipy.signal.cheb2ord semantics: wn is backed out so the response hits
-    exactly -gstop dB at the stopband edge. Not in the reference."""
+    exactly -gstop dB at the stopband edge. Not in the reference.
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.iir_design import cheb2ord
+    >>> n, wn = cheb2ord(0.2, 0.3, 3.0, 40.0)
+    >>> n, round(float(wn), 4)
+    (6, 0.2746)
+    """
     scalar = np.ndim(wp) == 0
     wp, ws, ftype, passb, stopb, nat, order = _ord_common(
         wp, ws, gpass, gstop, analog, fs, "cheby")
@@ -1021,5 +1084,14 @@ def iirnotch(w0, q, fs=2.0):
 
 def iirpeak(w0, q, fs=2.0):
     """Second-order peak (resonator) filter — scipy.signal.iirpeak
-    semantics."""
+    semantics.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import iirpeak
+    >>> b, a = iirpeak(0.25, 30.0)
+    >>> np.round(np.asarray(b), 4)
+    array([ 0.0129,  0.    , -0.0129])
+    """
     return _design_notch_peak(w0, q, "peak", fs)

@@ -354,7 +354,16 @@ def cont2discrete(system, dt: float, method: str = "zoh", alpha=None):
 def unique_roots(p, tol: float = 1e-3, rtype: str = "min"):
     """Cluster close roots into (unique values, multiplicities) —
     scipy.signal.unique_roots semantics: roots within `tol` of a cluster
-    join it; the representative is the cluster min/max/mean per `rtype`."""
+    join it; the representative is the cluster min/max/mean per `rtype`.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import unique_roots
+    >>> vals, mult = unique_roots([1.0, 1.0 + 1e-9, 2.0])
+    >>> np.asarray(vals, dtype=np.float64), np.asarray(mult)
+    (array([1., 2.]), array([2, 1]))
+    """
     p = np.atleast_1d(np.asarray(p))
     if rtype in ("max", "maximum"):
         reduce = np.max
@@ -485,7 +494,18 @@ def residue(b, a, tol: float = 1e-3, rtype: str = "avg"):
     """Partial-fraction expansion b(s)/a(s) = k(s) + sum r_i/(s-p_i)^n —
     scipy.signal.residue semantics (repeated poles listed with increasing
     power). Series-division at each pole cluster instead of scipy's
-    derivative recurrences; identical values for well-separated roots."""
+    derivative recurrences; identical values for well-separated roots.
+
+    Examples:
+
+    1 / ((s+1)(s+2)) = 1/(s+1) - 1/(s+2):
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import residue
+    >>> r, p, k = residue([1.0], [1.0, 3.0, 2.0])
+    >>> np.round(r, 4), np.round(p, 4)
+    (array([-1.,  1.]), array([-2.+0.j, -1.+0.j]))
+    """
     r, p, k = _partial_fractions(b, a, tol, rtype, "s")
     return _real_if_close(r), p, _real_if_close(k).astype(np.float64) \
         if k.size else np.array([], dtype=np.float64)
@@ -630,7 +650,16 @@ def dlsim(system, u, t=None, x0=None):
     `system` is (num, den, dt), (z, p, k, dt), or (A, B, C, D, dt); `u` is
     (n_steps,) or (n_steps, n_inputs). Returns (tout, yout, xout) for
     state-space input, (tout, yout) otherwise. The recursion runs as a
-    jax.lax.scan (TPU-compiled) over the steps."""
+    jax.lax.scan (TPU-compiled) over the steps.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import dlsim
+    >>> t, y = dlsim(([0.5], [1.0, -0.5], 1.0), np.asarray([1.0, 0.0, 0.0]))
+    >>> np.round(np.asarray(y).ravel(), 4)
+    array([0.  , 0.5 , 0.25], dtype=float32)
+    """
     import jax.numpy as jnp
     from jax import lax
 
@@ -667,7 +696,16 @@ def dlsim(system, u, t=None, x0=None):
 
 def dimpulse(system, x0=None, t=None, n=None):
     """Discrete impulse response — scipy.signal.dimpulse semantics: returns
-    (tout, (y_per_input, ...))."""
+    (tout, (y_per_input, ...)).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import dimpulse
+    >>> t, (y,) = dimpulse(([0.5], [1.0, -0.5], 1.0), n=4)
+    >>> np.round(np.asarray(y).ravel(), 4)
+    array([0.   , 0.5  , 0.25 , 0.125], dtype=float32)
+    """
     a, b, c, d, dt = _to_dss(system)
     if n is None:
         n = 100 if t is None else len(np.atleast_1d(t))
@@ -724,7 +762,17 @@ def lsim(system, u, t, x0=None, interp: bool = True):
     """Simulate a continuous-time LTI system over uniformly spaced times —
     scipy.signal.lsim semantics: exact ZOH (interp=False) or
     linearly-interpolated-input (interp=True) discretization via the block
-    matrix exponential, then a jax.lax.scan recursion."""
+    matrix exponential, then a jax.lax.scan recursion.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import lsim
+    >>> t, y, x = lsim(([1.0], [1.0, 1.0]), np.ones(3),
+    ...                np.asarray([0.0, 0.5, 1.0]))
+    >>> np.round(np.asarray(y), 4)
+    array([0.    , 0.3935, 0.6321])
+    """
     import jax.numpy as jnp
     from jax import lax
 
@@ -795,7 +843,18 @@ def lsim(system, u, t, x0=None, interp: bool = True):
 
 def impulse(system, x0=None, t=None, n: int = None):
     """Continuous impulse response — scipy.signal.impulse semantics: the
-    impulse enters as an initial state B (plus any x0)."""
+    impulse enters as an initial state B (plus any x0).
+
+    Examples:
+
+    h(t) = e^{-t} for 1/(s+1):
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import impulse
+    >>> t, y = impulse(([1.0], [1.0, 1.0]), t=np.asarray([0.0, 1.0, 2.0]))
+    >>> np.round(np.asarray(y), 4)
+    array([1.    , 0.3679, 0.1353])
+    """
     a, b, c, d = _to_ss(system)
     if n is None:
         n = 100
@@ -809,7 +868,18 @@ def impulse(system, x0=None, t=None, n: int = None):
 
 
 def step(system, x0=None, t=None, n: int = None):
-    """Continuous step response — scipy.signal.step semantics."""
+    """Continuous step response — scipy.signal.step semantics.
+
+    Examples:
+
+    s(t) = 1 - e^{-t} for 1/(s+1):
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import step
+    >>> t, y = step(([1.0], [1.0, 1.0]), t=np.asarray([0.0, 1.0, 2.0]))
+    >>> np.round(np.asarray(y), 4)
+    array([0.    , 0.6321, 0.8647])
+    """
     a, b, c, d = _to_ss(system)
     if n is None:
         n = 100
@@ -824,7 +894,15 @@ def step(system, x0=None, t=None, n: int = None):
 
 def findfreqs(num, den, n: int, kind: str = "ba"):
     """Log-spaced frequency grid covering a system's interesting range —
-    scipy.signal.findfreqs semantics."""
+    scipy.signal.findfreqs semantics.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import findfreqs
+    >>> np.round(np.asarray(findfreqs([1.0], [1.0, 1.0], 4)), 4)
+    array([ 0.01,  0.1 ,  1.  , 10.  ])
+    """
     if kind == "ba":
         ep = np.atleast_1d(np.roots(np.atleast_1d(den))) + 0j
         tz = np.atleast_1d(np.roots(np.atleast_1d(num))) + 0j
@@ -847,7 +925,16 @@ def findfreqs(num, den, n: int, kind: str = "ba"):
 
 def freqresp(system, w=None, n: int = 10000):
     """Frequency response H(jw) of a continuous system —
-    scipy.signal.freqresp semantics. Returns (w, H)."""
+    scipy.signal.freqresp semantics. Returns (w, H).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import freqresp
+    >>> w, h = freqresp(([1.0], [1.0, 1.0]), w=np.asarray([0.5, 1.0, 2.0]))
+    >>> np.round(np.abs(np.asarray(h)), 4)
+    array([0.8944, 0.7071, 0.4472])
+    """
     if len(system) == 2:
         num, den = np.atleast_1d(system[0]), np.atleast_1d(system[1])
     elif len(system) == 3:

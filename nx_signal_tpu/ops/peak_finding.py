@@ -23,7 +23,17 @@ class Extrema(NamedTuple):
 
 def argrelmin(data, *, axis: int = 0, order: int = 1):
     """Relative minima along `axis` with neighborhood `order` (reference:
-    peak_finding.ex:131-134)."""
+    peak_finding.ex:131-134).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.peak_finding import argrelmin
+    >>> idx, count = argrelmin(jnp.asarray([3.0, 1.0, 4.0, 0.0, 5.0]))
+    >>> np.asarray(idx).ravel()[:2], int(count)
+    (array([1, 3], dtype=int32), 2)
+    """
     return argrelextrema(data, jnp.less, axis=axis, order=order)
 
 

@@ -45,7 +45,16 @@ def gauss_spline(x, n: int):
 
 
 def cubic_bspline(x):
-    """Centered cubic (order-3) B-spline basis function."""
+    """Centered cubic (order-3) B-spline basis function.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.splines import cubic_bspline
+    >>> np.round(np.asarray(cubic_bspline(jnp.asarray([0.0, 0.5, 1.0]))), 4)
+    array([0.6667, 0.4792, 0.1667], dtype=float32)
+    """
     x = jnp.abs(jnp.asarray(x))
     inner = 2.0 / 3.0 - x**2 * (1.0 - x / 2.0)
     outer = (2.0 - x) ** 3 / 6.0
@@ -53,7 +62,16 @@ def cubic_bspline(x):
 
 
 def quadratic_bspline(x):
-    """Centered quadratic (order-2) B-spline basis function."""
+    """Centered quadratic (order-2) B-spline basis function.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.splines import quadratic_bspline
+    >>> np.round(np.asarray(quadratic_bspline(jnp.asarray([0.0, 0.5, 1.0]))), 4)
+    array([0.75 , 0.5  , 0.125], dtype=float32)
+    """
     x = jnp.abs(jnp.asarray(x))
     inner = 0.75 - x**2
     outer = (x - 1.5) ** 2 / 2.0
@@ -84,7 +102,17 @@ def symiirorder1(signal, c0, z1, precision: float = -1.0):
 
     The forward starting value is the closed-form mirror sum
     y0 = x[0] + z1 * sum_k z1^k x[k] (one matvec); both passes are lfilter
-    scans."""
+    scans.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.splines import symiirorder1
+    >>> y = symiirorder1(jnp.arange(16.0), 0.5, 0.1)
+    >>> np.round(np.asarray(y)[:4], 4)
+    array([0.0686, 0.6241, 1.2353, 1.8519], dtype=float32)
+    """
     x = jnp.asarray(signal)
     if abs(z1) >= 1:
         raise ValueError("|z1| must be less than 1.0")
@@ -233,7 +261,16 @@ def cspline1d(signal, lamb: float = 0.0):
 
 def qspline1d(signal, lamb: float = 0.0):
     """Quadratic B-spline coefficients — scipy.signal.qspline1d semantics
-    (smoothing not defined for quadratic splines, like scipy)."""
+    (smoothing not defined for quadratic splines, like scipy).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.splines import qspline1d
+    >>> np.round(np.asarray(qspline1d(jnp.asarray([0.0, 1.0, 2.0, 3.0]))), 4)
+    array([-0.1465,  1.0293,  1.9706,  3.1471], dtype=float32)
+    """
     if lamb != 0.0:
         raise ValueError("lambda must be zero for quadratic splines")
     return _bspline_coeffs(signal, -3.0 + 2.0 * math.sqrt(2.0), 8.0)

@@ -95,7 +95,15 @@ def hilbert2(x, *, n=None):
     """2-D analytic signal over the last two axes —
     scipy.signal.hilbert2 semantics: fft2, zero the negative-frequency
     half-planes (doubling the positive ones), ifft2. `n` is an optional
-    (n0, n1) FFT shape. Real input required. Not in the reference."""
+    (n0, n1) FFT shape. Real input required. Not in the reference.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.transforms import hilbert2
+    >>> hilbert2(jnp.ones((4, 4))).shape
+    (4, 4)
+    """
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         raise ValueError("x must be real")

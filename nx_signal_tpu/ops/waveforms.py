@@ -158,7 +158,17 @@ def chirp(t, f0: float, t1: float, f1: float, *, method: str = "linear",
 def polynomial_sweep(t, coefs, *, phi: float = 0.0, phi_unit: str = "radians"):
     """Cosine with instantaneous frequency given by a polynomial (highest
     power first); the polynomial is integrated analytically (reference:
-    waveforms.ex:343-361; scipy.signal.sweep_poly semantics)."""
+    waveforms.ex:343-361; scipy.signal.sweep_poly semantics).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.waveforms import polynomial_sweep
+    >>> t = jnp.asarray([0.0, 0.5, 1.0])
+    >>> np.round(np.asarray(polynomial_sweep(t, jnp.asarray([2.0, 1.0]))), 4)
+    array([1., 0., 1.], dtype=float32)
+    """
     t = _as_float(t)
     coefs = jnp.asarray(coefs, dtype=t.dtype)
     (n,) = coefs.shape

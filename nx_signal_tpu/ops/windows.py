@@ -517,7 +517,15 @@ def kaiser_bessel_derived(n: int, beta: float, *, dtype=DEFAULT_FLOAT):
     energy of an (n/2 + 1)-point Kaiser window:
     w[k] = sqrt(cumsum(kaiser)[k] / sum(kaiser)) for the first half,
     mirrored. Only defined for even n (scipy raises likewise).
-    Not in the reference."""
+    Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import kaiser_bessel_derived
+    >>> np.round(np.asarray(kaiser_bessel_derived(4, beta=4.0)), 4)
+    array([0.2742, 0.9617, 0.9617, 0.2742], dtype=float32)
+    """
     if n < 0:
         raise ValueError("Window length n must be non-negative")
     if n == 0:
@@ -535,12 +543,28 @@ def kaiser_bessel_derived(n: int, beta: float, *, dtype=DEFAULT_FLOAT):
 def boxcar(n: int, *, dtype=DEFAULT_FLOAT):
     """Rectangular window under scipy's name (scipy.signal.windows.boxcar);
     float dtype by default, unlike `rectangular`'s reference-exact s64
-    (windows.ex:33-36)."""
+    (windows.ex:33-36).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import boxcar
+    >>> np.asarray(boxcar(3))
+    array([1., 1., 1.], dtype=float32)
+    """
     return jnp.ones((n,), dtype=dtype)
 
 
 def triang(n: int, *, dtype=DEFAULT_FLOAT):
     """Triangular window under scipy's name (scipy.signal.windows.triang —
     non-zero endpoints, unlike bartlett); alias of `triangular` (always
-    symmetric, as the reference defines it — windows.ex:98-127)."""
+    symmetric, as the reference defines it — windows.ex:98-127).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import triang
+    >>> np.round(np.asarray(triang(4)), 4)
+    array([0.25, 0.75, 0.75, 0.25], dtype=float32)
+    """
     return triangular(n, dtype=dtype)
