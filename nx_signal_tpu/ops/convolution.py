@@ -150,7 +150,17 @@ def correlate2d(in1, in2, *, mode="full", boundary="fill", fillvalue=0):
     later than convolution's (k-1)//2 for even kernel dims. When 'valid'
     mode requires swapping (in2 larger everywhere), the swapped result is
     reversed (scipy's pinned behavior: reversed but NOT conjugated). Not in
-    the reference."""
+    the reference.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.convolution import correlate2d
+    >>> np.asarray(correlate2d(jnp.ones((3, 3)), jnp.ones((2, 2)), mode="valid"))
+    array([[4., 4.],
+           [4., 4.]], dtype=float32)
+    """
     _check_mode_method(mode, "direct")
     in1, in2 = jnp.asarray(in1), jnp.asarray(in2)
     if in1.ndim != 2 or in2.ndim != 2:

@@ -386,7 +386,16 @@ def freqs(b, a, worN: int = 200):
 def freqs_zpk(z, p, k, worN: int = 200):
     """Analog zpk frequency response H(jw) = k * prod(jw - z)/prod(jw - p)
     — scipy.signal.freqs_zpk semantics (root-product form). Returns
-    (w, h). Not in the reference."""
+    (w, h). Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import freqs_zpk
+    >>> w, h = freqs_zpk([], [-1.0], 1.0, np.asarray([0.5, 1.0, 2.0]))
+    >>> np.round(np.abs(np.asarray(h)), 4)
+    array([0.8944, 0.7071, 0.4472], dtype=float32)
+    """
     w = _freqs_grid(worN, z, p, "zp")
     s = (1j * w.astype(_analysis_float())).astype(
         jnp.complex128 if _analysis_float() == jnp.float64 else jnp.complex64)

@@ -422,7 +422,19 @@ def sosfilt_zi(sos):
 
 def sosfiltfilt(sos, x, axis=-1, padtype="odd", padlen=None):
     """Zero-phase forward-backward SOS filtering —
-    scipy.signal.sosfiltfilt semantics. New relative to the reference."""
+    scipy.signal.sosfiltfilt semantics. New relative to the reference.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir import sosfiltfilt
+    >>> from nx_signal_tpu.ops.iir_design import butter
+    >>> sos = butter(2, 0.25, output="sos")
+    >>> x = jnp.concatenate([jnp.zeros(4), jnp.ones(8)])
+    >>> np.round(np.asarray(sosfiltfilt(sos, x))[-3:], 4)
+    array([1.0249, 1.0102, 0.9985], dtype=float32)
+    """
     sos_np = np.asarray(sos, dtype=np.float64)
     if sos_np.ndim != 2 or sos_np.shape[1] != 6:
         raise ValueError("sos array must be shape (n_sections, 6)")

@@ -39,7 +39,16 @@ __all__ = [
 
 def buttap(n):
     """Analog lowpass Butterworth prototype: poles on the unit circle's left
-    half, |H(jw)| = 1/sqrt(1 + w^(2n)). Returns (z, p, k)."""
+    half, |H(jw)| = 1/sqrt(1 + w^(2n)). Returns (z, p, k).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import buttap
+    >>> z, p, k = buttap(2)
+    >>> np.round(p, 4), float(k)
+    (array([-0.7071+0.7071j, -0.7071-0.7071j]), 1.0)
+    """
     if n <= 0:
         raise ValueError("filter order must be a positive integer")
     m = np.arange(-n + 1, n, 2)
@@ -262,7 +271,19 @@ def lp2bs_zpk(z, p, k, wo=1.0, bw=1.0):
 
 def bilinear_zpk(z, p, k, fs):
     """Analog zpk -> digital zpk via the bilinear (Tustin) transform at
-    sample rate fs: s = 2 fs (z-1)/(z+1)."""
+    sample rate fs: s = 2 fs (z-1)/(z+1).
+
+    Examples:
+
+    The analog pole at -1 maps to z = 1/3 at fs = 1:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import bilinear_zpk
+    >>> z, p, k = bilinear_zpk(np.asarray([]), np.asarray([-1.0 + 0j]), 1.0,
+    ...                        fs=1.0)
+    >>> np.round(p, 4), round(float(k), 4)
+    (array([0.3333+0.j]), 0.3333)
+    """
     z, p = np.asarray(z, dtype=complex), np.asarray(p, dtype=complex)
     d = _degree(z, p)
     fs2 = 2.0 * fs
@@ -509,7 +530,16 @@ def lp2hp(b, a, wo=1.0):
 
 def lp2bp(b, a, wo=1.0, bw=1.0):
     """Lowpass-to-bandpass transform, s -> (s^2 + wo^2)/(bw*s) —
-    scipy.signal.lp2bp semantics (via lp2bp_zpk)."""
+    scipy.signal.lp2bp semantics (via lp2bp_zpk).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import lp2bp
+    >>> b, a = lp2bp([1.0], [1.0, 1.0], wo=2.0, bw=1.0)
+    >>> np.round(b, 4), np.round(a, 4)
+    (array([1., 0.]), array([1., 1., 4.]))
+    """
     return _lp2_tf(b, a, lp2bp_zpk, float(wo), float(bw))
 
 
@@ -553,7 +583,18 @@ def iirfilter(n, wn, rp=None, rs=None, btype="lowpass", analog=False,
     prototype -> frequency transform (with tan pre-warping for digital) ->
     bilinear transform. `wn` is in half-cycles/sample (Nyquist = 1) unless
     `fs` is given (then in the same units as fs) or `analog=True` (rad/s).
-    New relative to the reference (nx_signal has no IIR design)."""
+    New relative to the reference (nx_signal has no IIR design).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import iirfilter
+    >>> b, a = iirfilter(2, 0.3, ftype="butter")
+    >>> np.round(np.asarray(b), 4)
+    array([0.1311, 0.2622, 0.1311])
+    >>> np.round(np.asarray(a), 4)
+    array([ 1.    , -0.7478,  0.2722])
+    """
     ftype = ftype.lower()
     if ftype not in _PROTOTYPES:
         raise ValueError(
@@ -691,7 +732,18 @@ def ellip(n, rp, rs, wn, btype="lowpass", analog=False, output="ba", fs=None):
 
 def bessel(n, wn, btype="lowpass", analog=False, output="ba", fs=None):
     """Bessel/Thomson design (norm='phase') — scipy.signal.bessel
-    semantics."""
+    semantics.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import bessel
+    >>> b, a = bessel(2, 0.25)
+    >>> np.round(np.asarray(b), 4)
+    array([0.0908, 0.1817, 0.0908])
+    >>> np.round(np.asarray(a), 4)
+    array([ 1.    , -0.8771,  0.2404])
+    """
     return iirfilter(n, wn, btype=btype, analog=analog, ftype="bessel",
                      output=output, fs=fs)
 

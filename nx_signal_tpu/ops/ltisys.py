@@ -187,7 +187,17 @@ def tf2ss(num, den):
 def ss2tf(a, b, c, d, input: int = 0):
     """State space -> transfer function (num rows per output, shared den) —
     scipy.signal.ss2tf semantics: den = poly(A),
-    num_k = poly(A - B_i C_k) + (D_ki - 1) den."""
+    num_k = poly(A - B_i C_k) + (D_ki - 1) den.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import ss2tf
+    >>> A = [[-3.0, -5.0], [1.0, 0.0]]
+    >>> num, den = ss2tf(A, [[1.0], [0.0]], [[1.0, 2.0]], [[0.0]])
+    >>> np.round(num, 4), np.round(den, 4)
+    (array([[0., 1., 2.]]), array([1., 3., 5.]))
+    """
     a, b, c, d = abcd_normalize(a, b, c, d)
     nin = d.shape[1]
     if input >= nin:
@@ -209,7 +219,17 @@ def ss2tf(a, b, c, d, input: int = 0):
 
 
 def zpk2ss(z, p, k):
-    """Zeros/poles/gain -> state space — scipy.signal.zpk2ss semantics."""
+    """Zeros/poles/gain -> state space — scipy.signal.zpk2ss semantics.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import zpk2ss
+    >>> A, B, C, D = zpk2ss([1.0], [0.5, 0.25], 2.0)
+    >>> np.round(A, 4)
+    array([[ 0.75 , -0.125],
+           [ 1.   ,  0.   ]])
+    """
     from nx_signal_tpu.ops.iir_design import zpk2tf
 
     return tf2ss(*zpk2tf(z, p, k))
@@ -565,7 +585,18 @@ def residuez(b, a, tol: float = 1e-3, rtype: str = "avg"):
 
 def invres(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
     """Inverse of `residue`: reassemble (b, a) from residues/poles/direct —
-    scipy.signal.invres semantics."""
+    scipy.signal.invres semantics.
+
+    Examples:
+
+    The inverse of the residue example: -1/(s+2) + 1/(s+1) = 1/((s+1)(s+2)):
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import invres
+    >>> b, a = invres([-1.0, 1.0], [-2.0, -1.0], [])
+    >>> np.round(b, 4), np.round(a, 4)
+    (array([0., 1.]), array([1., 3., 2.]))
+    """
     r = np.atleast_1d(np.asarray(r, dtype=np.complex128))
     p = np.atleast_1d(np.asarray(p, dtype=np.complex128))
     k = np.atleast_1d(np.asarray(k, dtype=np.complex128)) if np.size(k) \

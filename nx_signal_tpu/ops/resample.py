@@ -229,6 +229,18 @@ def pfb_analyze(x, n_channels: int, *, taps_per_channel: int = 8, window=("kaise
     The prototype defaults to firwin(n_channels*taps_per_channel,
     1/n_channels, kaiser 5.0); pass `taps` to override. `shift=True` applies
     fftshift over the channel axis (center-DC ordering).
+
+    Examples:
+
+    An 8-band filterbank on one 4096-sample stream yields (1, frames, 8):
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.resample import pfb_analyze
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4096)),
+    ...                 jnp.float32)
+    >>> pfb_analyze(x, 8, taps_per_channel=4).shape
+    (1, 509, 8)
     """
     x = jnp.asarray(x)
     m = n_channels

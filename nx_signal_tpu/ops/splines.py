@@ -333,7 +333,17 @@ def cspline1d_eval(cj, newx, dx: float = 1.0, x0=0):
 
 def qspline1d_eval(cj, newx, dx: float = 1.0, x0=0):
     """Evaluate a quadratic spline — scipy.signal.qspline1d_eval
-    semantics."""
+    semantics.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.splines import qspline1d, qspline1d_eval
+    >>> cj = qspline1d(jnp.asarray([0.0, 1.0, 2.0, 3.0]))
+    >>> np.round(np.asarray(qspline1d_eval(cj, jnp.asarray([0.5, 1.5, 2.5]))), 4)
+    array([0.4414, 1.5   , 2.5588], dtype=float32)
+    """
     return _spline_eval(cj, newx, float(dx), x0, quadratic_bspline, 1.5)
 
 

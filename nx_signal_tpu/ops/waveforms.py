@@ -90,7 +90,21 @@ class GaussianPulse(NamedTuple):
 def gaussian_pulse(t, *, center_frequency: float = 1000.0, bandwidth: float = 0.5,
                    bandwidth_reference_level: float = -6.0):
     """Gaussian-modulated sinusoid e^{-a t^2} (cos, sin)(2 pi fc t); returns
-    (envelope, in_phase, quadrature) (reference: waveforms.ex:161-198)."""
+    (envelope, in_phase, quadrature) (reference: waveforms.ex:161-198).
+
+    Examples:
+
+    Rows are [envelope, in-phase, quadrature]; the envelope peaks at t=0:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.waveforms import gaussian_pulse
+    >>> t = jnp.asarray([-0.001, 0.0, 0.001])
+    >>> out = gaussian_pulse(t, center_frequency=1000.0)
+    >>> np.round(np.asarray(out)[:2], 4)
+    array([[0.4094, 1.    , 0.4094],
+           [0.4094, 1.    , 0.4094]], dtype=float32)
+    """
     fc, bw, bwr = center_frequency, bandwidth, bandwidth_reference_level
     if fc < 0:
         raise ValueError(f"Center frequency must be greater than or equal to 0, got: {fc}")

@@ -74,7 +74,16 @@ def morlet2(points: int, s, w: float = 5.0):
     """Morlet wavelet in the cwt-compatible parameterization:
     sqrt(1/s) pi^{-1/4} e^{i w x} e^{-x^2/2} with x = (arange(points) -
     (points-1)/2) / s — scipy.signal.morlet2 (legacy) semantics. Its
-    scale s relates to a signal frequency f as s = w * fs / (2 pi f)."""
+    scale s relates to a signal frequency f as s = w * fs / (2 pi f).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.wavelets import morlet2
+    >>> np.round(np.asarray(morlet2(4, 1.0)), 4)
+    array([ 0.0845-0.2287j, -0.5311-0.3967j, -0.5311+0.3967j,  0.0845+0.2287j],
+          dtype=complex64)
+    """
     s = float(s)
     x = (np.arange(points, dtype=np.float64) - (points - 1.0) / 2.0) / s
     out = (math.pi ** -0.25) * math.sqrt(1.0 / s) \

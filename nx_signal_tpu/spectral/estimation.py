@@ -322,6 +322,18 @@ def csd(x, y, *, sampling_rate=1.0, window="hann", segment_length=256,
     `detrend` is 'constant' (remove each segment's mean), 'linear' (remove
     its least-squares line), False/None, or a callable applied to the
     segmented array along the last axis.
+
+    Examples:
+
+    A tone's cross-spectral density with itself peaks at the tone:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.spectral.estimation import csd
+    >>> x = jnp.sin(2 * jnp.pi * 0.25 * jnp.arange(512))
+    >>> f, p = csd(x, x, segment_length=128)
+    >>> float(np.asarray(f)[np.abs(np.asarray(p)).argmax()])
+    0.25
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)

@@ -280,7 +280,16 @@ def check_cola(window, nperseg: int, noverlap: int, tol: float = 1e-10):
     sum_j w[k + j*step] must be equal (within tol) for all k in one hop
     period. Host-side f64; `window` may be an array or a window name known
     to ops.windows.get_window. Not in the reference (its istft always
-    NOLA-normalizes, nx_signal.ex:630-637)."""
+    NOLA-normalizes, nx_signal.ex:630-637).
+
+    Examples:
+
+    A Hann window at half overlap satisfies COLA:
+
+    >>> from nx_signal_tpu.spectral.stft import check_cola
+    >>> check_cola("hann", 8, 4)
+    True
+    """
     import numpy as np
 
     w = _check_window_arg(window, nperseg)
@@ -301,7 +310,14 @@ def check_nola(window, nperseg: int, noverlap: int, tol: float = 1e-10):
     constraint (invertibility of the normalized inverse STFT) —
     scipy.signal.check_NOLA semantics: min_k sum_j |w[k + j*step]|^2 > tol.
     This is exactly the 1e-10 guard `istft` applies per sample
-    (reference: nx_signal.ex:635-637) evaluated as a predicate."""
+    (reference: nx_signal.ex:635-637) evaluated as a predicate.
+
+    Examples:
+
+    >>> from nx_signal_tpu.spectral.stft import check_nola
+    >>> check_nola("hann", 8, 4)
+    True
+    """
     import numpy as np
 
     w = _check_window_arg(window, nperseg)
