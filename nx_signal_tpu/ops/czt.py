@@ -180,7 +180,19 @@ class CZT:
     semantics. Precomputes the chirp weight tables (the MXU matmul weights
     or the Bluestein FFT tables) once at construction, so repeated
     transforms of same-length signals skip all host-side f64 table math.
-    Not in the reference (nx_signal stops at plain FFT, SURVEY.md §2.4)."""
+    Not in the reference (nx_signal stops at plain FFT, SURVEY.md §2.4).
+
+    Examples:
+
+    A reusable plan evaluating the plain 8-point DFT:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.czt import CZT
+    >>> plan = CZT(8, m=8)
+    >>> np.round(np.asarray(plan(jnp.ones(8)))[:2], 4)
+    array([8.+0.j, 0.-0.j], dtype=complex64)
+    """
 
     def __init__(self, n: int, m: int = None, w=None, a=1.0 + 0.0j):
         self._plan = _CztPlan(n, m, w, a)
@@ -212,7 +224,16 @@ class CZT:
 class ZoomFFT(CZT):
     """Callable zoom FFT of fixed length over a fixed band —
     scipy.signal.ZoomFFT semantics: a CZT along the unit-circle arc
-    [f1, f2]. See `zoom_fft` for the band math. Not in the reference."""
+    [f1, f2]. See `zoom_fft` for the band math. Not in the reference.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.czt import ZoomFFT
+    >>> plan = ZoomFFT(16, [0.1, 0.3], m=4, fs=1.0)
+    >>> plan(jnp.ones(16)).shape
+    (4,)
+    """
 
     def __init__(self, n: int, fn, m: int = None, *, fs: float = 2.0,
                  endpoint: bool = False):

@@ -623,7 +623,19 @@ def find_peaks_cwt(vector, widths, wavelet=None, max_distances=None,
     Runs host-side in f64 (ridge tracing is sequential bookkeeping over
     comparisons that must not flip on f32 rounding — the same f64-pocket
     rule as the design math); use `cwt` directly for on-device transforms.
-    Not in the reference."""
+    Not in the reference.
+
+    Examples:
+
+    Peaks of a period-20 sine found by wavelet ridge lines:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.find_peaks import find_peaks_cwt
+    >>> x = jnp.sin(2 * jnp.pi * jnp.arange(100) / 20.0)
+    >>> np.asarray(find_peaks_cwt(x, jnp.arange(3, 10)))
+    array([ 6, 25, 45, 65, 86])
+    """
     from nx_signal_tpu.ops.wavelets import _cwt_f64, _ricker_np
 
     widths = np.atleast_1d(np.asarray(widths, dtype=np.float64))

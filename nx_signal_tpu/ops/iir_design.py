@@ -57,7 +57,16 @@ def buttap(n):
 
 
 def cheb1ap(n, rp):
-    """Analog Chebyshev type-I prototype: `rp` dB passband ripple."""
+    """Analog Chebyshev type-I prototype: `rp` dB passband ripple.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import cheb1ap
+    >>> z, p, k = cheb1ap(2, 1.0)
+    >>> np.round(p, 4), round(float(k), 4)
+    (array([-0.5489+0.8951j, -0.5489-0.8951j]), 0.9826)
+    """
     if n <= 0:
         raise ValueError("filter order must be a positive integer")
     eps = np.sqrt(10.0 ** (0.1 * rp) - 1.0)
@@ -94,7 +103,16 @@ def besselap(n, norm="phase"):
     """Analog Bessel/Thomson prototype: roots of the degree-n reverse Bessel
     polynomial (exact integer coefficients, numpy roots + Newton polish).
     norm='phase' (scipy default) scales so the phase midpoint sits at w=1;
-    norm='delay' keeps unit group delay at DC."""
+    norm='delay' keeps unit group delay at DC.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import besselap
+    >>> z, p, k = besselap(2)
+    >>> np.round(p, 4), float(k)
+    (array([-0.866+0.5j, -0.866-0.5j]), 1.0)
+    """
     if n <= 0:
         raise ValueError("filter order must be a positive integer")
     # theta_n(s) = sum_k c_k s^k, c_k = (2n-k)! / (2^(n-k) k! (n-k)!)
@@ -171,7 +189,16 @@ def _asne(w, k):
 def ellipap(n, rp, rs):
     """Analog elliptic (Cauer) prototype: `rp` dB passband ripple, `rs` dB
     stopband attenuation. Landen-transform construction (see module
-    docstring); scipy.signal.ellipap is the parity oracle."""
+    docstring); scipy.signal.ellipap is the parity oracle.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import ellipap
+    >>> z, p, k = ellipap(2, 1.0, 40.0)
+    >>> np.round(z, 4), round(float(k), 4)
+    (array([0.+9.9376j, 0.-9.9376j]), 0.01)
+    """
     if n <= 0:
         raise ValueError("filter order must be a positive integer")
     if rp <= 0 or rs <= rp:
@@ -225,7 +252,16 @@ def lp2lp_zpk(z, p, k, wo=1.0):
 
 
 def lp2hp_zpk(z, p, k, wo=1.0):
-    """Lowpass prototype -> highpass at cutoff wo (zpk form)."""
+    """Lowpass prototype -> highpass at cutoff wo (zpk form).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import lp2hp_zpk
+    >>> z, p, k = lp2hp_zpk(np.asarray([]), np.asarray([-1.0 + 0j]), 1.0, wo=2.0)
+    >>> np.round(p, 4), float(k)
+    (array([-2.-0.j]), 1.0)
+    """
     z, p = np.asarray(z, dtype=complex), np.asarray(p, dtype=complex)
     d = _degree(z, p)
     z_hp = wo / z if len(z) else np.array([], dtype=complex)

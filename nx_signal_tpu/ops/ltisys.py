@@ -250,7 +250,16 @@ def ss2zpk(a, b, c, d, input: int = 0):
 def abcd_normalize(a=None, b=None, c=None, d=None):
     """Validate/shape-reconcile state-space matrices, inferring missing
     zero matrices where sizes allow — scipy.signal.abcd_normalize
-    semantics."""
+    semantics.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import abcd_normalize
+    >>> A, B, C, D = abcd_normalize([[1.0]], [[1.0]], [[1.0]], [[0.0]])
+    >>> np.asarray(A), np.asarray(D)
+    (array([[1.]]), array([[0.]]))
+    """
     def shape_or_none(m):
         return m.shape if m is not None else (None, None)
 
@@ -625,7 +634,18 @@ def invres(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
 
 
 def invresz(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
-    """Inverse of `residuez` — scipy.signal.invresz semantics."""
+    """Inverse of `residuez` — scipy.signal.invresz semantics.
+
+    Examples:
+
+    A single pole at z = 0.5 with unit residue:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import invresz
+    >>> b, a = invresz([1.0], [0.5], [])
+    >>> np.round(b, 4), np.round(a, 4)
+    (array([1.]), array([ 1. , -0.5]))
+    """
     r = np.atleast_1d(np.asarray(r, dtype=np.complex128))
     p = np.atleast_1d(np.asarray(p, dtype=np.complex128))
     k = np.atleast_1d(np.asarray(k, dtype=np.complex128)) if np.size(k) \
@@ -988,7 +1008,18 @@ def freqresp(system, w=None, n: int = 10000):
 
 def bode(system, w=None, n: int = 100):
     """Bode magnitude/phase of a continuous system — scipy.signal.bode
-    semantics: returns (w, mag_dB, unwrapped phase_deg)."""
+    semantics: returns (w, mag_dB, unwrapped phase_deg).
+
+    Examples:
+
+    The RC lowpass loses 3 dB at its corner and 20 dB/decade after:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import bode
+    >>> w, mag, phase = bode(([1.0], [1.0, 1.0]), w=np.asarray([0.1, 1.0, 10.0]))
+    >>> np.round(np.asarray(mag), 4)
+    array([ -0.0432,  -3.0103, -20.0432])
+    """
     w, h = freqresp(system, w=w, n=n)
     mag = 20.0 * np.log10(np.abs(h))
     phase = np.unwrap(np.angle(h)) * 180.0 / np.pi
@@ -997,7 +1028,16 @@ def bode(system, w=None, n: int = 100):
 
 def dfreqresp(system, w=None, n: int = 10000, whole: bool = False):
     """Frequency response of a discrete system — scipy.signal.dfreqresp
-    semantics: returns (w, H) with w in rad/sample."""
+    semantics: returns (w, H) with w in rad/sample.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import dfreqresp
+    >>> w, h = dfreqresp(([0.5], [1.0, -0.5], 1.0), w=np.asarray([0.0, np.pi/2]))
+    >>> np.round(np.abs(np.asarray(h)), 4)
+    array([1.    , 0.4472])
+    """
     if len(system) == 3:
         num, den, dt = np.atleast_1d(system[0]), np.atleast_1d(system[1]), system[2]
     else:
@@ -1031,7 +1071,15 @@ class lti:
     functional API above. Construct from 2 (num, den), 3 (z, p, k), or
     4 (A, B, C, D) arguments; the instance keeps the given representation
     and converts on demand (scipy returns representation-specific
-    subclasses; here one class carries all three views)."""
+    subclasses; here one class carries all three views).
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.ltisys import lti
+    >>> sys = lti([1.0], [1.0, 1.0])
+    >>> type(sys).__name__
+    'lti'
+    """
 
     dt = None
 
@@ -1095,7 +1143,15 @@ class lti:
 
 class dlti:
     """Discrete-time LTI system — the scipy.signal.dlti interface over the
-    functional API above (dimpulse/dstep/dlsim/dfreqresp/dbode)."""
+    functional API above (dimpulse/dstep/dlsim/dfreqresp/dbode).
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.ltisys import dlti
+    >>> sys = dlti([0.5], [1.0, -0.5], dt=1.0)
+    >>> sys.dt
+    1.0
+    """
 
     def __init__(self, *system, dt=True):
         if len(system) not in (2, 3, 4):

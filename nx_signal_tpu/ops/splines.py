@@ -203,7 +203,17 @@ def symiirorder2(input, r, omega, precision: float = -1.0):
     a2 = 2 r cos(omega), a3 = -r^2, cs = 1 - 2 r cos(omega) + r^2 —
     scipy.signal.symiirorder2 semantics, batched over leading axes. The
     boundary conditions are closed-form _hc/_hs weighted sums (one matvec);
-    the passes run through sosfilt's associative scans."""
+    the passes run through sosfilt's associative scans.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.splines import symiirorder2
+    >>> y = symiirorder2(jnp.arange(24.0), 0.5, 0.3)
+    >>> np.round(np.asarray(y)[:4], 4)
+    array([1.2119, 1.6048, 2.2748, 3.1113], dtype=float32)
+    """
     x = jnp.asarray(input)
     if r >= 1.0:
         raise ValueError("r must be less than 1.0")
@@ -352,7 +362,19 @@ def sepfir2d(input, hrow, hcol):
     scipy.signal.sepfir2d semantics: odd-length `hrow` along rows, `hcol`
     along columns, output the same shape. Reflect-pad + valid correlation
     (MXU lax.conv via ops.convolution under the hood is unnecessary here —
-    the kernels are tiny, a dot over the stacked shifts suffices)."""
+    the kernels are tiny, a dot over the stacked shifts suffices).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.splines import sepfir2d
+    >>> h = jnp.asarray([1.0, 2.0, 1.0])
+    >>> np.asarray(sepfir2d(jnp.arange(9.0).reshape(3, 3), h, h))
+    array([[ 16.,  28.,  40.],
+           [ 52.,  64.,  76.],
+           [ 88., 100., 112.]], dtype=float32)
+    """
     x = jnp.asarray(input)
     hrow = jnp.asarray(hrow).reshape(-1)
     hcol = jnp.asarray(hcol).reshape(-1)

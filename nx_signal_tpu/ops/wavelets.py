@@ -61,7 +61,16 @@ def morlet(points: int, w: float = 5.0, s: float = 1.0,
     """Legacy Morlet wavelet over x = linspace(-s*2*pi, s*2*pi, points):
     pi^{-1/4} e^{i w x} e^{-x^2/2}, with the zero-mean correction term
     e^{-w^2/2} subtracted when `complete` — scipy.signal.morlet (legacy)
-    semantics. Complex output."""
+    semantics. Complex output.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.wavelets import morlet
+    >>> np.round(np.asarray(morlet(5, w=5.0, s=0.5)), 4)
+    array([-0.0054-0.j    , -0.    -0.2187j,  0.7511+0.j    , -0.    +0.2187j,
+           -0.0054+0.j    ], dtype=complex64)
+    """
     x = np.linspace(-s * 2.0 * math.pi, s * 2.0 * math.pi, points)
     out = np.exp(1j * w * x)
     if complete:
