@@ -42,8 +42,26 @@ _MAX_MATMUL_FFT = 1024
 # HBM budget the 'auto' frame-chunking plans against, calibrated on the
 # measured v5e (16 GB) OOM boundary (ladder_chunk_r3, 2026-08-20): 768ch
 # dense worked (~11.9 GB modeled) and 896ch dense OOMed (~14.8); 1024ch
-# with 4 chunks worked. The model leaves ~3.5 GB for XLA workspace.
+# with 4 chunks worked. The calibration leaves ~3.5 GB of the 16 GB for
+# XLA workspace — the 0.78 ratio `_hbm_budget` applies to other chips'
+# reported capacity.
 _AUTO_CHUNK_HBM_BUDGET = 12.5 * 1024 ** 3
+_V5E_HBM_BYTES = 16 * 1024 ** 3
+
+
+def _hbm_budget() -> float:
+    """Plannable HBM bytes for the default device: the device's reported
+    `bytes_limit` scaled by the v5e-calibrated workspace ratio (12.5/16),
+    falling back to the calibrated v5e constant when the backend exposes
+    no memory stats (CPU/interpret runs)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        limit = stats.get("bytes_limit", 0) if stats else 0
+    except Exception:
+        limit = 0
+    if not limit:
+        return _AUTO_CHUNK_HBM_BUDGET
+    return limit * (_AUTO_CHUNK_HBM_BUDGET / _V5E_HBM_BYTES)
 
 
 def _auto_frame_chunks(batch_elems: int, num_frames: int, cols: int,
@@ -55,15 +73,16 @@ def _auto_frame_chunks(batch_elems: int, num_frames: int, cols: int,
     dynamic_update_slice chain's staging copy — implied by the measured
     1280ch failure). Returns 1 whenever the dense dispatch fits: chunking
     costs ~6-10% (ROOFLINE.md §3.4), so it is a fallback, not a default."""
+    budget = _hbm_budget()
     in_b = 4 * in_elems
     out_b = 4 * batch_elems * num_frames * (cols // 2 + 1)
     inter = 4 * batch_elems * num_frames * cols
-    if 2 * in_b + out_b + 1.15 * inter <= _AUTO_CHUNK_HBM_BUDGET:
+    if 2 * in_b + out_b + 1.15 * inter <= budget:
         return 1
-    avail = _AUTO_CHUNK_HBM_BUDGET - (2 * in_b + 2 * out_b)
+    avail = budget - (2 * in_b + 2 * out_b)
     # floor at 5% of the budget: beyond that the fixed buffers dominate and
     # more chunks cannot help — chunk hard and let the attempt decide
-    avail = max(avail, 0.05 * _AUTO_CHUNK_HBM_BUDGET)
+    avail = max(avail, 0.05 * budget)
     return min(num_frames, max(1, int(-(-inter // avail))))
 
 
@@ -445,12 +464,13 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
     if kernel != "xla":
         real_in = not jnp.issubdtype(x.dtype, jnp.complexfloating)
         eligible = (output == "power" and onesided and not traced and real_in
-                    and stride % 128 == 0 and edge == "pad")
+                    and stride % 128 == 0 and edge == "pad"
+                    and frame_chunks in (1, "auto"))
         if kernel == "pallas" and not eligible:
             raise ValueError(
                 "kernel='pallas' requires output='power', onesided=True, "
-                "real input, concrete taps/window, edge='pad' and "
-                "stride % 128 == 0")
+                "real input, concrete taps/window, edge='pad', "
+                "frame_chunks in (1, 'auto') and stride % 128 == 0")
         if kernel == "pallas":
             from nx_signal_tpu.kernels.pallas_dft import (
                 fir_framed_dft_power_pallas)

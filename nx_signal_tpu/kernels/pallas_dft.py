@@ -123,11 +123,8 @@ def framed_dft_pallas(x, window, *, stride: int, n_fft: int,
             f"frame_length % stride == 0, got stride={stride}, "
             f"frame_length={frame_length}"
         )
-    squeeze = x.ndim == 1
-    if squeeze:
-        x = x[None]
-    if x.ndim != 2:
-        x = x.reshape(-1, x.shape[-1])
+    batch = x.shape[:-1]
+    x = x[None] if x.ndim == 1 else x.reshape(-1, x.shape[-1])
     channels, length = x.shape
     num_frames = (length - frame_length) // stride + 1
     bins = n_fft // 2 + 1 if onesided else n_fft
@@ -176,7 +173,7 @@ def framed_dft_pallas(x, window, *, stride: int, n_fft: int,
 
     out = out[:, :num_frames, :]
     z = lax.complex(out[..., :bins], out[..., bins:])
-    return z[0] if squeeze else z
+    return z.reshape(*batch, num_frames, bins)
 
 
 # ---------------------------------------------- fused FIR + DFT + power
@@ -344,15 +341,16 @@ def fir_framed_dft_power_pallas(x, taps, window, *, stride: int, n_fft: int,
     if stride % 128 != 0:
         raise ValueError(
             f"pallas fused chain requires stride % 128 == 0, got {stride}")
+    if dma not in ("blocks", "window", "concat", "concat_pad", "pipeline"):
+        raise ValueError(
+            "dma must be one of 'blocks', 'window', 'concat', 'concat_pad', "
+            f"'pipeline', got {dma!r}")
     taps_np = np.asarray(taps, dtype=np.float64).reshape(-1)
     window_np = np.asarray(window, dtype=np.float64)
     k = taps_np.shape[0]
     frame_length = window_np.shape[-1]
-    squeeze = x.ndim == 1
-    if squeeze:
-        x = x[None]
-    if x.ndim != 2:
-        x = x.reshape(-1, x.shape[-1])
+    batch = x.shape[:-1]
+    x = x[None] if x.ndim == 1 else x.reshape(-1, x.shape[-1])
     channels, length = x.shape
     if length < frame_length:
         raise ValueError(
@@ -394,6 +392,7 @@ def fir_framed_dft_power_pallas(x, taps, window, *, stride: int, n_fft: int,
     if tile_m is None:
         tile_m = _TILE_M
     tile_m = min(tile_m, max(8, -(-num_frames // 8) * 8))
+    tile_m = -(-tile_m // 8) * 8   # sublane(8)-align the DMA/tile shapes
     num_tiles = -(-num_frames // tile_m)
     if dma == "pipeline":
         if num_blocks > tile_m:
@@ -439,7 +438,7 @@ def fir_framed_dft_power_pallas(x, taps, window, *, stride: int, n_fft: int,
             interpret=interpret,
         )(x_blocks, weights)
         out = out[:, :num_frames, :bins]
-        return out[0] if squeeze else out
+        return out.reshape(*batch, num_frames, bins)
 
     if dma in ("concat", "concat_pad"):
         kernel = functools.partial(
@@ -484,7 +483,7 @@ def fir_framed_dft_power_pallas(x, taps, window, *, stride: int, n_fft: int,
     )(x_rows, weights)
 
     out = out[:, :num_frames, :bins]
-    return out[0] if squeeze else out
+    return out.reshape(*batch, num_frames, bins)
 
 
 # ------------------------------------------------------- OLA (scatter-free)

@@ -403,9 +403,6 @@ def unique_roots(p, tol: float = 1e-3, rtype: str = "min"):
     else:
         raise ValueError("`rtype` must be one of "
                          "{'max', 'maximum', 'min', 'minimum', 'avg', 'mean'}")
-    points = np.empty((len(p), 2))
-    points[:, 0] = np.real(p)
-    points[:, 1] = np.imag(p)
     # greedy clustering in input order (scipy uses cKDTree grouping; for
     # design-scale root counts the O(n^2) sweep is identical in effect)
     assigned = np.full(len(p), -1, dtype=int)

@@ -40,8 +40,9 @@ def assert_all_close(actual, expected, atol=1e-4, rtol=1e-4, err_msg=""):
 
 
 # ---------------------------------------------------------------- test tiers
-# Fast tier: `pytest -m "not slow"` (~6 min) — run before every commit.
-# Full suite: ~42 min on the 2-vCPU image (timed 2026-08-19, 1263 tests).
+# Fast tier: `pytest -m "not slow"` (~14-15 min, ~1400 tests; timed
+# 2026-08-20) — run before every commit.
+# Full suite: ~60 min on the 2-vCPU image (1550+ tests).
 # Modules listed here are auto-marked slow (8-virtual-device shard_map
 # compiles dominate their runtime); individual tests can also opt in with
 # @pytest.mark.slow.

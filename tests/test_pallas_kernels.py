@@ -39,7 +39,8 @@ def test_pallas_framed_dft_1d_input(rng):
     np.testing.assert_allclose(np.asarray(zp), np.asarray(zr), atol=1e-5 * scale)
 
 
-@pytest.mark.parametrize("dma", ["blocks", "window", "concat", "pipeline"])
+@pytest.mark.parametrize(
+    "dma", ["blocks", "window", "concat", "concat_pad", "pipeline"])
 @pytest.mark.parametrize("channels,length,taps,frame,stride,nfft", [
     (2, 5000, 255, 512, 128, 512),   # the bench chain's exact shape family
     (1, 3000, 63, 384, 128, 512),    # ext % stride != 0, nfft > frame

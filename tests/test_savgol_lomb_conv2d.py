@@ -65,8 +65,10 @@ def test_lombscargle(rng, precenter, normalize):
     y = np.sin(2 * np.pi * 1.3 * t) + 0.5 * rng.standard_normal(300)
     freqs = np.linspace(0.1, 30, 256)
     got = lombscargle(t, y, freqs, precenter=precenter, normalize=normalize)
-    expected = sps.lombscargle(t, y, freqs, precenter=precenter,
-                               normalize=normalize)
+    # scipy 1.17 deprecates precenter= (removal in 1.19); center manually
+    # for the oracle call — identical semantics (subtract the mean)
+    y_oracle = y - y.mean() if precenter else y
+    expected = sps.lombscargle(t, y_oracle, freqs, normalize=normalize)
     assert_all_close(got, expected, atol=1e-9 * np.max(np.abs(expected)),
                      rtol=1e-8)
 

