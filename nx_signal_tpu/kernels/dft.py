@@ -90,7 +90,21 @@ def toeplitz_band(taps, out_cols: int, xp=jnp):
     """Banded Toeplitz matrix of 1-D convolution: T[t, j] = taps[j + K-1 - t]
     for j <= t <= j+K-1, else 0 — shape (out_cols + K - 1, out_cols), so
     frames_ext @ T applies the filter. `xp` selects numpy (host-side weight
-    folding) or jnp."""
+    folding) or jnp.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.kernels.dft import toeplitz_band
+    >>> np.round(np.asarray(toeplitz_band(jnp.asarray([1.0, 2.0, 3.0]), 4)), 1)
+    array([[3., 0., 0., 0.],
+           [2., 3., 0., 0.],
+           [1., 2., 3., 0.],
+           [0., 1., 2., 3.],
+           [0., 0., 1., 2.],
+           [0., 0., 0., 1.]], dtype=float32)
+    """
     taps = xp.asarray(taps).reshape(-1)
     k = taps.shape[0]
     t_idx = xp.arange(out_cols + k - 1)[:, None]
@@ -101,7 +115,14 @@ def toeplitz_band(taps, out_cols: int, xp=jnp):
 
 
 def good_matmul_fft_length(n_fft: int) -> bool:
-    """True when the O(N^2) MXU DFT beats XLA's FFT for this size."""
+    """True when the O(N^2) MXU DFT beats XLA's FFT for this size.
+
+    Examples:
+
+    >>> from nx_signal_tpu.kernels.dft import good_matmul_fft_length
+    >>> good_matmul_fft_length(512), good_matmul_fft_length(4096)
+    (True, False)
+    """
     return n_fft <= _MAX_MATMUL_FFT
 
 
@@ -131,6 +152,18 @@ def blocked_frame_matmul(x, weights, *, window_length: int, stride: int,
     * 'blocked': C separate (num_frames, w_r) @ (w_r, out) matmuls
       accumulating in HBM. Lowest peak memory; slowest (partial-sum
       round-trips).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> x = jnp.asarray(np.sin(0.1 * np.arange(1024)), jnp.float32)
+    >>> from nx_signal_tpu.kernels.dft import blocked_frame_matmul
+    >>> wts = jnp.asarray(np.random.default_rng(0).normal(size=(256, 8)), jnp.float32)
+    >>> acc = blocked_frame_matmul(x, wts, window_length=256, stride=64, num_frames=13)
+    >>> acc.shape
+    (13, 8)
     """
     x = jnp.asarray(x)
     weights = jnp.asarray(weights)
@@ -220,6 +253,20 @@ def framed_dft(x, window, *, stride: int, n_fft: int, onesided: bool = False,
 
     The signal must already be padded (padding modes are handled by the
     caller, spectral/stft.py).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> x = jnp.asarray(np.sin(0.1 * np.arange(1024)), jnp.float32)
+    >>> from nx_signal_tpu.kernels.dft import framed_dft
+    >>> z = framed_dft(x, hann(256), stride=64, n_fft=256, onesided=True)
+    >>> z.shape
+    (13, 129)
+    >>> frame0 = np.asarray(x[:256]) * np.asarray(hann(256))
+    >>> bool(np.abs(np.asarray(z[0]) - np.fft.rfft(frame0)).max() < 1e-3)
+    True
     """
     x = jnp.asarray(x)
     window = jnp.asarray(window)
@@ -304,6 +351,18 @@ def framed_idft(z, window, *, n_fft: int, onesided: bool = False,
     Full-spectrum input returns complex frames (= ifft(z) * window);
     onesided input returns real frames (irfft reconstruction). The caller
     overlap-adds (spectral/stft.py istft).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> x = jnp.asarray(np.sin(0.1 * np.arange(1024)), jnp.float32)
+    >>> from nx_signal_tpu.kernels.dft import framed_dft, framed_idft
+    >>> z = framed_dft(x, hann(256), stride=64, n_fft=256, onesided=True)
+    >>> f = framed_idft(z, hann(256), n_fft=256, onesided=True)
+    >>> f.shape, f.dtype
+    ((13, 256), dtype('float32'))
     """
     z = jnp.asarray(z)
     frame_length = jnp.asarray(window).shape[-1]
@@ -329,7 +388,17 @@ def fir_dft_fold_weights(taps, window, n_fft: int, onesided: bool,
     """The fused chain's weight matrix T @ diag(w) @ F: the banded 'same'
     Toeplitz of `taps` folded into the window-scaled DFT matrix at build
     time. Shape (frame_length + K - 1, 2*bins) stacked [Re | Im]. Shared by
-    `fir_framed_dft` and the sharded chain (parallel/sharded.py)."""
+    `fir_framed_dft` and the sharded chain (parallel/sharded.py).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.kernels.dft import fir_dft_fold_weights
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> W = fir_dft_fold_weights(jnp.asarray([0.25, 0.5, 0.25]), hann(256), 256, True)
+    >>> W.shape
+    (258, 258)
+    """
     if traced:
         # jnp weight folding (constant-folded by XLA when taps/window are
         # trace-constants); full-f32 matmul for the host-side-equivalent fold
@@ -438,8 +507,25 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
     58.2 vs 73.2 at 512ch on v5e, ROOFLINE.md §6); 'pallas' forces the
     silicon-verified fused Pallas kernel (kernels/pallas_dft.py — raises
     when output/'onesided'/alignment make it ineligible), kept as the
-    platform for schedule experiments and the likely winner if Mosaic's
-    matmul codegen closes its ~25% gap to XLA's dot emitter.
+    platform for schedule experiments; 'pallas_shared' forces the
+    shared hop-block partial-DFT kernel (2x fewer MXU FLOPs for
+    cosine-sum windows with frame_length == n_fft and stride | n_fft —
+    the ROOFLINE.md §4 algorithm with its twiddle/window stages as
+    in-VMEM epilogues), raising when the window is not a recognized
+    cosine-sum family.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> x = jnp.asarray(np.sin(0.1 * np.arange(1024)), jnp.float32)
+    >>> from nx_signal_tpu.kernels.dft import fir_framed_dft
+    >>> taps = jnp.asarray([0.25, 0.5, 0.25])
+    >>> p = fir_framed_dft(x, taps, hann(256), stride=64, n_fft=256,
+    ...                    onesided=True, output='power')
+    >>> p.shape
+    (13, 129)
     """
     x = jnp.asarray(x)
     traced = isinstance(taps, jax.core.Tracer) or isinstance(window, jax.core.Tracer)
@@ -459,8 +545,9 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
     num_frames = (length - frame_length) // stride + 1
     bins = n_fft // 2 + 1 if onesided else n_fft
 
-    if kernel not in ("auto", "xla", "pallas"):
-        raise ValueError(f"kernel must be 'auto', 'xla' or 'pallas', got {kernel!r}")
+    if kernel not in ("auto", "xla", "pallas", "pallas_shared"):
+        raise ValueError("kernel must be 'auto', 'xla', 'pallas' or "
+                         f"'pallas_shared', got {kernel!r}")
     if kernel != "xla":
         real_in = not jnp.issubdtype(x.dtype, jnp.complexfloating)
         eligible = (output == "power" and onesided and not traced and real_in
@@ -477,6 +564,22 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
             return fir_framed_dft_power_pallas(
                 x, taps, window_arr, stride=stride, n_fft=n_fft,
                 onesided=True, precision=precision)
+        if kernel == "pallas_shared":
+            coeffs = (recognize_cosine_window(window_arr, n_fft)
+                      if (eligible and frame_length == n_fft
+                          and n_fft % stride == 0 and n_fft % 2 == 0)
+                      else None)
+            if coeffs is None:
+                raise ValueError(
+                    "kernel='pallas_shared' additionally requires "
+                    "frame_length == n_fft, stride | n_fft, even n_fft "
+                    "and a recognized cosine-sum window "
+                    "(see recognize_cosine_window)")
+            from nx_signal_tpu.kernels.pallas_dft import (
+                fir_framed_dft_power_shared_pallas)
+            return fir_framed_dft_power_shared_pallas(
+                x, taps, stride=stride, n_fft=n_fft, window_coeffs=coeffs,
+                precision=precision)
 
     ext = frame_length + k - 1
     weights = fir_dft_fold_weights(taps, window_arr, n_fft, onesided,
@@ -547,7 +650,18 @@ def recognize_cosine_window(window, n_fft: int):
     cosine-sum families over period `n_fft` to 1e-6, else None. Gate for
     the shared-block framed-DFT fast path (`fir_framed_dft_shared`), which
     applies the window as a sparse convolution in the frequency domain and
-    therefore needs the window's exact spectral support."""
+    therefore needs the window's exact spectral support.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.kernels.dft import recognize_cosine_window
+    >>> from nx_signal_tpu.ops.windows import hann, kaiser
+    >>> recognize_cosine_window(np.asarray(hann(256)), 256)
+    (0.5, -0.5)
+    >>> recognize_cosine_window(np.asarray(kaiser(256, beta=8.0)), 256) is None
+    True
+    """
     w = np.asarray(window, dtype=np.float64)
     if w.ndim != 1 or w.shape[0] != n_fft:
         return None
@@ -618,6 +732,22 @@ def fir_framed_dft_shared(x, taps, *, stride: int, n_fft: int,
     `taps=None` skips the FIR fold. Requires n_fft % stride == 0, even
     n_fft for onesided=True, and the window given as signed cosine
     coefficients (see `recognize_cosine_window`).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> x = jnp.asarray(np.sin(0.1 * np.arange(1024)), jnp.float32)
+    >>> from nx_signal_tpu.kernels.dft import fir_framed_dft, fir_framed_dft_shared
+    >>> taps = jnp.asarray([0.25, 0.5, 0.25])
+    >>> p = fir_framed_dft(x, taps, hann(256), stride=64, n_fft=256,
+    ...                    onesided=True, output='power')
+    >>> ps = fir_framed_dft_shared(x, taps, stride=64, n_fft=256,
+    ...                            window_coeffs=(0.5, -0.5), onesided=True,
+    ...                            output='power')
+    >>> bool(jnp.max(jnp.abs(ps - p)) < 1e-4 * float(jnp.max(p)))
+    True
     """
     if n_fft % stride != 0:
         raise ValueError(

@@ -38,6 +38,7 @@ from nx_signal_tpu.kernels.dft import _dft_weights
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
 __all__ = ["framed_dft_pallas", "fir_framed_dft_power_pallas",
+           "fir_framed_dft_power_shared_pallas",
            "overlap_add_pallas", "pallas_dft_supported"]
 
 _TILE_M = 256  # frames per program
@@ -483,6 +484,336 @@ def fir_framed_dft_power_pallas(x, taps, window, *, stride: int, n_fft: int,
     )(x_rows, weights)
 
     out = out[:, :num_frames, :bins]
+    return out.reshape(*batch, num_frames, bins)
+
+
+# ------------------------------- shared-block partial DFT (2x FLOP cut)
+
+def _shared_epilogue(p, tw_vmem, o_vmem, *, j_taps, tile_m, bins, wcoeffs,
+                     combine="sliding", stages="full"):
+    """VMEM epilogue shared by both shared-block schedules: twiddle
+    combine across the J overlapping blocks (stage B), the cosine-sum
+    window as its sparse spectral convolution with conjugate reflection
+    at DC/Nyquist (stage C, one-sided even-n_fft layout — the exact math
+    of kernels.dft.fir_framed_dft_shared), then the power epilogue.
+    `p` is the (nb_pad, 2*bins) stacked [Re | Im] partial-DFT block
+    matrix still resident in VMEM — under XLA these stages cost 2x the
+    chain (ROOFLINE.md §4, elementwise HBM glue); here they are VPU ops
+    on resident tiles.
+
+    `combine` selects the stage-B form: 'direct' slices P at the J row
+    offsets and multiplies by per-j twiddle rows (2*J shifted
+    multiply-adds over the full (nb_pad, 2*bins) tile); 'sliding'
+    exploits tw[j, k] = w_k^j with w_k^J == 1 (stride*J == n_fft): the
+    per-BLOCK phase w_k^b and per-FRAME phase w_k^(-m) are both
+    period-J in the row index, so the host bakes them into aligned
+    (rows, 2*bins) tiles and stage B collapses to two aligned complex
+    multiplies plus a J-row sliding SUM — 2*(J-1) shifted adds over
+    half-width tiles, ~2.7x less relayout traffic at J=4 (the dominant
+    epilogue cost measured on silicon, ROOFLINE.md §7).
+
+    `stages` is the silicon cost-probe hook: 'gemm' stops after the
+    GEMM + power (measures stage A alone), 'nowin' skips the spectral
+    window conv, 'full' is production."""
+    p_re, p_im = p[:, :bins], p[:, bins:]
+    if stages == "gemm":
+        o_vmem[0, :, :] = (p_re[:tile_m, :] ** 2 + p_im[:tile_m, :] ** 2)
+        return
+    if combine == "sliding":
+        # tw_vmem rows: [0:nb) block-phase Re, [nb:2nb) block-phase Im,
+        # [2nb:2nb+tile_m) frame-phase Re, ... (built by the host)
+        nb = p.shape[0]
+        br = tw_vmem[pl.ds(0, nb), :]
+        bi = tw_vmem[pl.ds(nb, nb), :]
+        q_re = p_re * br - p_im * bi
+        q_im = p_re * bi + p_im * br
+        s_re = q_re[:tile_m, :]
+        s_im = q_im[:tile_m, :]
+        for j in range(1, j_taps):
+            s_re = s_re + q_re[j:j + tile_m, :]
+            s_im = s_im + q_im[j:j + tile_m, :]
+        mr = tw_vmem[pl.ds(2 * nb, tile_m), :]
+        mi = tw_vmem[pl.ds(2 * nb + tile_m, tile_m), :]
+        # X = S * conj(w^m):  (mr, mi) hold w_k^m
+        x_re = s_re * mr + s_im * mi
+        x_im = s_im * mr - s_re * mi
+    else:
+        x_re = jnp.zeros((tile_m, bins), jnp.float32)
+        x_im = jnp.zeros((tile_m, bins), jnp.float32)
+        for j in range(j_taps):
+            twr = tw_vmem[pl.ds(j, 1), :]
+            twi = tw_vmem[pl.ds(j_taps + j, 1), :]
+            pr = p_re[j:j + tile_m, :]
+            pi = p_im[j:j + tile_m, :]
+            x_re = x_re + twr * pr - twi * pi
+            x_im = x_im + twr * pi + twi * pr
+    if stages == "nowin":
+        o_vmem[0, :, :] = x_re ** 2 + x_im ** 2
+        return
+    out_r = wcoeffs[0] * x_re
+    out_i = wcoeffs[0] * x_im
+    for c, b in enumerate(wcoeffs[1:], start=1):
+        if b == 0.0:
+            continue
+        # X[k-c]: k < c reflects through DC with conjugation
+        mr = jnp.concatenate(
+            [x_re[:, q:q + 1] for q in range(c, 0, -1)]
+            + [x_re[:, :bins - c]], axis=1)
+        mi = jnp.concatenate(
+            [-x_im[:, q:q + 1] for q in range(c, 0, -1)]
+            + [x_im[:, :bins - c]], axis=1)
+        # X[k+c]: beyond Nyquist reflects with conjugation (even n_fft)
+        pr_ = jnp.concatenate(
+            [x_re[:, c:]]
+            + [x_re[:, bins - 1 - q:bins - q] for q in range(1, c + 1)],
+            axis=1)
+        pi_ = jnp.concatenate(
+            [x_im[:, c:]]
+            + [-x_im[:, bins - 1 - q:bins - q] for q in range(1, c + 1)],
+            axis=1)
+        out_r = out_r + (b / 2.0) * (mr + pr_)
+        out_i = out_i + (b / 2.0) * (mi + pi_)
+    o_vmem[0, :, :] = out_r ** 2 + out_i ** 2
+
+
+def _shared_power_kernel_window(x_hbm, w_vmem, tw_vmem, o_vmem, x_vmem,
+                                f_vmem, sem, *, stride, irpb, j_taps,
+                                tile_m, nb_pad, dma_rows, bins,
+                                rows_per_channel, mode, wcoeffs,
+                                combine, stages):
+    """Single-window DMA schedule of the shared-block chain: one
+    (tile_m + halo, stride) DMA per program; the nb_pad = tile_m-plus-halo
+    hop blocks' extended rows are concatenated side by side
+    ('concat'-style) and contracted in ONE K = irpb*stride dot — half the
+    MXU work of the full-FLOP kernels, because each hop block's partial
+    DFT is computed once and reused by all J frames that overlap it."""
+    c = pl.program_id(0)
+    mt = pl.program_id(1)
+    row0 = c * rows_per_channel + mt * tile_m
+    cp = pltpu.make_async_copy(x_hbm.at[pl.ds(row0, dma_rows), :], x_vmem, sem)
+    cp.start()
+    cp.wait()
+    for r in range(irpb):
+        f_vmem[:, r * stride:(r + 1) * stride] = x_vmem[pl.ds(r, nb_pad), :]
+    p = _block_dot_split(f_vmem[...], w_vmem, mode)
+    _shared_epilogue(p, tw_vmem, o_vmem, j_taps=j_taps, tile_m=tile_m,
+                     bins=bins, wcoeffs=wcoeffs, combine=combine,
+                     stages=stages)
+
+
+def _shared_power_kernel_pipeline(x_vmem, w_vmem, tw_vmem, o_vmem, carry,
+                                  f_vmem, *, stride, irpb, j_taps, tile_m,
+                                  nb_pad, bins, mode, wcoeffs,
+                                  combine, stages):
+    """Pipelined schedule of the shared-block chain: no manual DMA —
+    index-mapped input blocks Mosaic double-buffers, a persistent VMEM
+    carry of the previous block, one-tile output lag (the fastest
+    full-FLOP schedule, ROOFLINE.md §6 probe4, here on half the FLOPs).
+    Program p holds block p in `x_vmem`, block p-1 in `carry`, and
+    computes output tile p-1 from carry rows + the halo head of the
+    current block."""
+    cur = x_vmem[0]
+    for r in range(irpb):
+        src = jnp.concatenate(
+            [carry[r:, :], cur[:r + nb_pad - tile_m, :]], axis=0)
+        f_vmem[:, r * stride:(r + 1) * stride] = src
+    p = _block_dot_split(f_vmem[...], w_vmem, mode)
+    _shared_epilogue(p, tw_vmem, o_vmem, j_taps=j_taps, tile_m=tile_m,
+                     bins=bins, wcoeffs=wcoeffs, combine=combine,
+                     stages=stages)
+    carry[...] = cur
+
+
+def _block_dot_split(frames, w_vmem, mode):
+    """One whole-frame contraction at the requested precision, splitting
+    the frame operand once ('high' = manual bf16_3x)."""
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    if mode == "high":
+        f_hi, f_lo = _split_bf16(frames)
+        return (jnp.dot(f_hi, w_vmem[0], **kw)
+                + jnp.dot(f_hi, w_vmem[1], **kw)
+                + jnp.dot(f_lo, w_vmem[0], **kw))
+    return _block_dot(frames, w_vmem[...], mode)
+
+
+def fir_framed_dft_power_shared_pallas(
+        x, taps, *, stride: int, n_fft: int, window_coeffs,
+        precision="highest", tile_m: int = None, dma: str = "window",
+        combine: str = "sliding", stages: str = "full",
+        interpret: bool = False):
+    """The bench chain via SHARED hop-block partial DFTs as one Pallas
+    kernel — the 2x-fewer-FLOPs reformulation of
+    ``fir_framed_dft(..., output='power')`` for cosine-sum windows with
+    frame_length == n_fft and stride | n_fft
+    (kernels.dft.fir_framed_dft_shared is the XLA reference math; it
+    LOSES 2x under XLA because the twiddle combine and spectral window
+    run as elementwise HBM passes, ROOFLINE.md §4 — in-kernel they are
+    VPU epilogue ops on the VMEM-resident tile, which is the entire bet).
+
+    Per input sample the MXU work is 2*(stride+K-1 rounded up to whole
+    blocks)*(2*bins)/stride FLOP instead of the dense chain's
+    2*(n_fft+K-1)*(2*bins)/stride — 3084 vs 6152 at the bench geometry,
+    lifting the MXU-bound speed of light from 10.7 to ~21 Gsamples/s
+    (ROOFLINE.md §1/§4). Equal to fir_framed_dft up to f32 association
+    (NOT bitwise — different summation order).
+
+    `window_coeffs` are the signed cosine-sum coefficients
+    (`recognize_cosine_window`); output is the one-sided POWER spectrum
+    (the chain's production epilogue). `dma` selects 'pipeline'
+    (index-mapped blocks + VMEM carry, the fastest full-FLOP schedule)
+    or 'window' (one DMA + halo per program).
+    """
+    x = jnp.asarray(x).astype(DEFAULT_FLOAT)
+    if stride % 128 != 0:
+        raise ValueError(
+            f"pallas shared chain requires stride % 128 == 0, got {stride}")
+    if n_fft % stride != 0:
+        raise ValueError(
+            f"shared-block strategy needs stride | n_fft, got {stride}, {n_fft}")
+    if n_fft % 2 != 0:
+        raise ValueError("onesided shared-block strategy needs even n_fft")
+    if dma not in ("window", "pipeline"):
+        raise ValueError(f"dma must be 'window' or 'pipeline', got {dma!r}")
+    if combine not in ("sliding", "direct"):
+        raise ValueError(f"combine must be 'sliding' or 'direct', got {combine!r}")
+    if stages not in ("full", "nowin", "gemm"):
+        raise ValueError(f"stages must be 'full', 'nowin' or 'gemm', got {stages!r}")
+    wcoeffs = tuple(float(b) for b in window_coeffs)
+    bins = n_fft // 2 + 1
+    if len(wcoeffs) < 1 or len(wcoeffs) - 1 >= bins - 1:
+        raise ValueError("window_coeffs must have 1..bins-1 terms")
+    j_taps = n_fft // stride
+    batch = x.shape[:-1]
+    x = x[None] if x.ndim == 1 else x.reshape(-1, x.shape[-1])
+    channels, length = x.shape
+    if length < n_fft:
+        raise ValueError(
+            f"window length {n_fft} exceeds signal length {length}")
+    num_frames = (length - n_fft) // stride + 1
+
+    # FIR folded into the per-block partial-DFT weights (stride-wide E
+    # matrix — NOT the frame-wide one; that is the FLOP cut)
+    from nx_signal_tpu.kernels.dft import _dft_weights, toeplitz_band
+
+    if taps is None:
+        taps_np = np.ones(1, dtype=np.float64)
+    else:
+        taps_np = np.asarray(taps, dtype=np.float64).reshape(-1)
+    k = taps_np.shape[0]
+    ext = stride + k - 1
+    irpb = -(-ext // stride)                    # input rows per block
+    ones = np.ones(stride, dtype=np.float64)
+    e_mat = _dft_weights(ones, stride, n_fft, True, np.float64)
+    weights = (toeplitz_band(taps_np, stride, np) @ e_mat).astype(np.float32)
+    pad_rows = irpb * stride - ext
+    if pad_rows:
+        weights = np.pad(weights, [(0, pad_rows), (0, 0)])
+    weights = jnp.asarray(weights)
+    mode = _norm_precision(precision)
+    if mode == "high":
+        weights = jnp.stack(_split_bf16(weights))
+
+    pad_left = (k - 1) - (k - 1) // 2
+    if tile_m is None:
+        tile_m = _TILE_M
+    tile_m = min(tile_m, max(8, -(-num_frames // 8) * 8))
+    tile_m = -(-tile_m // 8) * 8
+    num_tiles = -(-num_frames // tile_m)
+    nb_pad = tile_m + -(-(j_taps - 1) // 8) * 8   # blocks per tile, aligned
+    halo = -(-(nb_pad - tile_m + irpb - 1) // 8) * 8
+
+    def _phase(rows):
+        # w_k^r = e^(-2i*pi*k*r*stride/n_fft) for local row r; period J in
+        # r, and J | tile_m, so local == global phases for every program
+        rk = (np.arange(rows)[:, None] * np.arange(bins)[None, :]
+              * stride) % n_fft
+        a = -2.0 * np.pi * rk / n_fft
+        return np.cos(a), np.sin(a)
+
+    if combine == "sliding":
+        br, bi = _phase(nb_pad)      # per-block phase w_k^b
+        mr, mi = _phase(tile_m)      # per-frame phase w_k^m (conj-applied)
+        tw = jnp.asarray(np.concatenate([br, bi, mr, mi]).astype(np.float32))
+    else:
+        jr, ji = _phase(j_taps)      # per-j twiddle rows (direct combine)
+        tw = jnp.asarray(np.concatenate([jr, ji]).astype(np.float32))
+
+    if dma == "pipeline":
+        if nb_pad - tile_m + irpb - 1 > tile_m:
+            raise ValueError("pipeline schedule needs tile_m >= halo rows")
+        rows_per_channel = (num_tiles + 1) * tile_m
+    else:
+        rows_per_channel = num_tiles * tile_m + halo
+    padded_len = rows_per_channel * stride
+    xp = jnp.pad(x, [(0, 0), (pad_left, max(0, padded_len - length - pad_left))])
+    xp = xp[:, :padded_len]
+
+    if dma == "pipeline":
+        x_blocks = xp.reshape(channels, rows_per_channel, stride)
+        kernel = functools.partial(
+            _shared_power_kernel_pipeline, stride=stride, irpb=irpb,
+            j_taps=j_taps, tile_m=tile_m, nb_pad=nb_pad, bins=bins,
+            mode=mode, wcoeffs=wcoeffs, combine=combine, stages=stages,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(channels, num_tiles + 1),
+            in_specs=[
+                pl.BlockSpec((1, tile_m, stride), lambda c, p: (c, p, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(weights.shape,
+                             lambda c, p, _nd=weights.ndim: (0,) * _nd,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tw.shape, lambda c, p: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile_m, bins),
+                lambda c, p: (c, jnp.maximum(p - 1, 0), 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (channels, num_tiles * tile_m, bins), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((tile_m, stride), jnp.float32),
+                pltpu.VMEM((nb_pad, irpb * stride), jnp.float32),
+            ],
+            interpret=interpret,
+        )(x_blocks, weights, tw)
+        out = out[:, :num_frames, :]
+        return out.reshape(*batch, num_frames, bins)
+
+    x_rows = xp.reshape(channels * rows_per_channel, stride)
+    dma_rows = tile_m + halo
+    kernel = functools.partial(
+        _shared_power_kernel_window, stride=stride, irpb=irpb,
+        j_taps=j_taps, tile_m=tile_m, nb_pad=nb_pad, dma_rows=dma_rows,
+        bins=bins, rows_per_channel=rows_per_channel, mode=mode,
+        wcoeffs=wcoeffs, combine=combine, stages=stages,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(channels, num_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # row-matrix in HBM
+            pl.BlockSpec(weights.shape,
+                         lambda c, m, _nd=weights.ndim: (0,) * _nd,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tw.shape, lambda c, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_m, bins), lambda c, m: (c, m, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (channels, num_tiles * tile_m, bins), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((dma_rows, stride), jnp.float32),
+            pltpu.VMEM((nb_pad, irpb * stride), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x_rows, weights, tw)
+    out = out[:, :num_frames, :]
     return out.reshape(*batch, num_frames, bins)
 
 

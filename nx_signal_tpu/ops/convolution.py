@@ -260,6 +260,16 @@ def fir_convolve_1d(x, taps, mode="full", *, origin: int = 0):
     sample f lands in matmul column (f + origin) % B regardless of local
     offsets, so sharded overlap-save calls (nx_signal_tpu.parallel) produce
     bitwise-identical sums to the single-device call.
+    
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.convolution import fir_convolve_1d
+    >>> y = fir_convolve_1d(jnp.asarray([1.0, 2.0, 3.0, 4.0]),
+    ...                     jnp.asarray([1.0, 1.0]), mode="full")
+    >>> np.round(np.asarray(y), 1)
+    array([1., 3., 5., 7., 4.], dtype=float32)
     """
     from nx_signal_tpu.kernels.dft import blocked_frame_matmul, toeplitz_band
 

@@ -109,6 +109,10 @@ def normalize(b, a):
             raise ValueError("Improper transfer function. "
                              "`num` is longer than `den`.")
         b2 = b2[:, b2.shape[-1] - a.shape[0]:]
+        # scipy warns whenever leading zeros are dropped, including the
+        # improper-length case above
+        warnings.warn("Badly conditioned filter coefficients (numerator): "
+                      "the results may be meaningless", BadCoefficients)
     # strip leading zero columns shared by every row (keep at least 1);
     # scipy's threshold is atol=1e-14 — a genuinely small leading
     # coefficient (e.g. 1e-10) must be KEPT, not trimmed

@@ -46,7 +46,22 @@ def demodulate_channel(x, carrier_frequency, sampling_rate, *, bandwidth,
                        decimation: int, num_taps: int = 129):
     """Classic digital down-converter: mix to baseband, FIR low-pass at
     `bandwidth`/2, decimate by `decimation` (polyphase). Returns the complex
-    baseband stream at sampling_rate / decimation."""
+    baseband stream at sampling_rate / decimation.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.mixing import demodulate_channel
+    >>> fs = 8000.0
+    >>> t = np.arange(4096) / fs
+    >>> x = jnp.asarray(np.cos(2 * np.pi * 1000 * t), jnp.float32)
+    >>> base = demodulate_channel(x, 1000.0, fs, bandwidth=200.0, decimation=4)
+    >>> base.shape, base.dtype    # complex baseband at fs/4
+    ((1024,), dtype('complex64'))
+    >>> round(float(jnp.abs(base[200:-200]).mean()), 2)  # tone -> DC, |.|=1/2
+    0.5
+    """
     if decimation < 1:
         raise ValueError(f"decimation must be >= 1, got: {decimation}")
     baseband = mix_down(x, carrier_frequency, sampling_rate)

@@ -63,6 +63,15 @@ def argrelextrema(data, comparator, *, axis: int = 0, order: int = 1):
     """Comparator-based relative extrema: element at i is kept iff
     comparator(x[i], x[i ± s]) holds for every shift s in 1..order, with
     edge-clamped neighbor indices (reference: peak_finding.ex:348-368).
+    
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.peak_finding import argrelextrema
+    >>> a = jnp.asarray([1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 0.0])
+    >>> ext = argrelextrema(a, jnp.greater)
+    >>> ext.indices[:4, 0], ext.valid_indices   # -1 pads the fixed shape
+    (Array([ 1,  3,  5, -1], dtype=int32), Array(3, dtype=uint32))
     """
     data = jnp.asarray(data)
     mask = _boolrelextrema(data, comparator, axis, order)

@@ -12,7 +12,9 @@ batched FFT across channels.
 
 import math
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from nx_signal_tpu.ops.filters import firwin
 from nx_signal_tpu.spectral.framing import as_windowed
@@ -216,19 +218,42 @@ def resample_poly(x, up: int, down: int, *, window=("kaiser", 5.0), taps=None):
 
 
 def pfb_analyze(x, n_channels: int, *, taps_per_channel: int = 8, window=("kaiser", 5.0),
-                taps=None, shift: bool = False):
+                taps=None, shift: bool = False, strategy: str = "auto",
+                precision="highest"):
     """Critically-sampled polyphase analysis filterbank (DFT channelizer) —
     the wideband-SDR front end (BASELINE config 5).
 
     Splits the last axis of `x` into `n_channels` equal sub-bands, each
     decimated by n_channels: frames of n_channels*taps_per_channel samples
     at stride n_channels, weighted by the polyphase decomposition of the
-    prototype low-pass, summed over taps, then one batched FFT across the
-    channel axis. Returns (..., frames, channels) complex.
+    prototype low-pass, summed over taps, then a DFT across the channel
+    axis. Returns (..., frames, channels) complex.
 
     The prototype defaults to firwin(n_channels*taps_per_channel,
     1/n_channels, kaiser 5.0); pass `taps` to override. `shift=True` applies
     fftshift over the channel axis (center-DC ordering).
+
+    Execution strategies (all mathematically identical; the PFB *is* a
+    framed DFT with the wrapped phase e^(-2i*pi*k*n/m), so it rides the
+    chain's MXU machinery):
+
+    * 'matmul' (real input): ONE conv-of-blocks matmul against the
+      aliased-DFT weight matrix W[n, k] = proto[n] * e^(-2i*pi*k*n/m)
+      of shape (m*taps_per_channel, 2*m) — zero frame materialization,
+      the `blocked_frame_matmul` strategy='conv' path (ROOFLINE.md §7).
+    * 'factored' (real input): polyphase sum first as taps_per_channel
+      shifted multiply-adds over the free (blocks, m) reshape view (VPU,
+      no frames buffer), then one (T, m) @ (m, 2*m) DFT matmul — the
+      FLOP-minimal form, preferred for large m where the combined
+      matmul's K = m*taps_per_channel wastes taps_per_channel-fold MXU
+      work.
+    * 'einsum': the reference formulation (as_windowed frames + weighted
+      sum + batched FFT) — an (taps_per_channel)-fold HBM frame expansion;
+      kept for complex input and as the oracle. Measured 519 Msamples/s
+      vs >5000 for 'matmul' at the 64-band BASELINE config (ROOFLINE §7).
+    * 'auto': 'matmul' when the input is real and m*taps_per_channel <=
+      1024 (the good-matmul-K range), 'factored' for larger real
+      filterbanks, 'einsum' for complex input.
 
     Examples:
 
@@ -254,24 +279,94 @@ def pfb_analyze(x, n_channels: int, *, taps_per_channel: int = 8, window=("kaise
                 f"n_channels ({m})"
             )
         taps_per_channel = proto.shape[0] // m
-    # Polyphase weights: w[j, c] = proto[j*m + c]
-    weights = proto.reshape(taps_per_channel, m)
 
     dtype = jnp.promote_types(x.dtype, proto.dtype)
     if not (jnp.issubdtype(dtype, jnp.floating) or is_complex_dtype(dtype)):
         dtype = DEFAULT_FLOAT
     x = x.astype(dtype)
+    complex_in = is_complex_dtype(dtype)
+
+    if strategy not in ("auto", "matmul", "factored", "einsum"):
+        raise ValueError("strategy must be 'auto', 'matmul', 'factored' or "
+                         f"'einsum', got {strategy!r}")
+    if strategy == "auto":
+        if complex_in:
+            strategy = "einsum"
+        elif m * taps_per_channel <= 1024:
+            strategy = "matmul"
+        else:
+            strategy = "factored"
+    if strategy in ("matmul", "factored") and complex_in:
+        raise ValueError(
+            f"strategy={strategy!r} requires real input (the stacked-real "
+            "MXU weight layout); use 'einsum' for complex signals")
 
     window_length = m * taps_per_channel
-    frames = as_windowed(x, window_length=window_length, stride=m)
-    batch_frames = frames.shape[:-1]
-    blocks = frames.reshape(*batch_frames, taps_per_channel, m)
-    # y[t, c] = sum_j w[j, c] * x[t*m + j*m + c]  (filter-and-decimate)
-    summed = jnp.einsum("...jc,jc->...c", blocks, weights.astype(dtype))
-    channels = jnp.fft.fft(summed, axis=-1)
+    if x.shape[-1] < window_length:
+        raise ValueError(
+            f"signal length {x.shape[-1]} is shorter than the prototype "
+            f"({window_length} taps)")
+
+    if strategy == "matmul":
+        channels = _pfb_matmul(x, proto, m, window_length, precision)
+    elif strategy == "factored":
+        channels = _pfb_factored(x, proto, m, taps_per_channel, precision)
+    else:
+        weights = proto.reshape(taps_per_channel, m)
+        frames = as_windowed(x, window_length=window_length, stride=m)
+        batch_frames = frames.shape[:-1]
+        blocks = frames.reshape(*batch_frames, taps_per_channel, m)
+        # y[t, c] = sum_j w[j, c] * x[t*m + j*m + c]  (filter-and-decimate)
+        summed = jnp.einsum("...jc,jc->...c", blocks, weights.astype(dtype))
+        channels = jnp.fft.fft(summed, axis=-1)
     if shift:
         channels = jnp.fft.fftshift(channels, axes=-1)
     return channels
+
+
+def _pfb_matmul(x, proto, m, window_length, precision):
+    """PFB as one conv-of-blocks framed-DFT matmul: Y[t, k] =
+    frame_t @ W with W[n, k] = proto[n] e^(-2i*pi*k*n/m) — the DFT phase
+    wraps mod m exactly as `_dft_weights` computes it for n_fft < frame."""
+    import numpy as np
+
+    from nx_signal_tpu.kernels.dft import _dft_weights, blocked_frame_matmul
+
+    num_frames = (x.shape[-1] - window_length) // m + 1
+    proto_np = np.asarray(proto, dtype=np.float64)
+    weights = jnp.asarray(
+        _dft_weights(proto_np, window_length, m, False, np.float64)
+        .astype(np.float32))
+    acc = blocked_frame_matmul(
+        x.astype(DEFAULT_FLOAT), weights, window_length=window_length,
+        stride=m, num_frames=num_frames, precision=precision)
+    return lax.complex(acc[..., :m], acc[..., m:])
+
+
+def _pfb_factored(x, proto, m, taps_per_channel, precision):
+    """PFB with the polyphase sum factored out: taps_per_channel shifted
+    multiply-adds over the free hop-block view (16 VPU FLOP/sample),
+    then one (T, m) @ (m, 2m) DFT matmul — the FLOP-minimal form
+    (the combined matmul costs taps_per_channel-fold more MXU work)."""
+    import numpy as np
+
+    from nx_signal_tpu.kernels.dft import _dft_weights
+
+    x = x.astype(DEFAULT_FLOAT)
+    batch = x.shape[:-1]
+    length = x.shape[-1]
+    nb = length // m
+    num_frames = nb - taps_per_channel + 1
+    u = x[..., :nb * m].reshape(*batch, nb, m)
+    w = proto.astype(DEFAULT_FLOAT).reshape(taps_per_channel, m)
+    s = w[0] * u[..., :num_frames, :]
+    for j in range(1, taps_per_channel):
+        s = s + w[j] * u[..., j:j + num_frames, :]
+    ones = np.ones(m, dtype=np.float64)
+    f_mat = jnp.asarray(
+        _dft_weights(ones, m, m, False, np.float64).astype(np.float32))
+    acc = jnp.matmul(s, f_mat, precision=precision)
+    return lax.complex(acc[..., :m], acc[..., m:])
 
 
 def resample(x, num: int, *, axis: int = -1, window=None):

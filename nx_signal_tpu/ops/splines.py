@@ -405,7 +405,19 @@ def sepfir2d(input, hrow, hcol):
 def cspline2d(signal, lamb: float = 0.0, precision: float = -1.0):
     """2-D cubic B-spline coefficients — scipy.signal.cspline2d semantics:
     the separable symiirorder1 (exact) or symiirorder2 (smoothing,
-    lamb > 1/144) prefilter applied along both axes."""
+    lamb > 1/144) prefilter applied along both axes.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(24, 24)), jnp.float32)
+    >>> from nx_signal_tpu.ops.splines import cspline2d, sepfir2d
+    >>> c = cspline2d(x, 0.0)
+    >>> h = jnp.asarray([1.0, 4.0, 1.0]) / 6.0
+    >>> bool(jnp.abs(sepfir2d(c, h, h) - x).max() < 1e-5)   # interpolation
+    True
+    """
     x = jnp.asarray(signal)
     if x.ndim != 2:
         raise ValueError("signal must be 2-D")
@@ -423,7 +435,19 @@ def cspline2d(signal, lamb: float = 0.0, precision: float = -1.0):
 
 def qspline2d(signal, lamb: float = 0.0, precision: float = -1.0):
     """2-D quadratic B-spline coefficients — scipy.signal.qspline2d
-    semantics."""
+    semantics.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(24, 24)), jnp.float32)
+    >>> from nx_signal_tpu.ops.splines import qspline2d, sepfir2d
+    >>> q = qspline2d(x, 0.0)
+    >>> h = jnp.asarray([1.0, 6.0, 1.0]) / 8.0
+    >>> bool(jnp.abs(sepfir2d(q, h, h) - x).max() < 1e-5)   # interpolation
+    True
+    """
     x = jnp.asarray(signal)
     if x.ndim != 2:
         raise ValueError("signal must be 2-D")
@@ -445,7 +469,18 @@ def _c2d_precision(precision, dtype):
 def spline_filter(iin, lmbda: float = 5.0):
     """Smoothing-spline filter of a 2-D array — scipy.signal.spline_filter
     semantics: cubic smoothing coefficients then the separable [1,4,1]/6
-    B-spline reconstruction."""
+    B-spline reconstruction.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(24, 24)), jnp.float32)
+    >>> from nx_signal_tpu.ops.splines import spline_filter
+    >>> sf = spline_filter(x, lmbda=5.0)
+    >>> sf.shape, bool(abs(float(sf.mean() - x.mean())) < 1e-5)  # DC kept
+    ((24, 24), True)
+    """
     x = jnp.asarray(iin)
     if not (jnp.issubdtype(x.dtype, jnp.floating)
             or jnp.issubdtype(x.dtype, jnp.complexfloating)):

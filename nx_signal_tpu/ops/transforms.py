@@ -25,14 +25,34 @@ def _norm_axes_lengths(x, axes, lengths):
 
 def fft_nd(x, *, axes=None, lengths=None):
     """Forward FFT over `axes`, padding/truncating each axis to the matching
-    entry of `lengths` (reference: transforms.ex:5-12)."""
+    entry of `lengths` (reference: transforms.ex:5-12).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.transforms import fft_nd
+    >>> X = fft_nd(jnp.ones((2, 4)), axes=[0, 1], lengths=[2, 8])
+    >>> X.shape, X.dtype
+    ((2, 8), dtype('complex64'))
+    """
     x = jnp.asarray(x)
     axes, lengths = _norm_axes_lengths(x, axes, lengths)
     return jnp.fft.fftn(x, s=lengths, axes=axes)
 
 
 def ifft_nd(x, *, axes=None, lengths=None):
-    """Inverse FFT over `axes` (reference: transforms.ex:14-21)."""
+    """Inverse FFT over `axes` (reference: transforms.ex:14-21).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.transforms import fft_nd, ifft_nd
+    >>> X = fft_nd(jnp.ones((2, 4)), axes=[1], lengths=[4])
+    >>> np.round(np.asarray(ifft_nd(X, axes=[1]).real), 4)
+    array([[1., 1., 1., 1.],
+           [1., 1., 1., 1.]], dtype=float32)
+    """
     x = jnp.asarray(x)
     axes, lengths = _norm_axes_lengths(x, axes, lengths)
     return jnp.fft.ifftn(x, s=lengths, axes=axes)
@@ -41,14 +61,33 @@ def ifft_nd(x, *, axes=None, lengths=None):
 def rfft_nd(x, *, axes=None, lengths=None):
     """Real-input forward FFT over `axes` (half-spectrum on the last of
     `axes`) — the TPU-fast path for real convolution: half the FFT work and
-    HBM traffic of `fft_nd`."""
+    HBM traffic of `fft_nd`.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.transforms import rfft_nd
+    >>> R = rfft_nd(jnp.ones((2, 8)), axes=[1])
+    >>> R.shape, R.dtype   # 8 real -> 5 = 8//2 + 1 bins
+    ((2, 5), dtype('complex64'))
+    """
     x = jnp.asarray(x)
     axes, lengths = _norm_axes_lengths(x, axes, lengths)
     return jnp.fft.rfftn(x, s=lengths, axes=axes)
 
 
 def irfft_nd(x, *, axes=None, lengths=None):
-    """Inverse of `rfft_nd`; `lengths` are the full (time-domain) lengths."""
+    """Inverse of `rfft_nd`; `lengths` are the full (time-domain) lengths.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.transforms import irfft_nd, rfft_nd
+    >>> y = irfft_nd(rfft_nd(jnp.ones((2, 8)), axes=[1]), axes=[1], lengths=[8])
+    >>> y.shape, y.dtype
+    ((2, 8), dtype('float32'))
+    """
     x = jnp.asarray(x)
     axes, lengths = _norm_axes_lengths(x, axes, lengths)
     return jnp.fft.irfftn(x, s=lengths, axes=axes)

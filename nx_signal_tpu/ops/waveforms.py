@@ -224,7 +224,17 @@ def gausspulse(t, fc: float = 1000.0, bw: float = 0.5, bwr: float = -6.0,
     returns the in-phase component by default, optionally the quadrature
     and/or envelope, and accepts t='cutoff' to return the time where the
     envelope falls to `tpr` dB. The reference's map-returning form is
-    `gaussian_pulse` (waveforms.ex:161-198)."""
+    `gaussian_pulse` (waveforms.ex:161-198).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.waveforms import gausspulse
+    >>> t = jnp.linspace(-0.5, 0.5, 5)
+    >>> np.round(np.asarray(gausspulse(t, fc=2.0)), 4)
+    array([ 0.4094, -0.7999,  1.    , -0.7999,  0.4094], dtype=float32)
+    """
     if isinstance(t, str):
         if t != "cutoff":
             raise ValueError(f"If t is a string, it must be 'cutoff', got: {t}")

@@ -52,7 +52,14 @@ __all__ = [
 
 def rectangular(n: int, *, dtype=jnp.int32):
     """All-ones window (reference: windows.ex:33-36; the reference defaults to
-    s64 — here int32, TPU's native integer width)."""
+    s64 — here int32, TPU's native integer width).
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.windows import rectangular
+    >>> rectangular(5)
+    Array([1, 1, 1, 1, 1], dtype=int32)
+    """
     return jnp.ones((n,), dtype=dtype)
 
 
@@ -60,7 +67,15 @@ def bartlett(n: int, *, dtype=DEFAULT_FLOAT):
     """Periodic Bartlett window: rises 2i/n then falls 2 - 2i/n, split at
     n//2 + n%2 (reference: windows.ex:57-76). Note this is the *periodic*
     triangular variant (matches torch.bartlett_window(periodic=True)), not
-    scipy.signal.windows.bartlett which is symmetric."""
+    scipy.signal.windows.bartlett which is symmetric.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import bartlett
+    >>> np.round(np.asarray(bartlett(6)), 4)
+    array([0.    , 0.3333, 0.6667, 1.    , 0.6667, 0.3333], dtype=float32)
+    """
     i = jnp.arange(n, dtype=dtype)
     left_size = n // 2 + n % 2
     return jnp.where(i < left_size, i * 2.0 / n, 2.0 - i * 2.0 / n).astype(dtype)
@@ -68,7 +83,15 @@ def bartlett(n: int, *, dtype=DEFAULT_FLOAT):
 
 def triangular(n: int, *, dtype=DEFAULT_FLOAT):
     """Symmetric triangular window, scipy.signal.windows.triang semantics
-    (reference: windows.ex:98-127): odd n -> peaks at 1, even n -> plateau."""
+    (reference: windows.ex:98-127): odd n -> peaks at 1, even n -> plateau.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import triangular
+    >>> np.round(np.asarray(triangular(5)), 4)
+    array([0.3333, 0.6667, 1.    , 0.6667, 0.3333], dtype=float32)
+    """
     half = (n + 1) // 2
     idx = jnp.arange(1, half + 1, dtype=dtype)
     if n % 2 == 1:
@@ -99,12 +122,29 @@ def _cosine_window(n: int, coefs, periodic: bool, dtype):
 
 def blackman(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
     """Blackman window 0.42 - 0.5 cos + 0.08 cos(2·) (reference:
-    windows.ex:160-199)."""
+    windows.ex:160-199).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import blackman
+    >>> np.round(np.asarray(blackman(8, periodic=False)), 4)
+    array([-0.    ,  0.0905,  0.4592,  0.9204,  0.9204,  0.4592,  0.0905,
+           -0.    ], dtype=float32)
+    """
     return _cosine_window(n, (0.42, 0.5, 0.08), periodic, dtype)
 
 
 def hamming(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
-    """Hamming window 0.54 - 0.46 cos (reference: windows.ex:225-252)."""
+    """Hamming window 0.54 - 0.46 cos (reference: windows.ex:225-252).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import hamming
+    >>> np.round(np.asarray(hamming(6, periodic=False)), 4)
+    array([0.08  , 0.3979, 0.9121, 0.9121, 0.3979, 0.08  ], dtype=float32)
+    """
     return _cosine_window(n, (0.54, 0.46), periodic, dtype)
 
 
@@ -178,7 +218,15 @@ def general_cosine(n: int, coefs, *, periodic: bool = True, dtype=DEFAULT_FLOAT)
     """Generic weighted cosine-sum window sum_k a_k cos(k th), th in [-pi, pi] —
     scipy.signal.windows.general_cosine semantics (centered phase convention:
     all-positive coefficients peak at the center). Not in the
-    reference; generalizes windows.ex:160-199."""
+    reference; generalizes windows.ex:160-199.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import general_cosine
+    >>> np.round(np.asarray(general_cosine(6, [0.6, 0.4], periodic=False)), 4)
+    array([0.2   , 0.4764, 0.9236, 0.9236, 0.4764, 0.2   ], dtype=float32)
+    """
     def build(length):
         fac = np.linspace(-np.pi, np.pi, length)
         w = np.zeros(length)
@@ -191,27 +239,62 @@ def general_cosine(n: int, coefs, *, periodic: bool = True, dtype=DEFAULT_FLOAT)
 def general_hamming(n: int, alpha: float, *, periodic: bool = True,
                     dtype=DEFAULT_FLOAT):
     """Generalized Hamming alpha - (1-alpha) cos —
-    scipy.signal.windows.general_hamming semantics. Not in the reference."""
+    scipy.signal.windows.general_hamming semantics. Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import general_hamming
+    >>> np.round(np.asarray(general_hamming(6, 0.6, periodic=False)), 4)
+    array([0.2   , 0.4764, 0.9236, 0.9236, 0.4764, 0.2   ], dtype=float32)
+    """
     return general_cosine(n, [alpha, 1.0 - alpha], periodic=periodic, dtype=dtype)
 
 
 def blackmanharris(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
     """4-term Blackman-Harris window (-92 dB sidelobes) —
-    scipy.signal.windows.blackmanharris semantics. Not in the reference."""
+    scipy.signal.windows.blackmanharris semantics. Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import blackmanharris
+    >>> np.round(np.asarray(blackmanharris(6, periodic=False)), 4)
+    array([1.000e-04, 1.030e-01, 7.938e-01, 7.938e-01, 1.030e-01, 1.000e-04],
+          dtype=float32)
+    """
     return general_cosine(n, [0.35875, 0.48829, 0.14128, 0.01168],
                           periodic=periodic, dtype=dtype)
 
 
 def nuttall(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
     """Nuttall 4-term minimum-sidelobe window —
-    scipy.signal.windows.nuttall semantics. Not in the reference."""
+    scipy.signal.windows.nuttall semantics. Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import nuttall
+    >>> np.round(np.asarray(nuttall(6, periodic=False)), 4)
+    array([4.000e-04, 1.105e-01, 7.983e-01, 7.983e-01, 1.105e-01, 4.000e-04],
+          dtype=float32)
+    """
     return general_cosine(n, [0.3635819, 0.4891775, 0.1365995, 0.0106411],
                           periodic=periodic, dtype=dtype)
 
 
 def flattop(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
     """Flat-top window (amplitude-accurate spectral measurement) —
-    scipy.signal.windows.flattop semantics. Not in the reference."""
+    scipy.signal.windows.flattop semantics. Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import flattop
+    >>> np.round(np.asarray(flattop(7, periodic=False)), 4)
+    array([-4.000e-04, -5.130e-02,  1.982e-01,  1.000e+00,  1.982e-01,
+           -5.130e-02, -4.000e-04], dtype=float32)
+    """
     return general_cosine(
         n,
         [0.21557895, 0.41663158, 0.277263158, 0.083578947, 0.006947368],
@@ -221,7 +304,15 @@ def flattop(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
 
 def bohman(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
     """Bohman window (1-|x|)cos(pi|x|) + sin(pi|x|)/pi —
-    scipy.signal.windows.bohman semantics. Not in the reference."""
+    scipy.signal.windows.bohman semantics. Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import bohman
+    >>> np.round(np.asarray(bohman(6, periodic=False)), 4)
+    array([0.    , 0.1791, 0.8343, 0.8343, 0.1791, 0.    ], dtype=float32)
+    """
     def build(length):
         fac = np.abs(np.linspace(-1.0, 1.0, length)[1:-1])
         w = (1.0 - fac) * np.cos(np.pi * fac) + np.sin(np.pi * fac) / np.pi
@@ -231,7 +322,15 @@ def bohman(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
 
 def cosine(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
     """Half-cycle sine window sin(pi (i+1/2) / L) —
-    scipy.signal.windows.cosine semantics. Not in the reference."""
+    scipy.signal.windows.cosine semantics. Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import cosine
+    >>> np.round(np.asarray(cosine(6, periodic=False)), 4)
+    array([0.2588, 0.7071, 0.9659, 0.9659, 0.7071, 0.2588], dtype=float32)
+    """
     return _host_window(
         n, periodic, dtype,
         lambda length: np.sin(np.pi / length * (np.arange(length) + 0.5)),
@@ -240,7 +339,15 @@ def cosine(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
 
 def barthann(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
     """Bartlett-Hann window — scipy.signal.windows.barthann semantics.
-    Not in the reference."""
+    Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import barthann
+    >>> np.round(np.asarray(barthann(6, periodic=False)), 4)
+    array([0.    , 0.3586, 0.8794, 0.8794, 0.3586, 0.    ], dtype=float32)
+    """
     def build(length):
         fac = np.abs(np.arange(length) / (length - 1.0) - 0.5)
         return 0.62 - 0.48 * fac + 0.38 * np.cos(2.0 * np.pi * fac)
@@ -249,7 +356,15 @@ def barthann(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
 
 def parzen(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
     """Parzen (de la Vallee Poussin) piecewise-cubic window —
-    scipy.signal.windows.parzen semantics. Not in the reference."""
+    scipy.signal.windows.parzen semantics. Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import parzen
+    >>> np.round(np.asarray(parzen(6, periodic=False)), 4)
+    array([0.0093, 0.25  , 0.8611, 0.8611, 0.25  , 0.0093], dtype=float32)
+    """
     def build(length):
         idx = np.arange(-(length - 1) / 2.0, (length - 1) / 2.0 + 0.5, 1.0)
         r = np.abs(idx) / (length / 2.0)
@@ -260,7 +375,15 @@ def parzen(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
 
 def lanczos(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
     """Lanczos (sinc) window sinc(2i/(L-1) - 1) —
-    scipy.signal.windows.lanczos semantics. Not in the reference."""
+    scipy.signal.windows.lanczos semantics. Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import lanczos
+    >>> np.round(np.asarray(lanczos(6, periodic=False)), 4)
+    array([0.    , 0.5046, 0.9355, 0.9355, 0.5046, 0.    ], dtype=float32)
+    """
     return _host_window(
         n, periodic, dtype,
         lambda length: np.sinc(2.0 * np.arange(length) / (length - 1.0) - 1.0),
@@ -269,7 +392,16 @@ def lanczos(n: int, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
 
 def gaussian(n: int, std: float, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
     """Gaussian window exp(-i^2 / (2 std^2)), centered —
-    scipy.signal.windows.gaussian semantics. Not in the reference."""
+    scipy.signal.windows.gaussian semantics. Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import gaussian
+    >>> np.round(np.asarray(gaussian(7, 1.5, periodic=False)), 4)
+    array([0.1353, 0.4111, 0.8007, 1.    , 0.8007, 0.4111, 0.1353],
+          dtype=float32)
+    """
     def build(length):
         idx = np.arange(length) - (length - 1) / 2.0
         return np.exp(-(idx**2) / (2.0 * std * std))
@@ -279,7 +411,16 @@ def gaussian(n: int, std: float, *, periodic: bool = True, dtype=DEFAULT_FLOAT):
 def general_gaussian(n: int, p: float, sig: float, *, periodic: bool = True,
                      dtype=DEFAULT_FLOAT):
     """Generalized Gaussian exp(-1/2 |i/sig|^(2p)) —
-    scipy.signal.windows.general_gaussian semantics. Not in the reference."""
+    scipy.signal.windows.general_gaussian semantics. Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import general_gaussian
+    >>> np.round(np.asarray(general_gaussian(7, 1.5, 2.0, periodic=False)), 4)
+    array([0.185 , 0.6065, 0.9394, 1.    , 0.9394, 0.6065, 0.185 ],
+          dtype=float32)
+    """
     def build(length):
         idx = np.arange(length) - (length - 1) / 2.0
         return np.exp(-0.5 * np.abs(idx / sig) ** (2.0 * p))
@@ -290,7 +431,16 @@ def tukey(n: int, alpha: float = 0.5, *, periodic: bool = True,
           dtype=DEFAULT_FLOAT):
     """Tukey (tapered-cosine) window — scipy.signal.windows.tukey semantics:
     cosine tapers over alpha/2 of the span at each end, flat middle.
-    Not in the reference."""
+    Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import tukey
+    >>> np.round(np.asarray(tukey(8, 0.5, periodic=False)), 4)
+    array([0.    , 0.6113, 1.    , 1.    , 1.    , 1.    , 0.6113, 0.    ],
+          dtype=float32)
+    """
     def build(length):
         if alpha <= 0:
             return np.ones(length)
@@ -313,7 +463,15 @@ def exponential(n: int, center=None, tau: float = 1.0, *,
     """Exponential (Poisson) window exp(-|i - center| / tau) —
     scipy.signal.windows.exponential semantics, including the rule that an
     explicit center requires the periodic (non-symmetric) form.
-    Not in the reference."""
+    Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import exponential
+    >>> np.round(np.asarray(exponential(6, tau=2.0, periodic=False)), 4)
+    array([0.2865, 0.4724, 0.7788, 0.7788, 0.4724, 0.2865], dtype=float32)
+    """
     if not periodic and center is not None:
         raise ValueError("If periodic is False, center must be None.")
     def build(length):
@@ -327,7 +485,16 @@ def taylor(n: int, nbar: int = 4, sll: float = 30.0, *, norm: bool = True,
     """Taylor window (radar: near-constant sidelobes at -sll dB with nbar
     near-in sidelobes) — scipy.signal.windows.taylor semantics. The cosine-sum
     coefficients F_m come from the Chebyshev-matching product formula.
-    Not in the reference."""
+    Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import taylor
+    >>> np.round(np.asarray(taylor(8, nbar=3, sll=20, periodic=False)), 4)
+    array([0.5427, 0.6664, 0.848 , 0.981 , 0.981 , 0.848 , 0.6664, 0.5427],
+          dtype=float32)
+    """
     def build(length):
         big_b = 10.0 ** (sll / 20.0)
         big_a = np.arccosh(big_b) / np.pi
@@ -361,7 +528,16 @@ def chebwin(n: int, at: float = 100.0, *, periodic: bool = True,
     """Dolph-Chebyshev window with exactly `at` dB of equiripple sidelobe
     attenuation — scipy.signal.windows.chebwin semantics (Chebyshev polynomial
     sampled in the frequency domain, inverse DFT, peak-normalized).
-    Not in the reference."""
+    Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import chebwin
+    >>> np.round(np.asarray(chebwin(7, 60, periodic=False)), 4)
+    array([0.0871, 0.38  , 0.7947, 1.    , 0.7947, 0.38  , 0.0871],
+          dtype=float32)
+    """
     def build(length):
         order = length - 1
         beta = np.cosh(np.arccosh(10.0 ** (abs(at) / 20.0)) / order)
@@ -395,7 +571,15 @@ def dpss(n: int, half_bandwidth: float, n_windows=None, *,
     odd-order windows start positive). Returns shape (n,) when `n_windows`
     is None, else (n_windows, n). Eigenvectors of the symmetric tridiagonal
     DPSS operator, solved densely on host (design-time). Not in the
-    reference."""
+    reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.windows import dpss
+    >>> np.round(np.asarray(dpss(6, 1.5, periodic=False)), 4)
+    array([0.1329, 0.3766, 0.5835, 0.5835, 0.3766, 0.1329], dtype=float32)
+    """
     if not 0 < half_bandwidth < n / 2.0:
         raise ValueError("half_bandwidth must be in (0, n/2)")
     k_max = 1 if n_windows is None else int(n_windows)

@@ -377,3 +377,41 @@ _got_s16 = np.asarray(_sfc16(_xs16, _t16, _w16, mesh=_mesh16, stride=128,
                              n_fft=512, precision="highest"))
 np.testing.assert_allclose(_got_s16, _ref_s16, atol=2e-6 * _ref_s16.max())
 print("16. frame-chunked power + fused Pallas kernels (chain, OLA bitwise) + sharded fused chain + from_win_equals_dual OK")
+
+# 17. round-4 shared-block partial-DFT Pallas kernel (2x FLOP cut):
+# both schedules + the kernel='pallas_shared' dispatch path (interpreter)
+from nx_signal_tpu.kernels.dft import recognize_cosine_window as _rcw17
+from nx_signal_tpu.kernels.pallas_dft import (
+    fir_framed_dft_power_shared_pallas as _sp17)
+from nx_signal_tpu.ops.windows import hann as _hann17
+_w17 = np.asarray(_hann17(512), np.float64)
+_c17 = _rcw17(_w17, 512)
+assert _c17 == (0.5, -0.5), _c17
+_ref17 = np.asarray(_ffd16(_x16, _t16, _w17, stride=128, n_fft=512,
+                           onesided=True, output="power"))
+for _dma17 in ("window", "pipeline"):
+    _got17 = np.asarray(_sp17(_x16, _t16, stride=128, n_fft=512,
+                              window_coeffs=_c17, dma=_dma17,
+                              interpret=True))
+    np.testing.assert_allclose(_got17, _ref17, atol=1e-5 * _ref17.max())
+try:
+    _ffd16(_x16, _t16, np.kaiser(512, 8.0), stride=128, n_fft=512,
+           onesided=True, output="power", kernel="pallas_shared")
+    raise AssertionError("pallas_shared accepted a non-cosine window")
+except ValueError as _e17:
+    assert "cosine" in str(_e17)
+print("17. shared-block partial-DFT Pallas kernel (both schedules) + dispatch gate OK")
+
+# 18. round-4 PFB MXU strategies: the channelizer as an aliased-DFT
+# conv-of-blocks matmul / factored polyphase+DFT vs the einsum oracle
+from nx_signal_tpu.ops.resample import pfb_analyze as _pfb18
+_x18 = np.random.default_rng(18).normal(size=(2, 60000)).astype(np.float32)
+_ref18 = np.asarray(_pfb18(_x18, 64, taps_per_channel=8, strategy="einsum"))
+for _st18 in ("matmul", "factored", "auto"):
+    _got18 = np.asarray(_pfb18(_x18, 64, taps_per_channel=8, strategy=_st18))
+    assert _got18.shape == _ref18.shape
+    np.testing.assert_allclose(_got18, _ref18,
+                               atol=2e-6 * np.abs(_ref18).max())
+_got18b = np.asarray(_pfb18(_x18[0], 1024, taps_per_channel=8))  # 'factored'
+assert _got18b.shape == ((60000 - 8192) // 1024 + 1, 1024)
+print("18. PFB MXU strategies (matmul/factored/auto, 64 + 1024 bands) OK")

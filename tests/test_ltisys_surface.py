@@ -23,6 +23,12 @@ from nx_signal_tpu.ops.filters import (
 from nx_signal_tpu.ops.transforms import envelope, hilbert2
 from nx_signal_tpu.spectral.stft import check_cola, check_nola
 
+# tf<->ss conversion cycles legitimately produce near-zero leading
+# numerator coefficients; both scipy's internals and ours warn
+# BadCoefficients there — expected, keep the suite warning-free
+pytestmark = pytest.mark.filterwarnings(
+    "ignore:Badly conditioned filter coefficients")
+
 
 class TestExpm:
     @pytest.mark.parametrize("seed", [0, 1, 2])
@@ -38,8 +44,11 @@ class TestExpm:
 
 class TestTfSs:
     def test_normalize(self):
-        b, a = lti.normalize([0.0, 3.0, 6.0], [2.0, 4.0])
-        b2, a2 = sps.normalize([0.0, 3.0, 6.0], [2.0, 4.0])
+        # both sides warn BadCoefficients on the dropped leading zero
+        with pytest.warns(lti.BadCoefficients):
+            b, a = lti.normalize([0.0, 3.0, 6.0], [2.0, 4.0])
+        with pytest.warns(sps.BadCoefficients):
+            b2, a2 = sps.normalize([0.0, 3.0, 6.0], [2.0, 4.0])
         np.testing.assert_allclose(b, b2)
         np.testing.assert_allclose(a, a2)
         with pytest.raises(ValueError):

@@ -122,3 +122,82 @@ def test_pallas_overlap_add_validation(rng):
         overlap_add_pallas(f, overlap_length=512, interpret=True)
     with pytest.raises(ValueError):   # stride 100 not lane-aligned
         overlap_add_pallas(f, overlap_length=412, interpret=True)
+
+
+# ------------------------- shared-block partial DFT (the 2x FLOP cut)
+
+class TestSharedPallas:
+    """fir_framed_dft_power_shared_pallas: the shared hop-block partial
+    DFT (ROOFLINE.md §4's 2x-fewer-FLOPs algorithm) with its twiddle
+    combine + spectral window + power as in-VMEM epilogue stages — the
+    formulation VERDICT r03 names as the last perf lever on the chain."""
+
+    @pytest.mark.parametrize("dma", ["window", "pipeline"])
+    @pytest.mark.parametrize(
+        "shape,length,taps,stride,nfft,wname,tile_m", [
+            ((2,), 5000, 255, 128, 512, "hann", None),   # bench geometry
+            ((3, 2), 9000, 63, 128, 512, "blackman", 64),  # 3-D batch, c=2
+            ((1,), 4000, 1, 256, 512, "hamming", None),  # J=2, 1-tap FIR
+            ((2,), 20000, 129, 128, 1024, "hann", None),  # J=8
+        ])
+    def test_matches_xla_chain(self, shape, length, taps, stride, nfft,
+                               wname, tile_m, dma, rng):
+        from nx_signal_tpu.kernels.dft import recognize_cosine_window
+        from nx_signal_tpu.kernels.pallas_dft import (
+            fir_framed_dft_power_shared_pallas)
+        x = rng.normal(size=(*shape, length)).astype(np.float32)
+        t = rng.normal(size=taps).astype(np.float32)
+        w = np.asarray(getattr(windows, wname)(nfft))
+        coeffs = recognize_cosine_window(w, nfft)
+        assert coeffs is not None
+        ref = np.asarray(fir_framed_dft(
+            x, t, w, stride=stride, n_fft=nfft, onesided=True,
+            output="power", precision="highest", kernel="xla"))
+        got = np.asarray(fir_framed_dft_power_shared_pallas(
+            x, t, stride=stride, n_fft=nfft, window_coeffs=coeffs,
+            tile_m=tile_m, dma=dma, interpret=True))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5 * np.abs(ref).max())
+
+    def test_high_precision_split(self, rng):
+        from nx_signal_tpu.kernels.dft import recognize_cosine_window
+        from nx_signal_tpu.kernels.pallas_dft import (
+            fir_framed_dft_power_shared_pallas)
+        x = rng.normal(size=(2, 5000)).astype(np.float32)
+        t = rng.normal(size=255).astype(np.float32)
+        w = np.asarray(windows.hann(512))
+        coeffs = recognize_cosine_window(w, 512)
+        ref = np.asarray(fir_framed_dft(
+            x, t, w, stride=128, n_fft=512, onesided=True, output="power",
+            precision="highest", kernel="xla"))
+        for dma in ("window", "pipeline"):
+            got = np.asarray(fir_framed_dft_power_shared_pallas(
+                x, t, stride=128, n_fft=512, window_coeffs=coeffs,
+                precision="high", dma=dma, interpret=True))
+            np.testing.assert_allclose(got, ref,
+                                       atol=1e-4 * np.abs(ref).max())
+
+    def test_dispatch_and_validation(self, rng):
+        x = rng.normal(size=(2, 5000)).astype(np.float32)
+        t = rng.normal(size=255).astype(np.float32)
+        w = np.asarray(windows.hann(512))
+        # kernel='pallas_shared' routes through fir_framed_dft (interpret
+        # is not plumbed, so only check the eligibility errors on CPU)
+        with pytest.raises(ValueError, match="pallas_shared"):
+            fir_framed_dft(x, t, w, stride=128, n_fft=512, onesided=True,
+                           output="complex", kernel="pallas_shared")
+        with pytest.raises(ValueError, match="cosine"):
+            w_bad = np.asarray(windows.kaiser(512, beta=8.0))
+            fir_framed_dft(x, t, w_bad, stride=128, n_fft=512,
+                           onesided=True, output="power",
+                           kernel="pallas_shared")
+        with pytest.raises(ValueError, match="frame_length == n_fft"):
+            fir_framed_dft(x, t, np.asarray(windows.hann(384)), stride=128,
+                           n_fft=512, onesided=True, output="power",
+                           kernel="pallas_shared")
+        from nx_signal_tpu.kernels.pallas_dft import (
+            fir_framed_dft_power_shared_pallas)
+        with pytest.raises(ValueError, match="dma"):
+            fir_framed_dft_power_shared_pallas(
+                x, t, stride=128, n_fft=512, window_coeffs=(0.5, -0.5),
+                dma="bogus")

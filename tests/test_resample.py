@@ -111,3 +111,40 @@ class TestPFB:
     def test_prototype_length_validation(self):
         with pytest.raises(ValueError, match="multiple of"):
             pfb_analyze(np.ones(256), 16, taps=np.ones(100))
+
+    @pytest.mark.parametrize("strategy", ["matmul", "factored"])
+    @pytest.mark.parametrize("m,tpc,shape,length", [
+        (64, 8, (2,), 50000),    # BASELINE config 4/5 single-chip family
+        (8, 4, (), 4096),        # 1-D squeeze
+        (1024, 8, (1,), 100000),  # config 5's stated channel count
+        (16, 6, (2, 3), 5000),   # stacked batch dims, odd tap count
+    ])
+    def test_mxu_strategies_match_einsum(self, strategy, m, tpc, shape,
+                                         length, rng):
+        # the PFB *is* a framed DFT with wrapped phase (ROOFLINE.md §7):
+        # both MXU strategies must equal the reference einsum formulation
+        x = rng.normal(size=(*shape, length)).astype(np.float32)
+        ref = np.asarray(pfb_analyze(x, m, taps_per_channel=tpc,
+                                     strategy="einsum"))
+        got = np.asarray(pfb_analyze(x, m, taps_per_channel=tpc,
+                                     strategy=strategy))
+        assert got.shape == ref.shape
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=2e-6 * scale)
+
+    def test_auto_strategy_dispatch(self, rng):
+        # complex input falls back to einsum; real uses the MXU paths;
+        # the MXU paths reject complex input with a clear error
+        xc = (rng.normal(size=3000)
+              + 1j * rng.normal(size=3000)).astype(np.complex64)
+        r_auto = np.asarray(pfb_analyze(xc, 8, taps_per_channel=4,
+                                        shift=True))
+        r_ein = np.asarray(pfb_analyze(xc, 8, taps_per_channel=4,
+                                       strategy="einsum", shift=True))
+        np.testing.assert_array_equal(r_auto, r_ein)
+        with pytest.raises(ValueError, match="real input"):
+            pfb_analyze(xc, 8, taps_per_channel=4, strategy="matmul")
+        with pytest.raises(ValueError, match="strategy"):
+            pfb_analyze(np.ones(4096, np.float32), 8, strategy="bogus")
+        with pytest.raises(ValueError, match="shorter"):
+            pfb_analyze(np.ones(100, np.float32), 64, taps_per_channel=8)
