@@ -95,7 +95,23 @@ def _load():
 
 
 class WavReader:
-    """Chunked WAV reader: planar float32 (channels, frames) blocks."""
+    """Chunked WAV reader: planar float32 (channels, frames) blocks.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import tempfile, os
+    >>> from nx_signal_tpu.io.wav import read_wav, write_wav
+    >>> p = os.path.join(tempfile.mkdtemp(), 't.wav')
+    >>> x = np.sin(0.05 * np.arange(400, dtype=np.float32))[None].repeat(2, 0)
+    >>> write_wav(p, x, 8000, float32=True)
+    >>> from nx_signal_tpu.io.wav import WavReader
+    >>> with WavReader(p) as r:
+    ...     meta = (r.channels, r.num_frames, r.sample_rate)
+    ...     block = r.read(100)
+    >>> meta, block.shape
+    ((2, 400, 8000), (2, 100))
+    """
 
     def __init__(self, path):
         self._lib = _load()
@@ -163,7 +179,20 @@ class WavReader:
 
 
 def read_wav(path):
-    """Read a whole WAV file -> ((channels, frames) float32, sample_rate)."""
+    """Read a whole WAV file -> ((channels, frames) float32, sample_rate).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import tempfile, os
+    >>> from nx_signal_tpu.io.wav import read_wav, write_wav
+    >>> p = os.path.join(tempfile.mkdtemp(), 't.wav')
+    >>> x = np.sin(0.05 * np.arange(400, dtype=np.float32))[None].repeat(2, 0)
+    >>> write_wav(p, x, 8000, float32=True)
+    >>> y, sr = read_wav(p)
+    >>> y.shape, sr
+    ((2, 400), 8000)
+    """
     with WavReader(path) as r:
         data = r.read(r.num_frames)
         return data, r.sample_rate
@@ -171,7 +200,20 @@ def read_wav(path):
 
 def write_wav(path, data, sample_rate: int, *, float32: bool = False):
     """Write planar (channels, frames) float32 data as PCM16 (default) or
-    IEEE float32 WAV."""
+    IEEE float32 WAV.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import tempfile, os
+    >>> from nx_signal_tpu.io.wav import read_wav, write_wav
+    >>> p = os.path.join(tempfile.mkdtemp(), 't.wav')
+    >>> x = np.sin(0.05 * np.arange(400, dtype=np.float32))[None].repeat(2, 0)
+    >>> write_wav(p, x, 8000, float32=True)
+    >>> y, sr = read_wav(p)
+    >>> y.shape, sr, float(np.abs(y - x).max())   # float32 round-trip is exact
+    ((2, 400), 8000, 0.0)
+    """
     data = np.ascontiguousarray(np.atleast_2d(np.asarray(data, dtype=np.float32)))
     lib = _load()
     if lib is not None:
@@ -204,7 +246,20 @@ def write_wav(path, data, sample_rate: int, *, float32: bool = False):
 
 def stream_wav(path, chunk_frames: int):
     """Generator of (channels, chunk_frames) float32 blocks (last may be
-    short) — feeds the streaming processors (parallel/streaming.py)."""
+    short) — feeds the streaming processors (parallel/streaming.py).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import tempfile, os
+    >>> from nx_signal_tpu.io.wav import read_wav, write_wav
+    >>> p = os.path.join(tempfile.mkdtemp(), 't.wav')
+    >>> x = np.sin(0.05 * np.arange(400, dtype=np.float32))[None].repeat(2, 0)
+    >>> write_wav(p, x, 8000, float32=True)
+    >>> from nx_signal_tpu.io.wav import stream_wav
+    >>> [b.shape for b in stream_wav(p, 150)]
+    [(2, 150), (2, 150), (2, 100)]
+    """
     with WavReader(path) as r:
         while True:
             block = r.read(chunk_frames)
@@ -215,7 +270,18 @@ def stream_wav(path, chunk_frames: int):
 
 class RingBuffer:
     """Lock-free SPSC float32 ring buffer (native). Producer thread pushes
-    decoded samples; the TPU feed thread pops fixed-size chunks."""
+    decoded samples; the TPU feed thread pops fixed-size chunks.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.io.wav import RingBuffer
+    >>> rb = RingBuffer(1024)
+    >>> rb.push(np.arange(6, dtype=np.float32))   # returns frames queued
+    6
+    >>> rb.pop(4)
+    array([0., 1., 2., 3.], dtype=float32)
+    """
 
     def __init__(self, min_capacity: int):
         lib = _load()
@@ -268,6 +334,20 @@ class PrefetchingWavReader:
     The runtime data-loader piece of the framework (SURVEY.md §5); the
     reference has no IO layer at all. Iterate to get (channels, frames)
     float32 blocks (the last one may be short).
+    
+    Examples:
+
+    >>> import numpy as np
+    >>> import tempfile, os
+    >>> from nx_signal_tpu.io.wav import read_wav, write_wav
+    >>> p = os.path.join(tempfile.mkdtemp(), 't.wav')
+    >>> x = np.sin(0.05 * np.arange(400, dtype=np.float32))[None].repeat(2, 0)
+    >>> write_wav(p, x, 8000, float32=True)
+    >>> from nx_signal_tpu.io.wav import PrefetchingWavReader
+    >>> with PrefetchingWavReader(p, block_frames=128) as pf:
+    ...     total = sum(b.shape[1] for b in pf)   # background-thread decode
+    >>> total
+    400
     """
 
     def __init__(self, path, block_frames: int, *, depth_blocks: int = 4):

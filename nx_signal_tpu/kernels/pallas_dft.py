@@ -84,7 +84,14 @@ def _block_dot(x, w_block, mode):
 
 def pallas_dft_supported(stride: int, frame_length: int) -> bool:
     """True when the Pallas kernel's alignment constraints hold: hop a
-    multiple of the 128-lane width and frame a multiple of the hop."""
+    multiple of the 128-lane width and frame a multiple of the hop.
+
+    Examples:
+
+    >>> from nx_signal_tpu.kernels.pallas_dft import pallas_dft_supported
+    >>> pallas_dft_supported(128, 512), pallas_dft_supported(100, 512)
+    (True, False)
+    """
     return stride % 128 == 0 and frame_length % stride == 0
 
 
@@ -114,7 +121,22 @@ def framed_dft_pallas(x, window, *, stride: int, n_fft: int,
     """Windowed framed DFT of a (..., L) signal as a Pallas TPU kernel;
     same contract as kernels.dft.framed_dft (complex (..., M, bins)).
     `precision` selects the MXU pass count exactly as in kernels.dft
-    ('highest' = f32-exact, 'high' = bf16_3x)."""
+    ('highest' = f32-exact, 'high' = bf16_3x).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4096)), jnp.float32)
+    >>> from nx_signal_tpu.kernels.dft import framed_dft
+    >>> from nx_signal_tpu.kernels.pallas_dft import framed_dft_pallas
+    >>> z = framed_dft_pallas(x, hann(512), stride=128, n_fft=512,
+    ...                       onesided=True, interpret=True)
+    >>> zr = framed_dft(x, hann(512), stride=128, n_fft=512, onesided=True)
+    >>> z.shape, bool(jnp.abs(z - zr).max() < 1e-4 * jnp.abs(zr).max())
+    ((2, 29, 257), True)
+    """
     x = jnp.asarray(x).astype(DEFAULT_FLOAT)
     window = jnp.asarray(window)
     frame_length = window.shape[-1]
@@ -337,6 +359,22 @@ def fir_framed_dft_power_pallas(x, taps, window, *, stride: int, n_fft: int,
     shifted slices side by side for one K=ext dot per pass (pad =
     lane-aligned Re/Im halves). `tile_m` is the frames-per-program MXU
     tile (default 256).
+    
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4096)), jnp.float32)
+    >>> from nx_signal_tpu.kernels.dft import fir_framed_dft
+    >>> from nx_signal_tpu.kernels.pallas_dft import fir_framed_dft_power_pallas
+    >>> taps = jnp.asarray(np.random.default_rng(1).normal(size=255), jnp.float32)
+    >>> p = fir_framed_dft_power_pallas(x, taps, hann(512), stride=128,
+    ...                                 n_fft=512, interpret=True)
+    >>> pr = fir_framed_dft(x, taps, hann(512), stride=128, n_fft=512,
+    ...                     onesided=True, output='power', kernel='xla')
+    >>> p.shape, bool(jnp.abs(p - pr).max() < 1e-4 * pr.max())
+    ((2, 29, 257), True)
     """
     x = jnp.asarray(x).astype(DEFAULT_FLOAT)
     if stride % 128 != 0:
@@ -663,6 +701,24 @@ def fir_framed_dft_power_shared_pallas(
     (the chain's production epilogue). `dma` selects 'pipeline'
     (index-mapped blocks + VMEM carry, the fastest full-FLOP schedule)
     or 'window' (one DMA + halo per program).
+    
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4096)), jnp.float32)
+    >>> from nx_signal_tpu.kernels.dft import fir_framed_dft
+    >>> from nx_signal_tpu.kernels.pallas_dft import (
+    ...     fir_framed_dft_power_shared_pallas)
+    >>> taps = jnp.asarray(np.random.default_rng(1).normal(size=255), jnp.float32)
+    >>> p = fir_framed_dft_power_shared_pallas(
+    ...     x, taps, stride=128, n_fft=512, window_coeffs=(0.5, -0.5),
+    ...     interpret=True)   # (0.5, -0.5) == periodic Hann
+    >>> pr = fir_framed_dft(x, taps, hann(512), stride=128, n_fft=512,
+    ...                     onesided=True, output='power', kernel='xla')
+    >>> p.shape, bool(jnp.abs(p - pr).max() < 1e-4 * pr.max())
+    ((2, 29, 257), True)
     """
     x = jnp.asarray(x).astype(DEFAULT_FLOAT)
     if stride % 128 != 0:
@@ -852,7 +908,20 @@ def overlap_add_pallas(frames, *, overlap_length: int, interpret: bool = False):
     of spectral.framing.overlap_and_add (reference: nx_signal.ex:684-727),
     bit-compatible with its deterministic left-fold. Requires the TPU-
     aligned geometry stride % 128 == 0 and N % stride == 0 (the bench/ISTFT
-    shapes); the general path stays on the XLA fold."""
+    shapes); the general path stays on the XLA fold.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.kernels.pallas_dft import overlap_add_pallas
+    >>> from nx_signal_tpu.spectral.framing import overlap_and_add
+    >>> f = jnp.asarray(np.random.default_rng(0).normal(size=(12, 512)), jnp.float32)
+    >>> y = overlap_add_pallas(f, overlap_length=384, interpret=True)
+    >>> yr = overlap_and_add(f, overlap_length=384)
+    >>> y.shape, bool((y == yr).all())   # BIT-identical to the fold
+    ((1920,), True)
+    """
     frames = jnp.asarray(frames).astype(DEFAULT_FLOAT)
     if frames.ndim < 2:
         raise ValueError("expected a tensor of rank >= 2")

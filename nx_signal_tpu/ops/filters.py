@@ -317,7 +317,16 @@ def sosfreqz(sos, *, n_freqs: int = 512, sampling_rate: float = 2.0,
 def freqz_sos(sos, *, n_freqs: int = 512, sampling_rate: float = 2.0,
               whole: bool = False):
     """Alias of `sosfreqz` under scipy >= 1.15's preferred name. Not in
-    the reference (no IIR there)."""
+    the reference (no IIR there).
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.filters import freqz_sos
+    >>> from nx_signal_tpu.ops.iir_design import butter
+    >>> w, h = freqz_sos(butter(4, 0.3, output='sos'), n_freqs=8)
+    >>> w.shape, round(float(abs(h[0])), 4)   # unity DC gain
+    ((8,), 1.0)
+    """
     return sosfreqz(sos, n_freqs=n_freqs, sampling_rate=sampling_rate,
                     whole=whole)
 
@@ -720,7 +729,16 @@ def gammatone(freq, ftype: str, order: int = None, numtaps: int = None,
     ftype='iir': Slaney's 8th-order digital gammatone — four identical
     conjugate pole pairs at e^(-bw T +/- j 2 pi f T); assembled here by
     polynomial multiplication of the repeated biquad rather than scipy's
-    hand-expanded coefficient table. Not in the reference."""
+    hand-expanded coefficient table. Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.filters import gammatone
+    >>> b, a = gammatone(440.0, 'fir', fs=16000.0)
+    >>> np.asarray(b).shape, np.asarray(a)
+    ((240,), array([1.]))
+    """
     if fs is None:
         fs = 2.0
     fs = float(fs)

@@ -45,7 +45,16 @@ __all__ = ["find_peaks", "peak_prominences", "peak_widths", "Peaks",
 class Peaks(NamedTuple):
     """indices: (max_peaks,) int32, -1-padded after the first
     `valid_count`; properties: dict of (max_peaks,) arrays aligned with
-    indices (padding rows hold zeros)."""
+    indices (padding rows hold zeros).
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.find_peaks import find_peaks
+    >>> pk = find_peaks(jnp.asarray([0.0, 2.0, 0.0, 3.0, 0.0]))
+    >>> pk.indices, pk.valid_count   # fixed shape, -1 padded
+    (Array([ 1,  3, -1], dtype=int32), Array(2, dtype=int32))
+    """
 
     indices: jnp.ndarray
     valid_count: jnp.ndarray

@@ -82,7 +82,15 @@ def cheb1ap(n, rp):
 
 def cheb2ap(n, rs):
     """Analog Chebyshev type-II (inverse Chebyshev) prototype: `rs` dB
-    stopband attenuation."""
+    stopband attenuation.
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.iir_design import cheb2ap
+    >>> z, p, k = cheb2ap(3, 40.0)
+    >>> len(z), len(p), round(float(k), 4)
+    (2, 3, 0.03)
+    """
     if n <= 0:
         raise ValueError("filter order must be a positive integer")
     de = 1.0 / np.sqrt(10.0 ** (0.1 * rs) - 1.0)
@@ -245,7 +253,16 @@ def _degree(z, p):
 
 
 def lp2lp_zpk(z, p, k, wo=1.0):
-    """Lowpass prototype -> lowpass at cutoff wo (zpk form)."""
+    """Lowpass prototype -> lowpass at cutoff wo (zpk form).
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.iir_design import cheb2ap, lp2lp_zpk
+    >>> z, p, k = cheb2ap(3, 40.0)
+    >>> z2, p2, k2 = lp2lp_zpk(z, p, k, wo=2.0)
+    >>> round(float(k2), 4)   # gain scales by wo^(degree difference)
+    0.06
+    """
     z, p = np.asarray(z, dtype=complex), np.asarray(p, dtype=complex)
     d = _degree(z, p)
     return z * wo, p * wo, k * wo ** d
@@ -272,7 +289,16 @@ def lp2hp_zpk(z, p, k, wo=1.0):
 
 
 def lp2bp_zpk(z, p, k, wo=1.0, bw=1.0):
-    """Lowpass prototype -> bandpass centered at wo with bandwidth bw."""
+    """Lowpass prototype -> bandpass centered at wo with bandwidth bw.
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.iir_design import cheb2ap, lp2bp_zpk
+    >>> z, p, k = cheb2ap(3, 40.0)
+    >>> z2, p2, k2 = lp2bp_zpk(z, p, k, wo=1.0, bw=0.5)
+    >>> len(z2), len(p2)   # order doubles, degree gap filled with zeros
+    (5, 6)
+    """
     z, p = np.asarray(z, dtype=complex), np.asarray(p, dtype=complex)
     d = _degree(z, p)
     z_lp, p_lp = z * bw / 2, p * bw / 2
@@ -287,7 +313,16 @@ def lp2bp_zpk(z, p, k, wo=1.0, bw=1.0):
 
 
 def lp2bs_zpk(z, p, k, wo=1.0, bw=1.0):
-    """Lowpass prototype -> bandstop centered at wo with bandwidth bw."""
+    """Lowpass prototype -> bandstop centered at wo with bandwidth bw.
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.iir_design import cheb2ap, lp2bs_zpk
+    >>> z, p, k = cheb2ap(3, 40.0)
+    >>> z2, p2, k2 = lp2bs_zpk(z, p, k, wo=1.0, bw=0.5)
+    >>> len(z2), len(p2)
+    (6, 6)
+    """
     z, p = np.asarray(z, dtype=complex), np.asarray(p, dtype=complex)
     d = _degree(z, p)
     z_hp = (bw / 2) / z if len(z) else np.array([], dtype=complex)
@@ -581,7 +616,16 @@ def lp2bp(b, a, wo=1.0, bw=1.0):
 
 def lp2bs(b, a, wo=1.0, bw=1.0):
     """Lowpass-to-bandstop transform, s -> (bw*s)/(s^2 + wo^2) —
-    scipy.signal.lp2bs semantics (via lp2bs_zpk)."""
+    scipy.signal.lp2bs semantics (via lp2bs_zpk).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import lp2bs
+    >>> b, a = lp2bs([1.0], [1.0, 1.0], wo=2.0, bw=0.5)
+    >>> np.round(np.asarray(b), 4), np.round(np.asarray(a), 4)
+    (array([1., 0., 4.]), array([1. , 0.5, 4. ]))
+    """
     return _lp2_tf(b, a, lp2bs_zpk, float(wo), float(bw))
 
 
@@ -898,7 +942,16 @@ def band_stop_obj(wp, ind, passb, stopb, gpass, gstop, type):
     the *ord order selectors minimize over each movable band-stop passband
     edge; exposed for scipy API parity (internally `_bandstop_optimize`
     evaluates the same selectivity/order math via golden-section search).
-    Not in the reference."""
+    Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import band_stop_obj
+    >>> round(float(band_stop_obj(0.25, 0, np.array([0.2, 0.7]),
+    ...       np.array([0.35, 0.5]), 3.0, 40.0, 'butter')), 4)
+    4.1939
+    """
     if type not in ("butter", "cheby", "ellip"):
         raise ValueError("type must be 'butter', 'cheby', or 'ellip', "
                          f"got {type!r}")
@@ -1064,7 +1117,16 @@ def iirdesign(wp, ws, gpass, gstop, analog=False, ftype="ellip", output="ba",
               fs=None):
     """Complete IIR design from band specs — scipy.signal.iirdesign
     semantics: pick the minimum order with the matching *ord function, then
-    design with `iirfilter`. Not in the reference."""
+    design with `iirfilter`. Not in the reference.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.iir_design import iirdesign
+    >>> sos = iirdesign(0.2, 0.3, 1.0, 40.0, output='sos')
+    >>> np.asarray(sos).shape   # minimum-order design: 2 biquads
+    (2, 6)
+    """
     if ftype not in _ORD_FOR_FTYPE:
         raise ValueError(
             f"ftype must be one of {sorted(_ORD_FOR_FTYPE)}, got {ftype!r}"

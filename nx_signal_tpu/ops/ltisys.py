@@ -77,7 +77,18 @@ class BadCoefficients(UserWarning):
     """Warning emitted when a transfer function's numerator carries
     leading near-zero coefficients that get trimmed — scipy.signal
     BadCoefficients semantics (the trimmed filter may be meaningless if
-    the zeros were not intentional)."""
+    the zeros were not intentional).
+
+    Examples:
+
+    >>> import warnings
+    >>> from nx_signal_tpu.ops.ltisys import BadCoefficients, normalize
+    >>> with warnings.catch_warnings(record=True) as rec:
+    ...     warnings.simplefilter("always")
+    ...     _ = normalize([0.0, 3.0, 6.0], [2.0, 4.0])
+    >>> rec[0].category is BadCoefficients
+    True
+    """
 
 
 def normalize(b, a):
@@ -240,7 +251,17 @@ def zpk2ss(z, p, k):
 
 
 def ss2zpk(a, b, c, d, input: int = 0):
-    """State space -> zeros/poles/gain — scipy.signal.ss2zpk semantics."""
+    """State space -> zeros/poles/gain — scipy.signal.ss2zpk semantics.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import ss2zpk, tf2ss
+    >>> A, B, C, D = tf2ss([1.0, 2.0], [1.0, 3.0, 2.0])
+    >>> z, p, k = ss2zpk(A, B, C, D)
+    >>> np.round(np.sort_complex(np.asarray(p)), 3), np.round(np.asarray(z), 3)
+    (array([-2.+0.j, -1.+0.j]), array([-2.]))
+    """
     from nx_signal_tpu.ops.iir_design import tf2zpk
 
     num, den = ss2tf(a, b, c, d, input=input)
@@ -543,7 +564,16 @@ def residue(b, a, tol: float = 1e-3, rtype: str = "avg"):
 
 def residuez(b, a, tol: float = 1e-3, rtype: str = "avg"):
     """Partial fractions of b(z)/a(z) in powers of z^-1:
-    sum r_i/(1 - p_i z^-1)^n + k(z^-1) — scipy.signal.residuez semantics."""
+    sum r_i/(1 - p_i z^-1)^n + k(z^-1) — scipy.signal.residuez semantics.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import residuez
+    >>> r, p, k = residuez([1.0, -1.0], [1.0, -0.5, 0.06])
+    >>> np.round(np.asarray(r), 3), np.round(np.asarray(p), 3)
+    (array([-7.,  8.]), array([0.3+0.j, 0.2+0.j]))
+    """
     b = np.atleast_1d(np.asarray(b, dtype=np.complex128))
     a = np.atleast_1d(np.asarray(a, dtype=np.complex128))
     if np.all(a == 0):
@@ -1057,7 +1087,16 @@ def dfreqresp(system, w=None, n: int = 10000, whole: bool = False):
 
 def dbode(system, w=None, n: int = 100):
     """Bode of a discrete system — scipy.signal.dbode semantics: w is
-    returned in rad/s (rad/sample divided by dt)."""
+    returned in rad/s (rad/sample divided by dt).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.ops.ltisys import dbode
+    >>> w, mag, phase = dbode(([1.0, 0.1], [1.0, -0.9], 0.1), n=4)
+    >>> np.round(np.asarray(mag), 2)   # dB magnitude over the dlti grid
+    array([20.83,  3.31, -2.53, -5.5 ])
+    """
     dt = system[-1]
     w, h = dfreqresp(system, w=w, n=n)
     mag = 20.0 * np.log10(np.abs(h))
@@ -1375,7 +1414,15 @@ class TransferFunction(_SystemClass):
 
 class ZerosPolesGain(_SystemClass):
     """Zeros-poles-gain system representation — scipy.signal ZerosPolesGain
-    semantics. Not in the reference."""
+    semantics. Not in the reference.
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.ltisys import ZerosPolesGain
+    >>> sys = ZerosPolesGain([0.5], [0.1, 0.2], 2.0)
+    >>> sys.gain, sys.to_tf().num.shape
+    (2.0, (2,))
+    """
 
     _kind = "zpk"
     _nargs = 3
@@ -1387,7 +1434,15 @@ class ZerosPolesGain(_SystemClass):
 
 class StateSpace(_SystemClass):
     """State-space system representation — scipy.signal StateSpace
-    semantics. Not in the reference."""
+    semantics. Not in the reference.
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.ltisys import StateSpace, tf2ss
+    >>> ss = StateSpace(*tf2ss([1.0, 2.0], [1.0, 3.0, 2.0]))
+    >>> ss.A.shape, ss.D.shape
+    ((2, 2), (1, 1))
+    """
 
     _kind = "ss"
     _nargs = 4

@@ -110,6 +110,20 @@ def sharded_csd(x, y, *, mesh, sampling_rate=1.0, window="hann",
     a partial-sum + psum whose association differs from the single-device
     reduction only at the ulp level). `average='median'` gathers the
     segment axis (jnp.median over a sharded axis) — prefer 'mean' at scale.
+    
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+    >>> mesh = make_dsp_mesh(2, 4)   # needs 8 devices, e.g.
+    >>> # XLA_FLAGS=--xla_force_host_platform_device_count=8 on CPU
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4096)), jnp.float32)
+    >>> from nx_signal_tpu.parallel.estimation import sharded_csd
+    >>> f, C = sharded_csd(x, x, mesh=mesh, sampling_rate=8000.0,
+    ...                    segment_length=256, overlap_length=128)
+    >>> C.shape, C.dtype
+    ((4, 129), dtype('complex64'))
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -137,7 +151,22 @@ def sharded_welch(x, *, mesh, sampling_rate=1.0, window="hann",
                   average="mean", method="auto", precision="highest"):
     """Welch PSD sharded over channels and time blocks; the distributed
     form of spectral/estimation.py:welch (returns (frequencies, P_xx) with
-    P_xx real)."""
+    P_xx real).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+    >>> mesh = make_dsp_mesh(2, 4)   # needs 8 devices, e.g.
+    >>> # XLA_FLAGS=--xla_force_host_platform_device_count=8 on CPU
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4096)), jnp.float32)
+    >>> from nx_signal_tpu.parallel.estimation import sharded_welch
+    >>> f, P = sharded_welch(x, mesh=mesh, sampling_rate=8000.0,
+    ...                      segment_length=256, overlap_length=128)
+    >>> f.shape, P.shape
+    ((129,), (4, 129))
+    """
     x = jnp.asarray(x)
     freqs, pxx = sharded_csd(
         x, x, mesh=mesh, sampling_rate=sampling_rate, window=window,
@@ -153,7 +182,23 @@ def sharded_coherence(x, y, *, mesh, sampling_rate=1.0, window="hann",
                       fft_length=None, detrend="constant", method="auto",
                       precision="highest"):
     """Magnitude-squared coherence sharded over channels and time blocks;
-    the distributed form of spectral/estimation.py:coherence."""
+    the distributed form of spectral/estimation.py:coherence.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+    >>> mesh = make_dsp_mesh(2, 4)   # needs 8 devices, e.g.
+    >>> # XLA_FLAGS=--xla_force_host_platform_device_count=8 on CPU
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4096)), jnp.float32)
+    >>> from nx_signal_tpu.parallel.estimation import sharded_coherence
+    >>> y = jnp.asarray(np.roll(np.asarray(x), 1, axis=-1))
+    >>> f, coh = sharded_coherence(x, y, mesh=mesh, sampling_rate=8000.0,
+    ...                            segment_length=256, overlap_length=128)
+    >>> bool(coh.min() >= 0.0) and bool(coh.max() <= 1.000001)
+    True
+    """
     common = dict(
         mesh=mesh, sampling_rate=sampling_rate, window=window,
         segment_length=segment_length, overlap_length=overlap_length,

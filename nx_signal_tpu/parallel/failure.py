@@ -30,7 +30,14 @@ __all__ = ["FailureDetected", "heartbeat", "run_with_recovery"]
 
 
 class FailureDetected(RuntimeError):
-    """A peer (or the local runtime) failed a liveness probe."""
+    """A peer (or the local runtime) failed a liveness probe.
+
+    Examples:
+
+    >>> from nx_signal_tpu.parallel.failure import FailureDetected
+    >>> issubclass(FailureDetected, RuntimeError)   # raised by heartbeat()
+    True
+    """
 
 
 def _default_probe():
@@ -62,6 +69,12 @@ def heartbeat(*, timeout: float = 30.0, probe=None) -> float:
     caller past the deadline; a timed-out probe thread is abandoned (the
     process is expected to exit and be restarted by the job scheduler —
     elastic recovery is restart-from-checkpoint, not thread surgery).
+    
+    Examples:
+
+    >>> from nx_signal_tpu.parallel.failure import heartbeat
+    >>> heartbeat(timeout=5.0) >= 0.0   # seconds the all-reduce probe took
+    True
     """
     probe = probe or _default_probe
     err = []
@@ -107,6 +120,17 @@ def run_with_recovery(step_fn, init_state, num_steps: int, *,
     idempotent sink, e.g. writing block i to file offset i) — replayed
     steps re-run. Returns the final state. `on_restart(step, exc)` is an
     optional callback for logging/metrics.
+    
+    Examples:
+
+    >>> import tempfile, os
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.parallel.failure import run_with_recovery
+    >>> p = os.path.join(tempfile.mkdtemp(), 'ck.npz')
+    >>> final = run_with_recovery(lambda s, i: s + 1.0, jnp.zeros(()), 5,
+    ...                           checkpoint_path=p, checkpoint_every=2)
+    >>> float(final)
+    5.0
     """
     start = 0
     state = init_state

@@ -26,7 +26,15 @@ __all__ = ["make_dsp_mesh", "channel_block_sharding", "CHANNEL_AXIS", "BLOCK_AXI
 
 def make_dsp_mesh(n_channel: int = 1, n_block: int = None, *, devices=None):
     """Build a ('channel', 'block') mesh. By default all (or the given)
-    devices go on the 'block' axis."""
+    devices go on the 'block' axis.
+
+    Examples:
+
+    >>> from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+    >>> mesh = make_dsp_mesh(2, 4)   # 2-way channel DP x 4-way time-block SP
+    >>> dict(mesh.shape)
+    {'channel': 2, 'block': 4}
+    """
     n_devices = len(devices) if devices is not None else jax.device_count()
     if n_block is None:
         n_block = n_devices // n_channel
@@ -44,7 +52,15 @@ def make_dsp_mesh(n_channel: int = 1, n_block: int = None, *, devices=None):
 
 def channel_block_sharding(mesh, *, ndim: int = 2):
     """NamedSharding placing the leading axis on 'channel' and the trailing
-    (time) axis on 'block'; middle axes replicated."""
+    (time) axis on 'block'; middle axes replicated.
+
+    Examples:
+
+    >>> from nx_signal_tpu.parallel.mesh import channel_block_sharding, make_dsp_mesh
+    >>> sh = channel_block_sharding(make_dsp_mesh(2, 4), ndim=2)
+    >>> sh.spec
+    PartitionSpec('channel', 'block')
+    """
     spec = [None] * ndim
     if ndim >= 2:
         spec[0] = CHANNEL_AXIS

@@ -38,6 +38,15 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     process, but a detected-yet-failing environment raises rather than
     silently degrading to a host-local mesh (which would zero-fill halos at
     host boundaries). With explicit arguments, initializes exactly as told.
+
+    Examples:
+
+    >>> from nx_signal_tpu.parallel.multihost import initialize
+    >>> # must run BEFORE any jax computation initializes the backend
+    >>> # (in scripts: initialize() as the first jax call on every host)
+    >>> import jax
+    >>> jax.process_count()   # single process here, so no cluster to wire
+    1
     """
     if num_processes is not None:
         if num_processes > 1:
@@ -56,14 +65,28 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
 
 def make_pod_mesh(n_channel: int = 1):
     """('channel', 'block') mesh over ALL devices in the (multi-host) job,
-    channel axis first so time-block halos stay on ICI within each host."""
+    channel axis first so time-block halos stay on ICI within each host.
+
+    Examples:
+
+    >>> from nx_signal_tpu.parallel.multihost import make_pod_mesh
+    >>> dict(make_pod_mesh(2).shape)   # all local+remote devices
+    {'channel': 2, 'block': 4}
+    """
     return make_dsp_mesh(n_channel, jax.device_count() // n_channel)
 
 
 def process_block_range(total_samples: int, mesh):
     """Half-open [start, end) sample range of the time blocks owned by THIS
     process — for feeding per-host data into a global sharded array with
-    jax.make_array_from_process_local_data."""
+    jax.make_array_from_process_local_data.
+
+    Examples:
+
+    >>> from nx_signal_tpu.parallel.multihost import make_pod_mesh, process_block_range
+    >>> process_block_range(48000, make_pod_mesh(2))  # this process owns all
+    (0, 48000)
+    """
     n_block = mesh.shape[BLOCK_AXIS]
     block = -(-total_samples // n_block)
     devices = mesh.devices  # (n_channel, n_block) array of Devices

@@ -88,6 +88,21 @@ def sharded_convolve_same(x, taps, *, mesh, method="direct"):
     determinism: method='direct' (Toeplitz-matmul MXU path, fastest) is
     bitwise identical on TPU; method='conv' (lax.conv) is bitwise identical
     everywhere but ~25x slower on TPU; method='fft' matches to FFT accuracy.
+    
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+    >>> mesh = make_dsp_mesh(2, 4)   # needs 8 devices, e.g.
+    >>> # XLA_FLAGS=--xla_force_host_platform_device_count=8 on CPU
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4096)), jnp.float32)
+    >>> from nx_signal_tpu.parallel.sharded import sharded_convolve_same
+    >>> from nx_signal_tpu.ops.convolution import convolve
+    >>> taps = jnp.asarray(np.random.default_rng(1).normal(size=63), jnp.float32)
+    >>> y = sharded_convolve_same(x, taps, mesh=mesh)
+    >>> bool((y[0] == convolve(x[0], taps, mode='same')).all())  # BITWISE
+    True
     """
     x, squeeze = _norm_2d(x)
     taps = jnp.asarray(taps)
@@ -175,6 +190,21 @@ def sharded_stft(x, window, *, mesh, sampling_rate=100, fft_length="power_of_two
     frame is windowed and FFT'd wholly on one device. Devices compute
     block_len//stride frame slots; slots past the true frame count (tail of
     the last device) are sliced away from the global result.
+    
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+    >>> mesh = make_dsp_mesh(2, 4)   # needs 8 devices, e.g.
+    >>> # XLA_FLAGS=--xla_force_host_platform_device_count=8 on CPU
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4096)), jnp.float32)
+    >>> from nx_signal_tpu.parallel.sharded import sharded_stft
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> z, t, f = sharded_stft(x, hann(256), mesh=mesh, overlap_length=192,
+    ...                        fft_length=256, sampling_rate=8000.0)
+    >>> z.shape   # (channels, frames, bins), frames span the full stream
+    (4, 61, 256)
     """
     x, squeeze = _norm_2d(x)
     window = jnp.asarray(window)
@@ -255,6 +285,23 @@ def sharded_istft(z, window, *, mesh, fft_length=None, overlap_length=None,
     docstring). The final tail (past the last device's range) is emitted by
     the last device and appended. Requires num_frames divisible by the
     block-axis size and overlap <= per-device sample range.
+    
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+    >>> mesh = make_dsp_mesh(2, 4)   # needs 8 devices, e.g.
+    >>> # XLA_FLAGS=--xla_force_host_platform_device_count=8 on CPU
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4096)), jnp.float32)
+    >>> from nx_signal_tpu.parallel.sharded import sharded_istft, sharded_stft
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> z, _, _ = sharded_stft(x, hann(256), mesh=mesh, overlap_length=192,
+    ...                        fft_length=256, sampling_rate=8000.0)
+    >>> xr = sharded_istft(z, hann(256), mesh=mesh, overlap_length=192,
+    ...                    fft_length=256)
+    >>> xr.shape
+    (4, 4096)
     """
     z = jnp.asarray(z)
     squeeze = z.ndim == 2
@@ -358,6 +405,19 @@ def sharded_pfb_analyze(x, n_channels: int, *, mesh, taps_per_channel: int = 8,
     an (n_channels*(taps_per_channel-1))-sample right halo and channelizes
     its own frames wholly locally — no cross-device accumulation, results
     match the single-device `pfb_analyze` exactly up to matmul determinism.
+    
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+    >>> mesh = make_dsp_mesh(2, 4)   # needs 8 devices, e.g.
+    >>> # XLA_FLAGS=--xla_force_host_platform_device_count=8 on CPU
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4096)), jnp.float32)
+    >>> from nx_signal_tpu.parallel.sharded import sharded_pfb_analyze
+    >>> p = sharded_pfb_analyze(x, 16, mesh=mesh, taps_per_channel=4)
+    >>> p.shape, p.dtype
+    ((4, 253, 16), dtype('complex64'))
     """
     from nx_signal_tpu.ops.resample import pfb_analyze
 
@@ -450,6 +510,21 @@ def sharded_sosfilt(sos, x, *, mesh):
     communication: one (2*n_sections)-float all_gather. Matches the
     single-device `sosfilt` to f.p. accuracy (the block-local scans
     associate sums differently, so not bitwise).
+    
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+    >>> mesh = make_dsp_mesh(2, 4)   # needs 8 devices, e.g.
+    >>> # XLA_FLAGS=--xla_force_host_platform_device_count=8 on CPU
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4096)), jnp.float32)
+    >>> from nx_signal_tpu.parallel.sharded import sharded_sosfilt
+    >>> from nx_signal_tpu.ops.iir_design import butter
+    >>> sos = butter(4, 0.2, output='sos')
+    >>> y = sharded_sosfilt(jnp.asarray(sos, jnp.float32), x, mesh=mesh)
+    >>> y.shape   # causal IIR across block boundaries (state chain)
+    (4, 4096)
     """
     import numpy as np
 
@@ -521,6 +596,20 @@ def sharded_oaconvolve_same(x, taps, *, mesh):
     single-device `oaconvolve(x, taps, mode='same')` is to FFT accuracy
     (~1e-6 relative), not bitwise — the overlap-add block phase differs per
     device. Fills the BASELINE config-2 workload at pod scale.
+    
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+    >>> mesh = make_dsp_mesh(2, 4)   # needs 8 devices, e.g.
+    >>> # XLA_FLAGS=--xla_force_host_platform_device_count=8 on CPU
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4096)), jnp.float32)
+    >>> from nx_signal_tpu.parallel.sharded import sharded_oaconvolve_same
+    >>> taps = jnp.asarray(np.random.default_rng(1).normal(size=63), jnp.float32)
+    >>> y = sharded_oaconvolve_same(x, taps, mesh=mesh)
+    >>> y.shape
+    (4, 4096)
     """
     from nx_signal_tpu.ops.convolution import oaconvolve
 
@@ -625,6 +714,19 @@ def sharded_upfirdn(h, x, up: int = 1, down: int = 1, *, mesh):
     output sample is the same T-tap phase dot over the same input values as
     the single-device path (left halo supplies the cross-block context), so
     results match `upfirdn(h, x, up, down)` up to matmul determinism.
+    
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+    >>> mesh = make_dsp_mesh(2, 4)   # needs 8 devices, e.g.
+    >>> # XLA_FLAGS=--xla_force_host_platform_device_count=8 on CPU
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4096)), jnp.float32)
+    >>> from nx_signal_tpu.parallel.sharded import sharded_upfirdn
+    >>> h = jnp.asarray(np.random.default_rng(2).normal(size=31), jnp.float32)
+    >>> sharded_upfirdn(h, x, 2, 3, mesh=mesh).shape  # 2/3 rate change
+    (4, 2741)
     """
     from nx_signal_tpu.ops.resample import (
         _phase_bank, _upfirdn_dtype, _upfirdn_out_len)
@@ -654,6 +756,18 @@ def sharded_resample_poly(x, up: int, down: int, *, mesh,
     The group-delay slice [n_pre_remove, n_pre_remove + n_out) is absorbed
     into the polyphase output offset (n_offset), which keeps the per-device
     phase pattern device-independent — see _sharded_upfirdn_body.
+    
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+    >>> mesh = make_dsp_mesh(2, 4)   # needs 8 devices, e.g.
+    >>> # XLA_FLAGS=--xla_force_host_platform_device_count=8 on CPU
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4096)), jnp.float32)
+    >>> from nx_signal_tpu.parallel.sharded import sharded_resample_poly
+    >>> sharded_resample_poly(x, 1, 2, mesh=mesh).shape  # decimate by 2
+    (4, 2048)
     """
     from nx_signal_tpu.ops.resample import (
         _phase_bank, _resample_poly_design, _upfirdn_dtype)
@@ -690,7 +804,24 @@ def sharded_fir_framed_dft_power(x, taps, window, *, mesh, stride: int,
     the single-device left pad) and frame - stride + (K-1)//2 right
     samples. Frames never straddle device math — bitwise equal to the
     single-device call on TPU (fixed MXU reduction order); ulp-tight on
-    CPU (GEMM/conv reduction order varies with batch extent there)."""
+    CPU (GEMM/conv reduction order varies with batch extent there).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+    >>> mesh = make_dsp_mesh(2, 4)   # needs 8 devices, e.g.
+    >>> # XLA_FLAGS=--xla_force_host_platform_device_count=8 on CPU
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4096)), jnp.float32)
+    >>> from nx_signal_tpu.parallel.sharded import sharded_fir_framed_dft_power
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> taps = jnp.asarray(np.random.default_rng(1).normal(size=63), jnp.float32)
+    >>> pw = sharded_fir_framed_dft_power(x, taps, hann(256), mesh=mesh,
+    ...                                   stride=128, n_fft=256)
+    >>> pw.shape   # (channels, frames, onesided bins)
+    (4, 31, 129)
+    """
     x, squeeze = _norm_2d(x)
     taps = jnp.asarray(taps).reshape(-1)
     window = jnp.asarray(window)

@@ -27,7 +27,20 @@ class StreamingFIR:
     """Causal overlap-save FIR: chunk outputs equal
     convolve(stream, taps, mode='full')[:len(stream)] — the filter's group
     delay is NOT compensated (that needs future samples). The carry is the
-    last K-1 input samples."""
+    last K-1 input samples.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.parallel.streaming import StreamingFIR
+    >>> fir = StreamingFIR(jnp.asarray([0.5, 0.5]))
+    >>> state = fir.init_state()
+    >>> state, y1 = fir.process(state, jnp.asarray([1.0, 2.0, 3.0, 4.0]))
+    >>> state, y2 = fir.process(state, jnp.asarray([5.0, 6.0, 7.0, 8.0]))
+    >>> np.round(np.concatenate([y1, y2]), 2)   # == full conv of the stream
+    array([0.5, 1.5, 2.5, 3.5, 4.5, 5.5, 6.5, 7.5], dtype=float32)
+    """
 
     taps: jnp.ndarray
 
@@ -54,7 +67,20 @@ class StreamingSTFT:
     starts at stream sample i*hop - (frame_length - hop), and concatenating
     the per-chunk spectra equals
     stft(concat([zeros(frame_length - hop), stream]), padding='valid').
-    Account for that fixed lead-in when aligning frame timestamps."""
+    Account for that fixed lead-in when aligning frame timestamps.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> from nx_signal_tpu.parallel.streaming import StreamingSTFT
+    >>> sstft = StreamingSTFT(hann(8), hop=4, onesided=True)
+    >>> state = sstft.init_state()
+    >>> state, z1 = sstft.process(state, jnp.ones(8))
+    >>> state, z2 = sstft.process(state, jnp.ones(8))
+    >>> z1.shape, z2.shape   # 2 frames per 8-sample chunk at hop 4
+    ((2, 5), (2, 5))
+    """
 
     window: jnp.ndarray
     hop: int
@@ -92,7 +118,21 @@ class StreamingISTFT:
     still accumulating). Emitted samples are normalized by the periodic NOLA
     window envelope, so the concatenated output equals the batch `istft`
     everywhere except the first and last half-window of the whole stream
-    (which the batch version also reconstructs imperfectly)."""
+    (which the batch version also reconstructs imperfectly).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> from nx_signal_tpu.parallel.streaming import StreamingISTFT
+    >>> sistft = StreamingISTFT(hann(8), hop=4)
+    >>> state = sistft.init_state()
+    >>> z = jnp.asarray(np.fft.fft(np.ones((2, 8))), jnp.complex64)
+    >>> state, y = sistft.process(state, z)
+    >>> y.shape   # hop * frames emitted, overlap tail carried
+    (8,)
+    """
 
     window: jnp.ndarray
     hop: int
@@ -155,6 +195,18 @@ class StreamingIIR:
 
     Within each chunk the biquads run as log-depth parallel scans
     (ops/iir.py); the sequential dependency is only chunk-to-chunk.
+    
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.parallel.streaming import StreamingIIR
+    >>> sos = jnp.asarray([[0.2, 0.2, 0.0, 1.0, -0.6, 0.0]], jnp.float32)
+    >>> siir = StreamingIIR(sos)
+    >>> state = siir.init_state()
+    >>> state, o1 = siir.process(state, jnp.ones(4))
+    >>> np.round(np.asarray(o1), 3)   # == sosfilt over the whole stream
+    array([0.2  , 0.52 , 0.712, 0.827], dtype=float32)
     """
 
     sos: jnp.ndarray

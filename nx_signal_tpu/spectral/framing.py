@@ -77,7 +77,17 @@ def _padding_config(length: int, window_length: int, padding):
 
 def pad_for_windowing(x, window_length: int, padding):
     """Apply an `as_windowed` padding mode to the signal axis without
-    framing it (used by fused kernels that frame implicitly)."""
+    framing it (used by fused kernels that frame implicitly).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.spectral.framing import pad_for_windowing
+    >>> y = pad_for_windowing(jnp.arange(6.0), window_length=4, padding='reflect')
+    >>> np.asarray(y)
+    array([2., 1., 0., 1., 2., 3., 4., 5., 4., 3.], dtype=float32)
+    """
     x = jnp.asarray(x)
     if padding == "reflect":
         half = window_length // 2

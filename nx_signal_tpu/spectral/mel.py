@@ -68,7 +68,22 @@ def stft_to_mel(z, sampling_rate, *, fft_length: int, mel_bins: int = 128,
     """STFT spectrum -> log-mel spectrogram with Whisper's normalization:
     |z|^2 power on the first fft_length//2 bins, mel projection, log10 with
     1e-10 clip, dynamic-range floor max(log, max(log) - 8), then (x + 4)/4
-    (reference: nx_signal.ex:486-513)."""
+    (reference: nx_signal.ex:486-513).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.windows import hann
+    >>> from nx_signal_tpu.spectral.mel import stft_to_mel
+    >>> from nx_signal_tpu.spectral.stft import stft
+    >>> x = jnp.asarray(np.sin(0.3 * np.arange(4000)), jnp.float32)
+    >>> z, t, f = stft(x, hann(256), sampling_rate=8000.0, fft_length=256,
+    ...                overlap_length=128, onesided=True)
+    >>> m = stft_to_mel(z, 8000.0, fft_length=256, mel_bins=40)
+    >>> m.shape, bool(jnp.all(jnp.isfinite(m)))
+    ((30, 40), True)
+    """
     magnitudes = jnp.abs(z).astype(dtype) ** 2
 
     filters = mel_filters(

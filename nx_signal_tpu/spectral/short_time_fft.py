@@ -143,7 +143,21 @@ class ShortTimeFFT:
     `fft_method` ('auto' default / 'fft' / 'matmul') selects the forward
     transform of the onesided modes: 'auto' runs the MXU matmul DFT on
     TPU backends for real input with mfft <= 1024 (XLA's TPU FFT measured
-    ~3x slower there — ROOFLINE.md §1) and jnp.fft elsewhere."""
+    ~3x slower there — ROOFLINE.md §1) and jnp.fft elsewhere.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> from nx_signal_tpu.spectral.short_time_fft import ShortTimeFFT
+    >>> S = ShortTimeFFT(np.hanning(64), hop=16, fs=1000.0)
+    >>> sig = np.sin(0.1 * np.arange(1000))
+    >>> Z = S.stft(sig)
+    >>> Z.shape   # (bins, slices)
+    (33, 66)
+    >>> rec = np.asarray(S.istft(Z, k1=1000))
+    >>> bool(np.abs(rec - sig).max() < 1e-4)   # invertible
+    True
+    """
 
     fft_method = "auto"
 

@@ -24,7 +24,18 @@ __all__ = ["Metrics", "ThroughputMeter", "log_event"]
 def log_event(event: str, *, stream=None, **fields):
     """Emit one structured JSON log line: {"event", "ts", **fields}.
     Values must be JSON-serializable (cast device scalars with float()/int()
-    first — never log a live jax.Array, that forces a device sync)."""
+    first — never log a live jax.Array, that forces a device sync).
+
+    Examples:
+
+    >>> import io, json
+    >>> from nx_signal_tpu.utils.metrics import log_event
+    >>> buf = io.StringIO()
+    >>> log_event('bench', stream=buf, chip='v5e')
+    >>> rec = json.loads(buf.getvalue())
+    >>> rec['event'], rec['chip'], 'ts' in rec
+    ('bench', 'v5e', True)
+    """
     rec = {"event": event, "ts": round(time.time(), 3)}
     rec.update(fields)
     print(json.dumps(rec), file=stream or sys.stderr, flush=True)
@@ -37,6 +48,18 @@ class Metrics:
     accumulate wall seconds + call counts (`timer` context manager).
     `emit` prints one structured line via `log_event`; `snapshot` returns
     the plain dict for programmatic use.
+    
+    Examples:
+
+    >>> from nx_signal_tpu.utils.metrics import Metrics
+    >>> m = Metrics()
+    >>> m.count('frames', 3)
+    >>> m.gauge('lag_s', 0.5)
+    >>> with m.timer('step'):
+    ...     pass
+    >>> s = m.snapshot()
+    >>> s['frames'], s['lag_s'], s['step_calls']
+    (3, 0.5, 1)
     """
 
     def __init__(self):
@@ -84,6 +107,16 @@ class ThroughputMeter:
     `scaling_efficiency(single_chip_msps)` is per-chip throughput divided
     by the single-chip baseline — the ≥0.85 target from 1 chip → 1 host →
     ≥2 hosts (BASELINE.md).
+    
+    Examples:
+
+    >>> from nx_signal_tpu.utils.metrics import ThroughputMeter
+    >>> tm = ThroughputMeter(n_devices=2)
+    >>> tm.update(1_000_000, 0.5)
+    >>> tm.samples_per_second, tm.msamples_per_second_per_chip
+    (2000000.0, 1.0)
+    >>> tm.scaling_efficiency(1.25)   # vs a 1.25 Ms/s/chip single-chip run
+    0.8
     """
 
     def __init__(self, n_devices=None):

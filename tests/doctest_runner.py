@@ -13,6 +13,8 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# 8 virtual devices: the parallel/ examples build a (2, 4) DSP mesh
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
 import jax
 
@@ -43,6 +45,18 @@ DOCTEST_MODULES = [
     "nx_signal_tpu.spectral.mel",
     "nx_signal_tpu.spectral.estimation",
     "nx_signal_tpu.spectral.spectrogram",
+    "nx_signal_tpu.kernels.dft",
+    "nx_signal_tpu.kernels.pallas_dft",
+    "nx_signal_tpu.parallel.mesh",
+    "nx_signal_tpu.parallel.sharded",
+    "nx_signal_tpu.parallel.estimation",
+    "nx_signal_tpu.parallel.multihost",
+    "nx_signal_tpu.parallel.failure",
+    "nx_signal_tpu.parallel.streaming",
+    "nx_signal_tpu.io.wav",
+    "nx_signal_tpu.io.checkpoint",
+    "nx_signal_tpu.utils.checks",
+    "nx_signal_tpu.utils.metrics",
 ]
 
 

@@ -21,9 +21,11 @@ def test_docstring_examples():
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     res = subprocess.run(
         [sys.executable, RUNNER], env=env, capture_output=True, text=True,
-        timeout=600,
+        timeout=900,
     )
     assert res.returncode == 0, res.stdout + res.stderr
     assert "DOCTESTS_OK" in res.stdout
     attempted = int(res.stdout.split("DOCTESTS_OK")[1].split()[0])
-    assert attempted >= 250, f"only {attempted} doctest lines ran"
+    # floor tracks the measured count (1181 lines, 2026-08-21) with slack
+    # for refactors — a drop below this means whole modules went missing
+    assert attempted >= 1000, f"only {attempted} doctest lines ran"
