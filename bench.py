@@ -106,6 +106,32 @@ def main():
             frame_chunks="auto",
         )
 
+    # Same-shape pre-framed GEMM probe FIRST (its buffers release before
+    # the chain's ~12 GB peak): the chain/GEMM ratio is tunnel-WINDOW-
+    # invariant (~90%, ROOFLINE.md §3.5), so cross-round regressions are
+    # detectable despite the ±40% absolute swings. Shape matches the
+    # r03b probe row (256ch-equivalent frames matrix, 'high' precision).
+    gemm_rows = 256 * ((SECONDS * RATE - FRAME) // HOP + 1)
+    ext = FRAME + NUM_TAPS - 1
+    fa = jnp.asarray(
+        np.random.default_rng(1).normal(size=(gemm_rows, ext)), jnp.float32)
+    fw = jnp.asarray(
+        np.random.default_rng(2).normal(size=(ext, 2 * BINS)), jnp.float32)
+    gemm = jax.jit(lambda a, w: jnp.matmul(a, w, precision="high"))
+    g = gemm(fa, fw)
+    jax.block_until_ready(g)
+    float(g.ravel()[0])  # tunnel scalar-fetch barrier (ROOFLINE.md §5 r03b)
+    gtimes = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        g = gemm(fa, fw)
+        jax.block_until_ready(g)
+        float(g.ravel()[0])
+        gtimes.append(time.perf_counter() - t0)
+    gemm_dt = sorted(gtimes)[len(gtimes) // 2]
+    gemm_tfs = 2.0 * gemm_rows * ext * 2 * BINS / gemm_dt / 1e12
+    del fa, fw, g
+
     out = step(x)
     jax.block_until_ready(out)  # compile + warm up
 
@@ -123,6 +149,9 @@ def main():
     msamples_per_s = n / dt / 1e6
     sol, bound = chain_speed_of_light()
     sol_ms = sol / 1e6
+    # chain MXU rate vs the probe's rate on the SAME GEMM family — the
+    # window-invariant health metric
+    chain_tfs = 6152.0 * (n / dt) / 1e12
     print(
         json.dumps(
             {
@@ -130,12 +159,16 @@ def main():
                 "value": round(msamples_per_s, 1),
                 "unit": "Msamples/s/chip",
                 "vs_baseline": round(msamples_per_s / sol_ms, 4),
+                "gemm_probe_tfs": round(gemm_tfs, 1),
+                "chain_vs_gemm": round(chain_tfs / gemm_tfs, 3),
             }
         )
     )
     print(
         f"chain: {CHANNELS}ch x {SECONDS}s @ {RATE} Hz, {dt * 1e3:.2f} ms/step, "
-        f"SoL({bound}-bound) ~ {sol_ms:.0f} Msamples/s (ROOFLINE.md)",
+        f"SoL({bound}-bound) ~ {sol_ms:.0f} Msamples/s (ROOFLINE.md); "
+        f"gemm probe {gemm_dt * 1e3:.2f} ms = {gemm_tfs:.1f} TF/s, "
+        f"chain/gemm {chain_tfs / gemm_tfs:.2f}",
         file=sys.stderr,
     )
 

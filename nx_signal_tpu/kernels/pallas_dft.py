@@ -16,13 +16,22 @@ the XLA path otherwise.
 
 Round-4 status: Mosaic compiles on the real chip (scripts/pallas_probe.py
 prints PALLAS_OK; rounds 1-3 it hung the chipless remote compiler). All
-three kernels are silicon-verified against the XLA paths, the OLA kernel
+kernels are silicon-verified against the XLA paths, the OLA kernel
 bitwise (scripts/pallas_bench_r4.py). Five DMA/compute schedules were
 benched (ROOFLINE.md §6): 'pipeline' (index-mapped blocks + VMEM carry,
 Mosaic's own double-buffering) is the fastest, but XLA's conv-of-blocks
 emitter still wins at every channel count within one process — so the
 XLA path stays production (`kernels/dft.py fir_framed_dft kernel='auto'`)
 and the Pallas chain is the explicit `kernel='pallas'` option.
+
+Round-4b closed the last algorithmic lever: the SHARED-block partial-DFT
+kernel (2x fewer FLOPs, `fir_framed_dft_power_shared_pallas`) also loses
+— per-stage silicon probes (ROOFLINE.md §7.1) show its K=384 GEMM +
+schedule alone exceeds conv's entire chain (74.9 vs 57 ms at 512ch;
+Mosaic's dot rate collapses to ~10 TF/s at small K), while the in-VMEM
+epilogue is nearly free (6.3 ms). The kernels stay as the documented,
+correctness-tested experiment platform; re-attack needs Mosaic codegen
+improvements on small-K dots, not another schedule.
 """
 
 import functools
@@ -698,9 +707,18 @@ def fir_framed_dft_power_shared_pallas(
 
     `window_coeffs` are the signed cosine-sum coefficients
     (`recognize_cosine_window`); output is the one-sided POWER spectrum
-    (the chain's production epilogue). `dma` selects 'pipeline'
-    (index-mapped blocks + VMEM carry, the fastest full-FLOP schedule)
-    or 'window' (one DMA + halo per program).
+    (the chain's production epilogue). `dma` selects 'window' (one DMA
+    + halo per program — the better schedule HERE; 'pipeline' inverts
+    for this kernel, ROOFLINE.md §7.1 probe 1). `combine`/`stages` are
+    the epilogue form and the silicon cost-probe hook (`_shared_epilogue`).
+
+    SILICON VERDICT (ROOFLINE.md §7.1, probes 1-3): REFUTED as a
+    production path. The epilogue bet paid off (combine + window cost
+    6.3 ms of 81 at 512ch with 'sliding') but the GEMM+schedule stage
+    alone (74.9 ms) exceeds the conv emitter's entire chain (57 ms) —
+    Mosaic's dot rate collapses to ~10 TF/s at K=384 (vs 20.7 at
+    K=768), so the 2x FLOP cut bought nothing. Kept as the documented
+    experiment platform behind `kernel='pallas_shared'`.
     
     Examples:
 

@@ -20,7 +20,8 @@ from nx_signal_tpu.ops.filters import firwin
 from nx_signal_tpu.spectral.framing import as_windowed
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT, is_complex_dtype
 
-__all__ = ["upfirdn", "resample_poly", "pfb_analyze", "resample", "decimate"]
+__all__ = ["upfirdn", "resample_poly", "pfb_analyze",
+           "pfb_footprint_bytes", "resample", "decimate"]
 
 
 def _upfirdn_out_len(n_in: int, k: int, up: int, down: int) -> int:
@@ -324,6 +325,39 @@ def pfb_analyze(x, n_channels: int, *, taps_per_channel: int = 8, window=("kaise
     return channels
 
 
+def pfb_footprint_bytes(strategy: str, batch_elems: int, length: int,
+                        n_channels: int, taps_per_channel: int) -> int:
+    """Modeled peak HBM bytes of one `pfb_analyze` call (f32/c64 buffers,
+    the `_auto_frame_chunks`-style planning model — VERDICT r03 item 4).
+
+    Per strategy, in units of the input size S = 4 * batch * length bytes:
+    'einsum'   ~ (2 + tpc + 1 + 2 + 2) S  — input + padded copy + the
+                 (frames, m*tpc) expansion (the tpc-fold As-windowed
+                 blow-up) + summed + complex out;
+    'matmul'   ~ (2 + 2 + 2) S            — input + padded copy + the
+                 (frames, 2m) stacked Re|Im accumulator + complex out;
+    'factored' ~ (2 + 1 + 2 + 2) S        — input + trimmed view's sum
+                 buffer + accumulator + complex out.
+
+    Example: the 1024-band config-5 point at 8 x 4.19 Msamples models
+    ~0.9 GB ('factored') vs ~2.0 GB ('einsum') — all single-chip; the
+    einsum path hits the 12.5 GB v5e budget near 8 x 28 Msamples while
+    'factored' reaches ~8 x 56 Msamples (measured max point:
+    scripts/pfb_max_r4.py, ROOFLINE.md §7.2).
+
+    Examples:
+
+    >>> from nx_signal_tpu.ops.resample import pfb_footprint_bytes
+    >>> s = 4 * 8 * 4_194_304
+    >>> pfb_footprint_bytes('factored', 8, 4_194_304, 1024, 8) // s
+    7
+    """
+    s = 4 * batch_elems * length
+    mult = {"einsum": 2 + taps_per_channel + 5,
+            "matmul": 6, "factored": 7}[strategy]
+    return mult * s
+
+
 def _pfb_matmul(x, proto, m, window_length, precision):
     """PFB as one conv-of-blocks framed-DFT matmul: Y[t, k] =
     frame_t @ W with W[n, k] = proto[n] e^(-2i*pi*k*n/m) — the DFT phase
@@ -333,10 +367,17 @@ def _pfb_matmul(x, proto, m, window_length, precision):
     from nx_signal_tpu.kernels.dft import _dft_weights, blocked_frame_matmul
 
     num_frames = (x.shape[-1] - window_length) // m + 1
-    proto_np = np.asarray(proto, dtype=np.float64)
-    weights = jnp.asarray(
-        _dft_weights(proto_np, window_length, m, False, np.float64)
-        .astype(np.float32))
+    if isinstance(proto, jax.core.Tracer):
+        # proto built inside an enclosing jit (e.g. the firwin default):
+        # take _dft_weights' jnp path — XLA constant-folds the matrix when
+        # the prototype is a trace-constant
+        weights = _dft_weights(proto.astype(DEFAULT_FLOAT), window_length,
+                               m, False, DEFAULT_FLOAT)
+    else:
+        proto_np = np.asarray(proto, dtype=np.float64)
+        weights = jnp.asarray(
+            _dft_weights(proto_np, window_length, m, False, np.float64)
+            .astype(np.float32))
     acc = blocked_frame_matmul(
         x.astype(DEFAULT_FLOAT), weights, window_length=window_length,
         stride=m, num_frames=num_frames, precision=precision)

@@ -26,12 +26,14 @@ STREAMS = 8
 def timed(fn, x, reps=5, steps=2):
     out = fn(x)
     jax.block_until_ready(out)
-    times = []
+    float(jnp.real(out.ravel()[0]))   # scalar-fetch barrier: block_until_ready
+    times = []                # through the tunnel can return early (r03b)
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
             out = fn(x)
         jax.block_until_ready(out)
+        float(jnp.real(out.ravel()[0]))
         times.append((time.perf_counter() - t0) / steps)
     return sorted(times)[len(times) // 2]
 

@@ -132,6 +132,20 @@ class TestPFB:
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got, ref, atol=2e-6 * scale)
 
+    @pytest.mark.parametrize("strategy", ["matmul", "factored"])
+    def test_mxu_strategies_under_jit(self, strategy, rng):
+        # the default prototype (firwin) becomes a TRACER inside jit —
+        # the weight build must take the jnp path, not np.asarray
+        import jax
+
+        x = rng.normal(size=(2, 30000)).astype(np.float32)
+        ref = np.asarray(pfb_analyze(x, 32, taps_per_channel=6,
+                                     strategy="einsum"))
+        fn = jax.jit(lambda x: pfb_analyze(x, 32, taps_per_channel=6,
+                                           strategy=strategy))
+        got = np.asarray(fn(x))
+        np.testing.assert_allclose(got, ref, atol=2e-6 * np.abs(ref).max())
+
     def test_auto_strategy_dispatch(self, rng):
         # complex input falls back to einsum; real uses the MXU paths;
         # the MXU paths reject complex input with a clear error
