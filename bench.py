@@ -134,15 +134,19 @@ def main():
 
     out = step(x)
     jax.block_until_ready(out)  # compile + warm up
+    float(out.ravel()[0])
 
     # median of 5 timed batches: the remote-tunnel runtime has large
-    # (~±30%) run-to-run variance
+    # (~±30%) run-to-run variance; the scalar fetch guards against
+    # block_until_ready returning early through the tunnel (seen
+    # intermittently — ROOFLINE.md §7.2 note)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(STEPS):
             out = step(x)
         jax.block_until_ready(out)
+        float(out.ravel()[0])
         times.append((time.perf_counter() - t0) / STEPS)
     dt = sorted(times)[len(times) // 2]
 

@@ -250,11 +250,17 @@ def pfb_analyze(x, n_channels: int, *, taps_per_channel: int = 8, window=("kaise
       work.
     * 'einsum': the reference formulation (as_windowed frames + weighted
       sum + batched FFT) — an (taps_per_channel)-fold HBM frame expansion;
-      kept for complex input and as the oracle. Measured 519 Msamples/s
-      vs >5000 for 'matmul' at the 64-band BASELINE config (ROOFLINE §7).
-    * 'auto': 'matmul' when the input is real and m*taps_per_channel <=
-      1024 (the good-matmul-K range), 'factored' for larger real
-      filterbanks, 'einsum' for complex input.
+      kept for complex input and as the oracle.
+    * 'auto': 'factored' for real input with m >= 64 (lane-aligned
+      channel axis), 'matmul' for smaller real filterbanks (its
+      K = m*taps_per_channel keeps the contraction MXU-sized), 'einsum'
+      for complex input.
+
+    Silicon (v5e, one process, scripts/pfb_bench_r4.py, ROOFLINE.md
+    §7.2): 64-band BASELINE config einsum 82-84 ms -> factored 38.8
+    (2.1x, matmul 40.5-42.4); 1024-band einsum 45.6 -> factored
+    34.1-37.4 (matmul loses there — the K=8192 combined matmul wastes
+    8x MXU work exactly as the FLOP count predicts).
 
     Examples:
 
@@ -293,10 +299,10 @@ def pfb_analyze(x, n_channels: int, *, taps_per_channel: int = 8, window=("kaise
     if strategy == "auto":
         if complex_in:
             strategy = "einsum"
-        elif m * taps_per_channel <= 1024:
-            strategy = "matmul"
-        else:
+        elif m >= 64:
             strategy = "factored"
+        else:
+            strategy = "matmul"
     if strategy in ("matmul", "factored") and complex_in:
         raise ValueError(
             f"strategy={strategy!r} requires real input (the stacked-real "

@@ -147,6 +147,9 @@ def main():
     step_j = jax.jit(step)
     out = step_j(x)
     jax.block_until_ready(out)  # compile + warm up
+    # scalar fetch: block_until_ready can return early through the axon
+    # tunnel (intermittent — ROOFLINE.md §7.2 note); harmless on real pods
+    float(jnp.real(jax.tree_util.tree_leaves(out)[0].ravel()[0]))
 
     meter = ThroughputMeter(n_devices=n_dev)
     times = []
@@ -155,6 +158,7 @@ def main():
         for _ in range(args.steps):
             out = step_j(x)
         jax.block_until_ready(out)
+        float(jnp.real(jax.tree_util.tree_leaves(out)[0].ravel()[0]))
         rep_dt = (time.perf_counter() - t0) / args.steps
         times.append(rep_dt)
         meter.update(total_samples * args.steps, rep_dt * args.steps)
