@@ -60,25 +60,42 @@ def _upfirdn_phase_outputs(ext, bank, up: int, down: int, *, n_offset: int,
     (n_offset = the global output offset, identical on every device because
     out_block*down == block_in*up makes the phase pattern device-periodic).
 
-    Evaluation: ONE blocked conv-of-blocks matmul for all residue classes
-    at once. Column r of the weight matrix holds phase filter p_r at row
-    offset o_r - o_min (o_r = the class's window start), so a stride-`down`
-    framed matmul over ext emits the (..., J, up) output grid directly —
-    no frame matrix is ever materialized (the previous as_windowed + matvec
-    form expanded the input T/down-fold: 14 GB for 64ch x 60 s @ 48 kHz
-    with a 61-tap phase filter, found by scripts/configs_bench.py)."""
+    Evaluation: ONE blocked conv-of-blocks matmul for a lane-filling TILE
+    of R consecutive outputs per frame row (R a multiple of `up` near
+    128, not the minimal R = up). Column r of the banded weight matrix
+    holds phase filter p_r at row offset o_r - o_min (o_r = the output's
+    window start), and the frame stride becomes (R//up)*down. The tile
+    matters enormously for decimation: at R = up the hop blocks are only
+    `down` samples wide (3 of 128 lanes at down=3 — ~2% occupancy,
+    measured 2.1 Gs/s for BASELINE config 3), while the R~128 tile makes
+    the stride lane-aligned and puts the whole resampler on full-width
+    MXU rows at the cost of a mostly-zero banded weight (FLOPs are
+    cheap, lanes are not — the §3 conv-of-blocks lesson applied to
+    resampling; measured 6.5x on config 3, ROOFLINE.md §7.2). Falls back
+    to R = up when the banded weight would be huge (very large `down`).
+    No frame matrix is ever materialized (the previous as_windowed +
+    matvec form expanded the input T/down-fold: 14 GB for 64ch x 60 s @
+    48 kHz with a 61-tap phase filter, found by scripts/configs_bench.py)."""
     import jax
 
     from nx_signal_tpu.kernels.dft import blocked_frame_matmul
 
     t_taps = bank.shape[1]
     batch = ext.shape[:-1]
-    n_classes = min(up, n_count)
+    r_tile = -(-128 // up) * up
+    est_window = t_taps + (r_tile // up) * down
+    if r_tile > up and est_window * r_tile > (1 << 22):
+        r_tile = up   # banded weight would exceed ~16 MB: minimal tile
+    n_classes = min(r_tile, n_count)
     offsets = [((n_offset + r) * down) // up for r in range(n_classes)]
     phases = [((n_offset + r) * down) % up for r in range(n_classes)]
     o_min = min(offsets)
     window_length = t_taps + max(offsets) - o_min
-    num_frames = (n_count - 1) // up + 1
+    num_frames = (n_count - 1) // n_classes + 1
+    if n_classes % up == 0:
+        stride = (n_classes // up) * down
+    else:
+        stride = down   # partial tile: n_count < up => num_frames == 1
     if isinstance(bank, jax.core.Tracer):
         w = jnp.zeros((window_length, n_classes), dtype=bank.dtype)
         for r in range(n_classes):
@@ -99,19 +116,17 @@ def _upfirdn_phase_outputs(ext, bank, up: int, down: int, *, n_offset: int,
     # take the materialized-frames matmul instead (lax.conv measured ~25x
     # slower for long stride-1 kernels on TPU, and TPU conv lowering is
     # real-only).
-    c_blocks = -(-window_length // down)
+    c_blocks = -(-window_length // stride)
     strategy = ("conv" if c_blocks <= 32
                 and not is_complex_dtype(ext.dtype)
                 and not is_complex_dtype(w.dtype) else "materialize")
     out = blocked_frame_matmul(
-        ext[..., o_min:], w, window_length=window_length, stride=down,
+        ext[..., o_min:], w, window_length=window_length, stride=stride,
         num_frames=num_frames, precision="highest", strategy=strategy,
-    )  # (..., J, n_classes): cell (j, r) = output j*up + r
-    if up == 1:
+    )  # (..., J, n_classes): cell (j, r) = output j*n_classes + r
+    if n_classes == 1:
         return out[..., :n_count, 0]
-    if n_classes < up:  # n_count < up: single partial row
-        return out.reshape(*batch, num_frames * n_classes)[..., :n_count]
-    return out.reshape(*batch, num_frames * up)[..., :n_count]
+    return out.reshape(*batch, num_frames * n_classes)[..., :n_count]
 
 
 def upfirdn(h, x, up: int = 1, down: int = 1):

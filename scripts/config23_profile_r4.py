@@ -52,8 +52,10 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    # ---- config 2: 64ch x 60 s @ 44.1k roundtrip, split
-    ch, n = 64, 60 * 44100
+    # ---- config 2 split at 32ch (the bare complex spectrum is 2.7 GB;
+    # the 64ch split probes transiently hold two of them + input -> OOM;
+    # stage RATIOS are what the profile needs)
+    ch, n = 32, 60 * 44100
     x = jnp.asarray(rng.normal(size=(ch, n)), jnp.float32)
     w = np.asarray(hann(512))
 

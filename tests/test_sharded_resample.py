@@ -34,10 +34,14 @@ class TestShardedUpfirdn:
         got = sharded_upfirdn(h, x, up, down, mesh=mesh)
         want = upfirdn(h, x, up, down)
         assert got.shape == want.shape
-        # same T-tap dot on the same values; CPU matvec order can differ
-        # with batch extent, so gate at a few ulps rather than bitwise
+        # same banded dot on the same values; CPU GEMM reduction order
+        # varies with batch extent (CLAUDE.md), and the lane-filling
+        # output tile's K ~ stride+taps contraction spreads the ulps a
+        # little wider than the old per-phase T-tap dot — gate at ~1e-5
+        # relative (observed: 1-3 of 33008 elements past 1e-6)
+        scale = np.abs(np.asarray(want)).max()
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-6, atol=1e-6)
+                                   rtol=2e-5, atol=2e-5 * scale)
 
     def test_1d_squeeze(self):
         mesh = make_dsp_mesh(1, 8)
