@@ -45,6 +45,28 @@ class TestUpfirdn:
         with pytest.raises(ValueError, match=">= 1"):
             upfirdn(np.ones(3), np.ones(4), up=0)
 
+    @pytest.mark.parametrize("up,down,n,k", [
+        (1, 3, 10000, 61),    # BASELINE decimation: multi-tile + partial
+        (2, 3, 9999, 63),     # rational, odd length
+        (1, 1, 3000, 31),     # pure FIR through the tile path
+        (7, 5, 4000, 35),     # coprime, r_tile = 133
+        (1, 1000, 5000, 21),  # huge down: banded-weight FALLBACK to R=up
+        (160, 1, 500, 320),   # up > 128: tile degenerates to R=up
+        (2, 3, 5, 9),         # n_count < up (single partial frame)
+    ])
+    def test_lane_tile_geometry_vs_scipy(self, up, down, n, k, rng):
+        # the lane-filling output tile (R ~ 128 outputs per frame row,
+        # ROOFLINE.md §7.3) across its geometry edge cases: multi-frame
+        # tiles with partial last frames, the huge-down fallback, and
+        # tiles that degenerate back to R = up
+        x = rng.normal(size=n)
+        h = rng.normal(size=k)
+        got = upfirdn(h, x, up, down)
+        expected = sps.upfirdn(h, x, up, down)
+        assert got.shape == expected.shape
+        assert_all_close(got, expected,
+                         atol=1e-6 * max(1.0, np.abs(expected).max()))
+
 
 class TestResamplePoly:
     @pytest.mark.parametrize("up,down", [(1, 3), (2, 1), (2, 3), (160, 147), (48, 16)])
