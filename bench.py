@@ -124,10 +124,11 @@ def main():
     gtimes = []
     for _ in range(5):
         t0 = time.perf_counter()
-        g = gemm(fa, fw)
+        for _ in range(STEPS):   # amortize dispatch exactly like the chain
+            g = gemm(fa, fw)
         jax.block_until_ready(g)
         float(g.ravel()[0])
-        gtimes.append(time.perf_counter() - t0)
+        gtimes.append((time.perf_counter() - t0) / STEPS)
     gemm_dt = sorted(gtimes)[len(gtimes) // 2]
     gemm_tfs = 2.0 * gemm_rows * ext * 2 * BINS / gemm_dt / 1e12
     del fa, fw, g
