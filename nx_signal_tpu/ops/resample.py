@@ -71,8 +71,9 @@ def _upfirdn_phase_outputs(ext, bank, up: int, down: int, *, n_offset: int,
     the stride lane-aligned and puts the whole resampler on full-width
     MXU rows at the cost of a mostly-zero banded weight (FLOPs are
     cheap, lanes are not — the §3 conv-of-blocks lesson applied to
-    resampling; measured 6.5x on config 3, ROOFLINE.md §7.2). Falls back
-    to R = up when the banded weight would be huge (very large `down`).
+    resampling; measured 2.6x on the resampler alone and 2.45x on the
+    full config-3 chain, ROOFLINE.md §7.3). Falls back to R = up when
+    the banded weight would be huge (very large `down`).
     No frame matrix is ever materialized (the previous as_windowed +
     matvec form expanded the input T/down-fold: 14 GB for 64ch x 60 s @
     48 kHz with a 61-tap phase filter, found by scripts/configs_bench.py)."""
@@ -525,7 +526,7 @@ def decimate(x, q: int, *, n: int = None, ftype: str = "iir", axis: int = -1,
     >>> from nx_signal_tpu.ops.resample import decimate
     >>> y = decimate(jnp.arange(16.0), 2, ftype="fir")
     >>> np.round(np.asarray(y), 3)
-    array([ 0.134,  2.027,  3.93 ,  6.139,  7.797, 10.348, 11.458, 15.105],
+    array([ 0.134,  2.027,  3.93 ,  6.139,  7.797, 10.348, 11.458, 15.104],
           dtype=float32)
     """
     from nx_signal_tpu.ops.iir import filtfilt, lfilter

@@ -18,7 +18,14 @@ _HBM_BYTES_PER_S = {
 
 def device_hbm_bandwidth(device=None) -> float:
     """Per-chip HBM bandwidth in bytes/s for the given (default: first)
-    device; defaults to v5e's 819 GB/s when unknown."""
+    device; defaults to v5e's 819 GB/s when unknown.
+
+    Examples:
+
+    >>> from nx_signal_tpu.utils.profiling import device_hbm_bandwidth
+    >>> device_hbm_bandwidth() >= 819e9   # every supported chip >= v5e
+    True
+    """
     device = device or jax.devices()[0]
     kind = device.device_kind.lower()
     for key, bw in _HBM_BYTES_PER_S.items():
@@ -29,6 +36,18 @@ def device_hbm_bandwidth(device=None) -> float:
 
 @dataclass(frozen=True)
 class BenchResult:
+    """Result of `benchmark`: wall time per call plus the derived
+    throughput / HBM-speed-of-light fraction (0 when the caller gave no
+    samples/bytes model). Not in the reference (it has no profiling
+    subsystem — SURVEY.md §5).
+
+    Examples:
+
+    >>> from nx_signal_tpu.utils.profiling import BenchResult
+    >>> str(BenchResult(0.002, 5e8, 0.25))
+    '2.000 ms/call, 500 Msamples/s, 25.0% of HBM SoL'
+    """
+
     seconds_per_call: float
     samples_per_second: float  # 0 when samples_per_call not given
     hbm_fraction: float        # fraction of speed-of-light, 0 when unknown
@@ -42,19 +61,42 @@ class BenchResult:
         return ", ".join(parts)
 
 
+def _sync(out):
+    """Hard completion barrier: block_until_ready PLUS a scalar fetch —
+    block_until_ready alone has been observed returning early through
+    remote-attached backends (ROOFLINE.md §7.2; an unbarriered step once
+    read 0.06 ms for a 33.5 Msample PFB). The scalar round-trip cannot
+    complete before the producing computation has."""
+    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    import jax.numpy as jnp
+
+    float(jnp.real(leaf.ravel()[0]))
+
+
 def benchmark(fn, *args, iters: int = 10, samples_per_call: int = 0,
               min_bytes_per_sample: float = 0.0) -> BenchResult:
     """Time a jitted callable (compiles + warms up first, then `iters`
-    timed calls with a single device sync). When `samples_per_call` and
-    `min_bytes_per_sample` are given, also reports throughput as a fraction
-    of the HBM speed-of-light bound."""
+    timed calls with a single hard device sync — see `_sync`). When
+    `samples_per_call` and `min_bytes_per_sample` are given, also reports
+    throughput as a fraction of the HBM speed-of-light bound.
+
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.utils.profiling import benchmark
+    >>> r = benchmark(lambda x: x * 2.0, jnp.ones(1024), iters=2,
+    ...               samples_per_call=1024, min_bytes_per_sample=8.0)
+    >>> r.seconds_per_call > 0.0, r.samples_per_second > 0.0
+    (True, True)
+    """
     jf = jax.jit(fn)
-    jax.block_until_ready(jf(*args))
+    _sync(jf(*args))
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):
         out = jf(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / iters
     sps = samples_per_call / dt if samples_per_call else 0.0
     frac = 0.0
@@ -66,5 +108,14 @@ def benchmark(fn, *args, iters: int = 10, samples_per_call: int = 0,
 
 def trace(path: str):
     """Context manager writing a jax.profiler trace (view with XProf /
-    Perfetto): `with trace('/tmp/trace'): step(x)`."""
+    Perfetto): `with trace('/tmp/trace'): step(x)`.
+
+    Examples:
+
+    >>> import tempfile
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.utils.profiling import trace
+    >>> with trace(tempfile.mkdtemp()):
+    ...     _ = (jnp.ones(16) * 2.0).block_until_ready()
+    """
     return jax.profiler.trace(path)

@@ -57,6 +57,7 @@ DOCTEST_MODULES = [
     "nx_signal_tpu.io.checkpoint",
     "nx_signal_tpu.utils.checks",
     "nx_signal_tpu.utils.metrics",
+    "nx_signal_tpu.utils.profiling",
 ]
 
 
