@@ -333,7 +333,11 @@ def pfb_analyze(x, n_channels: int, *, taps_per_channel: int = 8, window=("kaise
     if strategy == "matmul":
         channels = _pfb_matmul(x, proto, m, window_length, precision)
     elif strategy == "factored":
-        channels = _pfb_factored(x, proto, m, taps_per_channel, precision)
+        # depthwise-conv sliding sum where the half-lane shifted adds hurt
+        # (m < 128: +9-11% at scale, ROOFLINE.md §7.5); 'shifts' at m >= 128
+        channels = _pfb_factored(
+            x, proto, m, taps_per_channel, precision,
+            sum_mode="conv" if m < 128 else "shifts")
     else:
         weights = proto.reshape(taps_per_channel, m)
         frames = as_windowed(x, window_length=window_length, stride=m)
@@ -406,11 +410,20 @@ def _pfb_matmul(x, proto, m, window_length, precision):
     return lax.complex(acc[..., :m], acc[..., m:])
 
 
-def _pfb_factored(x, proto, m, taps_per_channel, precision):
-    """PFB with the polyphase sum factored out: taps_per_channel shifted
-    multiply-adds over the free hop-block view (16 VPU FLOP/sample),
-    then one (T, m) @ (m, 2m) DFT matmul — the FLOP-minimal form
-    (the combined matmul costs taps_per_channel-fold more MXU work)."""
+def _pfb_factored(x, proto, m, taps_per_channel, precision,
+                  sum_mode: str = "shifts"):
+    """PFB with the polyphase sum factored out: the taps_per_channel-tap
+    weighted sliding sum over the free hop-block view (16 VPU
+    FLOP/sample), then one (T, m) @ (m, 2m) DFT matmul — the
+    FLOP-minimal form (the combined matmul costs taps_per_channel-fold
+    more MXU work).
+
+    `sum_mode` selects the sliding-sum lowering: 'shifts' =
+    taps_per_channel shifted multiply-adds; 'conv' = ONE depthwise
+    `lax.conv` over the block axis (tpc taps, feature_group_count=m) —
+    a single fused pass instead of tpc slice reads, the same conv-
+    emitter shape class that wins the chain (A/B:
+    scripts/pfb_factored_conv_r4.py)."""
     import numpy as np
 
     from nx_signal_tpu.kernels.dft import _dft_weights
@@ -422,9 +435,17 @@ def _pfb_factored(x, proto, m, taps_per_channel, precision):
     num_frames = nb - taps_per_channel + 1
     u = x[..., :nb * m].reshape(*batch, nb, m)
     w = proto.astype(DEFAULT_FLOAT).reshape(taps_per_channel, m)
-    s = w[0] * u[..., :num_frames, :]
-    for j in range(1, taps_per_channel):
-        s = s + w[j] * u[..., j:j + num_frames, :]
+    if sum_mode == "conv":
+        u2 = u.reshape(-1, nb, m)
+        s = lax.conv_general_dilated(
+            u2, w[:, None, :], window_strides=(1,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=m,
+            precision=precision)   # TPU conv defaults to bf16 otherwise
+        s = s.reshape(*batch, num_frames, m)
+    else:
+        s = w[0] * u[..., :num_frames, :]
+        for j in range(1, taps_per_channel):
+            s = s + w[j] * u[..., j:j + num_frames, :]
     ones = np.ones(m, dtype=np.float64)
     f_mat = jnp.asarray(
         _dft_weights(ones, m, m, False, np.float64).astype(np.float32))
