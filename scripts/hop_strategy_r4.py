@@ -21,7 +21,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-CH, SECONDS, RATE, FRAME, NFFT = 64, 10, 48000, 512, 512
+CH, SECONDS, RATE, FRAME, NFFT = 32, 10, 48000, 512, 512
 
 
 def timed(fn, x, reps=5, steps=2):
@@ -50,7 +50,7 @@ def main():
     weights = jnp.asarray(
         _dft_weights(w, FRAME, NFFT, True, np.float64).astype(np.float32))
 
-    for hop in (16, 32, 64, 128):
+    for hop in (128, 64, 32, 16):   # OOM-riskiest LAST (a wedge kills the rest)
         num_frames = (n - FRAME) // hop + 1
         for strat in ("conv", "materialize"):
             fn = jax.jit(lambda x, h=hop, s=strat, m=num_frames:
