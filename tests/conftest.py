@@ -40,9 +40,10 @@ def assert_all_close(actual, expected, atol=1e-4, rtol=1e-4, err_msg=""):
 
 
 # ---------------------------------------------------------------- test tiers
-# Fast tier: `pytest -m "not slow"` (~14-15 min, ~1400 tests; timed
-# 2026-08-20) — run before every commit.
-# Full suite: ~60 min on the 2-vCPU image (1550+ tests).
+# Fast tier: `pytest -m "not slow"` (~18-20 min, ~1450 tests; timed
+# 2026-08-21 — the doctest subprocess grew to 1280+ executed lines) —
+# run before every commit.
+# Full suite: ~65 min on the 2-vCPU image (1611 tests, timed 2026-08-21).
 # Modules listed here are auto-marked slow (8-virtual-device shard_map
 # compiles dominate their runtime); individual tests can also opt in with
 # @pytest.mark.slow.

@@ -7,6 +7,12 @@ from pathlib import Path
 
 import pytest
 
+# tf<->ss/zpk conversions in the filter-design guide legitimately hit
+# near-zero leading numerator coefficients; normalize warns
+# BadCoefficients there (scipy parity) — expected, keep the suite clean
+pytestmark = pytest.mark.filterwarnings(
+    "ignore:Badly conditioned filter coefficients")
+
 GUIDES = sorted((Path(__file__).parent.parent / "guides").glob("*.md"))
 
 
