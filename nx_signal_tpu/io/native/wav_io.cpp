@@ -311,6 +311,128 @@ void ring_destroy(void* h) {
   delete r;
 }
 
+// ---- raw (headerless) stream reader: the SDR ingest path ----
+//
+// Interleaved fixed-dtype sample streams with no container (the common
+// wideband-SDR capture format; an IQ stream is channels = 2). Decodes to
+// planar f32 exactly like the WAV reader. dtype codes:
+// 0 = float32, 1 = int16, 2 = int8, 3 = uint8 (offset-128), 4 = int32.
+
+struct RawReader {
+  FILE* file = nullptr;
+  int dtype = 0;
+  uint32_t channels = 0;
+  uint32_t elem_bytes = 0;
+  uint64_t frames_total = 0;
+  uint64_t frames_read = 0;
+};
+
+static uint32_t raw_elem_bytes(int dtype) {
+  switch (dtype) {
+    case 0: return 4;
+    case 1: return 2;
+    case 2: return 1;
+    case 3: return 1;
+    case 4: return 4;
+  }
+  return 0;
+}
+
+static float raw_decode_one(int dtype, const uint8_t* s) {
+  switch (dtype) {
+    case 0: {
+      float v;
+      std::memcpy(&v, s, 4);
+      return v;
+    }
+    case 1: {
+      int16_t x;
+      std::memcpy(&x, s, 2);
+      return static_cast<float>(x) / 32768.0f;
+    }
+    case 2:
+      return static_cast<float>(static_cast<int8_t>(s[0])) / 128.0f;
+    case 3:
+      return (static_cast<float>(s[0]) - 128.0f) / 128.0f;
+    case 4: {
+      int32_t x;
+      std::memcpy(&x, s, 4);
+      return static_cast<float>(x) / 2147483648.0f;
+    }
+  }
+  return 0.0f;
+}
+
+extern "C" {
+
+void* raw_open(const char* path, int dtype, int channels) {
+  const uint32_t eb = raw_elem_bytes(dtype);
+  if (eb == 0 || channels < 1) return nullptr;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  std::fseek(f, 0, SEEK_END);
+  const long bytes = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  auto* r = new RawReader();
+  r->file = f;
+  r->dtype = dtype;
+  r->channels = static_cast<uint32_t>(channels);
+  r->elem_bytes = eb;
+  r->frames_total = static_cast<uint64_t>(bytes) / (eb * r->channels);
+  return r;
+}
+
+int32_t raw_channels(void* h) {
+  return static_cast<int32_t>(static_cast<RawReader*>(h)->channels);
+}
+int64_t raw_frames(void* h) {
+  return static_cast<int64_t>(static_cast<RawReader*>(h)->frames_total);
+}
+
+// Planar f32 out, row stride = requested `frames` (same contract as
+// wav_read). Returns frames decoded (0 at EOF, -1 on IO error).
+int64_t raw_read(void* h, float* out, int64_t frames) {
+  auto* r = static_cast<RawReader*>(h);
+  if (frames < 1) return 0;
+  const uint64_t remaining = r->frames_total - r->frames_read;
+  const uint64_t want =
+      std::min<uint64_t>(static_cast<uint64_t>(frames), remaining);
+  if (want == 0) return 0;
+  const uint64_t frame_bytes =
+      static_cast<uint64_t>(r->elem_bytes) * r->channels;
+  auto* raw = static_cast<uint8_t*>(std::malloc(want * frame_bytes));
+  if (!raw) return -1;
+  const uint64_t got = std::fread(raw, frame_bytes, want, r->file);
+  for (uint64_t f = 0; f < got; ++f) {
+    const uint8_t* p = raw + f * frame_bytes;
+    for (uint32_t c = 0; c < r->channels; ++c)
+      out[static_cast<uint64_t>(c) * frames + f] =
+          raw_decode_one(r->dtype, p + c * r->elem_bytes);
+  }
+  std::free(raw);
+  r->frames_read += got;
+  return static_cast<int64_t>(got);
+}
+
+int64_t raw_seek(void* h, int64_t frame) {
+  auto* r = static_cast<RawReader*>(h);
+  if (frame < 0 || static_cast<uint64_t>(frame) > r->frames_total) return -1;
+  const uint64_t frame_bytes =
+      static_cast<uint64_t>(r->elem_bytes) * r->channels;
+  if (std::fseek(r->file, static_cast<long>(frame * frame_bytes), SEEK_SET))
+    return -1;
+  r->frames_read = static_cast<uint64_t>(frame);
+  return frame;
+}
+
+void raw_close(void* h) {
+  auto* r = static_cast<RawReader*>(h);
+  if (r->file) std::fclose(r->file);
+  delete r;
+}
+
+}  // extern "C"
+
 // ---- background prefetcher: decode thread -> SPSC ring -> consumer ----
 //
 // The data-loader piece of the streaming runtime: a producer thread decodes
@@ -320,7 +442,8 @@ void ring_destroy(void* h) {
 // planar samples]; a frame_count of 0 marks end-of-stream.
 
 struct Prefetcher {
-  void* reader = nullptr;       // wav_open handle
+  void* reader = nullptr;       // wav_open or raw_open handle
+  int kind = 0;                 // 0 = wav, 1 = raw
   Ring* ring = nullptr;
   std::thread worker;
   std::atomic<bool> stop{false};
@@ -328,6 +451,11 @@ struct Prefetcher {
   int64_t block_frames = 0;
   int channels = 0;
 };
+
+static int64_t prefetch_read(Prefetcher* p, float* buf, int64_t frames) {
+  return p->kind == 0 ? wav_read(p->reader, buf, frames)
+                      : raw_read(p->reader, buf, frames);
+}
 
 static void prefetch_push_all(Prefetcher* p, const float* data, uint64_t n) {
   uint64_t done = 0;
@@ -346,7 +474,7 @@ static void prefetch_worker(Prefetcher* p) {
     return;
   }
   while (!p->stop.load(std::memory_order_acquire)) {
-    int64_t got = wav_read(p->reader, buf, p->block_frames);
+    int64_t got = prefetch_read(p, buf, p->block_frames);
     if (got < 0) {
       p->failed.store(true, std::memory_order_release);
       break;
@@ -393,12 +521,38 @@ void* prefetch_start(const char* path, int64_t block_frames,
   return p;
 }
 
+// Raw-stream variant: same ring protocol, headerless interleaved input
+// (dtype codes as raw_open).
+void* prefetch_start_raw(const char* path, int dtype, int channels,
+                         int64_t block_frames, int64_t depth_blocks) {
+  if (block_frames < 1 || depth_blocks < 1) return nullptr;
+  void* reader = raw_open(path, dtype, channels);
+  if (!reader) return nullptr;
+  auto* p = new Prefetcher();
+  p->reader = reader;
+  p->kind = 1;
+  p->block_frames = block_frames;
+  p->channels = channels;
+  uint64_t cap = static_cast<uint64_t>(depth_blocks) *
+                 (static_cast<uint64_t>(block_frames) * p->channels + 1);
+  p->ring = static_cast<Ring*>(ring_create(cap));
+  if (!p->ring) {
+    raw_close(reader);
+    delete p;
+    return nullptr;
+  }
+  p->worker = std::thread(prefetch_worker, p);
+  return p;
+}
+
 int prefetch_channels(void* h) { return static_cast<Prefetcher*>(h)->channels; }
 int prefetch_sample_rate(void* h) {
-  return wav_sample_rate(static_cast<Prefetcher*>(h)->reader);
+  auto* p = static_cast<Prefetcher*>(h);
+  return p->kind == 0 ? wav_sample_rate(p->reader) : 0;
 }
 int64_t prefetch_total_frames(void* h) {
-  return wav_frames(static_cast<Prefetcher*>(h)->reader);
+  auto* p = static_cast<Prefetcher*>(h);
+  return p->kind == 0 ? wav_frames(p->reader) : raw_frames(p->reader);
 }
 
 // Pop the next block into `out` (capacity block_frames*channels floats,
@@ -435,7 +589,10 @@ void prefetch_stop(void* h) {
   p->stop.store(true, std::memory_order_release);
   if (p->worker.joinable()) p->worker.join();
   ring_destroy(p->ring);
-  wav_close(p->reader);
+  if (p->kind == 0)
+    wav_close(p->reader);
+  else
+    raw_close(p->reader);
   delete p;
 }
 

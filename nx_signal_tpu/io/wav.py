@@ -77,9 +77,24 @@ def _load():
             fn.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
                            ctypes.c_uint64]
         lib.ring_destroy.argtypes = [ctypes.c_void_p]
+        lib.raw_open.restype = ctypes.c_void_p
+        lib.raw_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        lib.raw_channels.argtypes = [ctypes.c_void_p]
+        lib.raw_frames.restype = ctypes.c_int64
+        lib.raw_frames.argtypes = [ctypes.c_void_p]
+        lib.raw_read.restype = ctypes.c_int64
+        lib.raw_read.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                                 ctypes.c_int64]
+        lib.raw_seek.restype = ctypes.c_int64
+        lib.raw_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.raw_close.argtypes = [ctypes.c_void_p]
         lib.prefetch_start.restype = ctypes.c_void_p
         lib.prefetch_start.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                        ctypes.c_int64]
+        lib.prefetch_start_raw.restype = ctypes.c_void_p
+        lib.prefetch_start_raw.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int64]
         lib.prefetch_channels.argtypes = [ctypes.c_void_p]
         lib.prefetch_sample_rate.argtypes = [ctypes.c_void_p]
         lib.prefetch_total_frames.restype = ctypes.c_int64

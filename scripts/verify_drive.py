@@ -415,3 +415,26 @@ for _st18 in ("matmul", "factored", "auto"):
 _got18b = np.asarray(_pfb18(_x18[0], 1024, taps_per_channel=8))  # 'factored'
 assert _got18b.shape == ((60000 - 8192) // 1024 + 1, 1024)
 print("18. PFB MXU strategies (matmul/factored/auto, 64 + 1024 bands) OK")
+
+# 19. round-4 raw/IQ stream IO (the SDR ingest path): native decode of
+# all capture dtypes + prefetching iterator + IQ assembly
+from nx_signal_tpu.io.raw import (PrefetchingRawReader as _PR19,
+                                  read_iq as _riq19, read_raw as _rr19,
+                                  write_iq as _wiq19, write_raw as _wr19)
+_d19 = tempfile.mkdtemp()
+_x19 = np.random.default_rng(19).uniform(-0.9, 0.9, (2, 5000)).astype(np.float32)
+for _dt19, _at19 in (("f32", 1e-7), ("i16", 1e-4), ("u8", 1e-2)):
+    _p19 = _os.path.join(_d19, f"cap.{_dt19}")
+    _wr19(_p19, _x19, dtype=_dt19)
+    np.testing.assert_allclose(_rr19(_p19, dtype=_dt19, channels=2), _x19,
+                               atol=_at19)
+_z19 = (_x19[0] + 1j * _x19[1]).astype(np.complex64)
+_pz19 = _os.path.join(_d19, "cap.iq")
+_wiq19(_pz19, _z19, dtype="i16")
+np.testing.assert_allclose(_riq19(_pz19, dtype="i16"), _z19, atol=1e-4)
+_pp19 = _os.path.join(_d19, "pf.i16")
+_wr19(_pp19, _x19, dtype="i16")
+with _PR19(_pp19, dtype="i16", channels=2, block_frames=1024) as _pf19:
+    _blocks19 = [b for b in _pf19]
+np.testing.assert_allclose(np.concatenate(_blocks19, axis=1), _x19, atol=1e-4)
+print("19. raw/IQ stream IO (native, all dtypes, prefetch) OK")

@@ -239,3 +239,73 @@ class TestPrefetchingWavReader:
         write_wav(p, np.zeros((1, 10), np.float32), 8000)
         with pytest.raises(ValueError):
             PrefetchingWavReader(p, 0)
+
+
+class TestRawStream:
+    """Headerless raw/IQ stream IO (io/raw.py) — the SDR ingest path
+    (BASELINE config 5's wideband capture format)."""
+
+    @pytest.mark.parametrize("dtype,atol", [
+        ("f32", 0.0), ("i16", 1 / 32768), ("i8", 1 / 128),
+        ("u8", 1 / 128), ("i32", 1e-7),
+    ])
+    def test_roundtrip_all_dtypes(self, dtype, atol, tmp_path):
+        from nx_signal_tpu.io.raw import read_raw, write_raw
+
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-0.99, 0.99, size=(3, 777)).astype(np.float32)
+        p = str(tmp_path / f"cap.{dtype}")
+        write_raw(p, x, dtype=dtype)
+        y = read_raw(p, dtype=dtype, channels=3)
+        assert y.shape == x.shape and y.dtype == np.float32
+        np.testing.assert_allclose(y, x, atol=atol + 1e-7)
+
+    def test_chunked_reads_and_seek(self, tmp_path):
+        from nx_signal_tpu.io.raw import RawStreamReader, write_raw
+
+        x = np.linspace(-0.9, 0.9, 2000, dtype=np.float32)[None]
+        p = str(tmp_path / "cap.i16")
+        write_raw(p, x, dtype="i16")
+        with RawStreamReader(p, dtype="i16", channels=1) as r:
+            assert (r.channels, r.num_frames) == (1, 2000)
+            b1 = r.read(500)
+            r.seek(1500)
+            b2 = r.read(1000)   # truncated at EOF
+        assert b1.shape == (1, 500) and b2.shape == (1, 500)
+        np.testing.assert_allclose(b2, x[:, 1500:], atol=1e-4)
+
+    def test_iq_roundtrip(self, tmp_path):
+        from nx_signal_tpu.io.raw import read_iq, write_iq
+
+        rng = np.random.default_rng(1)
+        z = (rng.normal(size=100)
+             + 1j * rng.normal(size=100)).astype(np.complex64) * 0.3
+        p = str(tmp_path / "cap.iq")
+        write_iq(p, z, dtype="i16")
+        z2 = read_iq(p, dtype="i16")
+        assert z2.dtype == np.complex64
+        np.testing.assert_allclose(z2, z, atol=1e-4)
+
+    def test_prefetching_reader_blocks(self, tmp_path):
+        from nx_signal_tpu.io.raw import PrefetchingRawReader, write_raw
+
+        rng = np.random.default_rng(2)
+        x = rng.uniform(-0.9, 0.9, size=(2, 10000)).astype(np.float32)
+        p = str(tmp_path / "cap.u8")
+        write_raw(p, x, dtype="u8")
+        with PrefetchingRawReader(p, dtype="u8", channels=2,
+                                  block_frames=3000) as pf:
+            blocks = list(pf)
+        assert [b.shape for b in blocks] == [(2, 3000)] * 3 + [(2, 1000)]
+        got = np.concatenate(blocks, axis=1)
+        np.testing.assert_allclose(got, x, atol=1 / 128 + 1e-7)
+
+    def test_validation(self, tmp_path):
+        from nx_signal_tpu.io.raw import RawStreamReader, read_raw
+
+        with pytest.raises(ValueError, match="dtype"):
+            read_raw(str(tmp_path / "x.bin"), dtype="bogus")
+        with pytest.raises(ValueError, match="channels"):
+            RawStreamReader(str(tmp_path / "x.bin"), channels=0)
+        with pytest.raises(OSError):
+            RawStreamReader(str(tmp_path / "missing.bin"))
