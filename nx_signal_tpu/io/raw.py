@@ -189,7 +189,19 @@ def read_iq(path, *, dtype: str = "i16"):
 
 
 def write_iq(path, z, *, dtype: str = "i16"):
-    """Write a 1-D complex baseband as an interleaved I/Q capture."""
+    """Write a 1-D complex baseband as an interleaved I/Q capture.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import tempfile, os
+    >>> from nx_signal_tpu.io.raw import read_raw, write_iq
+    >>> p = os.path.join(tempfile.mkdtemp(), 'cap.iq')
+    >>> write_iq(p, np.asarray([0.5 + 0.25j], np.complex64), dtype='f32')
+    >>> read_raw(p, dtype='f32', channels=2)   # interleaved I, Q
+    array([[0.5 ],
+           [0.25]], dtype=float32)
+    """
     z = np.asarray(z)
     write_raw(path, np.stack([z.real, z.imag]).astype(np.float32),
               dtype=dtype)

@@ -44,3 +44,20 @@ def test_registered_functions_have_docstrings():
         for name in functions:
             obj = getattr(mod, name)
             assert (obj.__doc__ or "").strip(), f"{module}.{name} has no docstring"
+
+
+def test_every_registered_export_has_executed_examples():
+    """VERDICT r03 item 3's acceptance bar, made permanent: every public
+    export carries a `>>>` example (the reference's doctests-as-spec
+    discipline, SURVEY §4.1). The doctest runner executes them; this
+    guards against NEW exports landing without one."""
+    import inspect
+
+    missing = []
+    for module, functions in FUNCTION_TYPES.items():
+        mod = importlib.import_module(f"nx_signal_tpu.{module}")
+        for name in functions:
+            doc = inspect.getdoc(getattr(mod, name)) or ""
+            if ">>>" not in doc:
+                missing.append(f"{module}.{name}")
+    assert not missing, f"exports without doc examples: {missing}"
