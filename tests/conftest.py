@@ -40,9 +40,9 @@ def assert_all_close(actual, expected, atol=1e-4, rtol=1e-4, err_msg=""):
 
 
 # ---------------------------------------------------------------- test tiers
-# Fast tier: `pytest -m "not slow"` (~18-20 min, ~1450 tests; timed
-# 2026-08-21 — the doctest subprocess grew to 1280+ executed lines) —
-# run before every commit.
+# Fast tier: `pytest -m "not slow"` (~24 min, 1500 tests; timed
+# 2026-08-21 end of r04 — the doctest subprocess and the parity fuzzer
+# grew it) — run before every commit.
 # Full suite: ~65 min on the 2-vCPU image (1611 tests, timed 2026-08-21).
 # Modules listed here are auto-marked slow (8-virtual-device shard_map
 # compiles dominate their runtime); individual tests can also opt in with
