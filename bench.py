@@ -118,27 +118,24 @@ def main():
     fw = jnp.asarray(
         np.random.default_rng(2).normal(size=(ext, 2 * BINS)), jnp.float32)
     gemm = jax.jit(lambda a, w: jnp.matmul(a, w, precision="high"))
-    g = gemm(fa, fw)
-    jax.block_until_ready(g)
-    float(g.ravel()[0])  # tunnel scalar-fetch barrier (ROOFLINE.md §5 r03b)
+    from nx_signal_tpu.utils.profiling import hard_sync
+
+    hard_sync(gemm(fa, fw))  # tunnel barrier (ROOFLINE.md §5 r03b / §7.2)
     gtimes = []
     for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(STEPS):   # amortize dispatch exactly like the chain
             g = gemm(fa, fw)
-        jax.block_until_ready(g)
-        float(g.ravel()[0])
+        hard_sync(g)
         gtimes.append((time.perf_counter() - t0) / STEPS)
     gemm_dt = sorted(gtimes)[len(gtimes) // 2]
     gemm_tfs = 2.0 * gemm_rows * ext * 2 * BINS / gemm_dt / 1e12
     del fa, fw, g
 
-    out = step(x)
-    jax.block_until_ready(out)  # compile + warm up
-    float(out.ravel()[0])
+    hard_sync(step(x))  # compile + warm up
 
     # median of 5 timed batches: the remote-tunnel runtime has large
-    # (~±30%) run-to-run variance; the scalar fetch guards against
+    # (~±30%) run-to-run variance; hard_sync guards against
     # block_until_ready returning early through the tunnel (seen
     # intermittently — ROOFLINE.md §7.2 note)
     times = []
@@ -146,8 +143,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(STEPS):
             out = step(x)
-        jax.block_until_ready(out)
-        float(out.ravel()[0])
+        hard_sync(out)
         times.append((time.perf_counter() - t0) / STEPS)
     dt = sorted(times)[len(times) // 2]
 

@@ -365,14 +365,32 @@ static float raw_decode_one(int dtype, const uint8_t* s) {
 
 extern "C" {
 
+// 64-bit-safe file offsets: C `long` is 32-bit on LLP64 (Windows), and
+// SDR captures routinely exceed 2 GiB.
+static int seek64(FILE* f, int64_t off, int whence) {
+#ifdef _WIN32
+  return _fseeki64(f, off, whence);
+#else
+  return fseeko(f, static_cast<off_t>(off), whence);
+#endif
+}
+
+static int64_t tell64(FILE* f) {
+#ifdef _WIN32
+  return _ftelli64(f);
+#else
+  return static_cast<int64_t>(ftello(f));
+#endif
+}
+
 void* raw_open(const char* path, int dtype, int channels) {
   const uint32_t eb = raw_elem_bytes(dtype);
   if (eb == 0 || channels < 1) return nullptr;
   FILE* f = std::fopen(path, "rb");
   if (!f) return nullptr;
-  std::fseek(f, 0, SEEK_END);
-  const long bytes = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
+  seek64(f, 0, SEEK_END);
+  const int64_t bytes = tell64(f);
+  seek64(f, 0, SEEK_SET);
   auto* r = new RawReader();
   r->file = f;
   r->dtype = dtype;
@@ -417,10 +435,9 @@ int64_t raw_read(void* h, float* out, int64_t frames) {
 int64_t raw_seek(void* h, int64_t frame) {
   auto* r = static_cast<RawReader*>(h);
   if (frame < 0 || static_cast<uint64_t>(frame) > r->frames_total) return -1;
-  const uint64_t frame_bytes =
-      static_cast<uint64_t>(r->elem_bytes) * r->channels;
-  if (std::fseek(r->file, static_cast<long>(frame * frame_bytes), SEEK_SET))
-    return -1;
+  const int64_t frame_bytes =
+      static_cast<int64_t>(r->elem_bytes) * r->channels;
+  if (seek64(r->file, frame * frame_bytes, SEEK_SET)) return -1;
   r->frames_read = static_cast<uint64_t>(frame);
   return frame;
 }

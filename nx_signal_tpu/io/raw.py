@@ -104,6 +104,8 @@ class RawStreamReader:
             if self._lib.raw_seek(self._h, frame) < 0:
                 raise ValueError(f"seek out of range: {frame}")
         else:
+            if frame < 0 or frame > self.num_frames:  # match native contract
+                raise ValueError(f"seek out of range: {frame}")
             np_dtype, _, _ = self._np_spec
             elem = np.dtype(np_dtype).itemsize
             self._file.seek(frame * elem * self.channels)
@@ -231,6 +233,12 @@ class PrefetchingRawReader:
     def __init__(self, path, *, dtype: str = "f32", channels: int = 1,
                  block_frames: int = 65536, depth_blocks: int = 4):
         code, _, _, _ = _dtype_spec(dtype)
+        if channels < 1:
+            raise ValueError(f"channels must be >= 1, got {channels}")
+        if block_frames < 1 or depth_blocks < 1:
+            raise ValueError(
+                "block_frames and depth_blocks must be >= 1, got "
+                f"{block_frames}, {depth_blocks}")
         lib = _load()
         self._fallback = None
         if lib is None:  # chunked fallback (no background thread)

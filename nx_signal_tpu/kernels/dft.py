@@ -565,9 +565,15 @@ def fir_framed_dft(x, taps, window, *, stride: int, n_fft: int,
                 x, taps, window_arr, stride=stride, n_fft=n_fft,
                 onesided=True, precision=precision)
         if kernel == "pallas_shared":
+            if not eligible:
+                raise ValueError(
+                    "kernel='pallas_shared' requires output='power', "
+                    "onesided=True, real input, concrete taps/window, "
+                    "edge='pad', frame_chunks in (1, 'auto') and "
+                    "stride % 128 == 0")
             coeffs = (recognize_cosine_window(window_arr, n_fft)
-                      if (eligible and frame_length == n_fft
-                          and n_fft % stride == 0 and n_fft % 2 == 0)
+                      if (frame_length == n_fft and n_fft % stride == 0
+                          and n_fft % 2 == 0)
                       else None)
             if coeffs is None:
                 raise ValueError(

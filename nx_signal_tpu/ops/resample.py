@@ -96,7 +96,9 @@ def _upfirdn_phase_outputs(ext, bank, up: int, down: int, *, n_offset: int,
     if n_classes % up == 0:
         stride = (n_classes // up) * down
     else:
-        stride = down   # partial tile: n_count < up => num_frames == 1
+        # partial tile (n_classes == n_count, not a multiple of up):
+        # num_frames == 1, so the stride only sizes the single frame
+        stride = down
     if isinstance(bank, jax.core.Tracer):
         w = jnp.zeros((window_length, n_classes), dtype=bank.dtype)
         for r in range(n_classes):
@@ -313,7 +315,10 @@ def pfb_analyze(x, n_channels: int, *, taps_per_channel: int = 8, window=("kaise
         raise ValueError("strategy must be 'auto', 'matmul', 'factored' or "
                          f"'einsum', got {strategy!r}")
     if strategy == "auto":
-        if complex_in:
+        if complex_in or dtype == jnp.float64:
+            # einsum preserves the promoted dtype; the MXU strategies
+            # compute in f32 (stacked-real weights) — keep f64 callers at
+            # f64 accuracy unless they opt in explicitly
             strategy = "einsum"
         elif m >= 64:
             strategy = "factored"
@@ -354,7 +359,7 @@ def pfb_analyze(x, n_channels: int, *, taps_per_channel: int = 8, window=("kaise
 def pfb_footprint_bytes(strategy: str, batch_elems: int, length: int,
                         n_channels: int, taps_per_channel: int) -> int:
     """Modeled peak HBM bytes of one `pfb_analyze` call (f32/c64 buffers,
-    the `_auto_frame_chunks`-style planning model — VERDICT r03 item 4).
+    the `_auto_frame_chunks`-style planning model). Not in the reference.
 
     Per strategy, in units of the input size S = 4 * batch * length bytes:
     'einsum'   ~ (2 + tpc + 1 + 2 + 2) S  — input + padded copy + the
@@ -379,9 +384,11 @@ def pfb_footprint_bytes(strategy: str, batch_elems: int, length: int,
     7
     """
     s = 4 * batch_elems * length
-    mult = {"einsum": 2 + taps_per_channel + 5,
-            "matmul": 6, "factored": 7}[strategy]
-    return mult * s
+    mults = {"einsum": 2 + taps_per_channel + 5, "matmul": 6, "factored": 7}
+    if strategy not in mults:
+        raise ValueError("strategy must be 'matmul', 'factored' or "
+                         f"'einsum', got {strategy!r}")
+    return mults[strategy] * s
 
 
 def _pfb_matmul(x, proto, m, window_length, precision):

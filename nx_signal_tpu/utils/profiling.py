@@ -8,7 +8,8 @@ from dataclasses import dataclass
 
 import jax
 
-__all__ = ["benchmark", "BenchResult", "device_hbm_bandwidth", "trace"]
+__all__ = ["benchmark", "BenchResult", "device_hbm_bandwidth", "hard_sync",
+           "trace"]
 
 _HBM_BYTES_PER_S = {
     "v5 lite": 819e9, "v5e": 819e9, "v5litepod": 819e9,
@@ -18,7 +19,8 @@ _HBM_BYTES_PER_S = {
 
 def device_hbm_bandwidth(device=None) -> float:
     """Per-chip HBM bandwidth in bytes/s for the given (default: first)
-    device; defaults to v5e's 819 GB/s when unknown.
+    device; defaults to v5e's 819 GB/s when unknown. Not in the
+    reference (it has no profiling subsystem).
 
     Examples:
 
@@ -61,17 +63,31 @@ class BenchResult:
         return ", ".join(parts)
 
 
-def _sync(out):
+def hard_sync(out):
     """Hard completion barrier: block_until_ready PLUS a scalar fetch —
     block_until_ready alone has been observed returning early through
     remote-attached backends (ROOFLINE.md §7.2; an unbarriered step once
     read 0.06 ms for a 33.5 Msample PFB). The scalar round-trip cannot
-    complete before the producing computation has."""
-    jax.block_until_ready(out)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    import jax.numpy as jnp
+    complete before the producing computation has. The SINGLE place the
+    barrier lives — every bench path (bench.py, configs_bench, pod_bench)
+    uses it. Not in the reference.
 
-    float(jnp.real(leaf.ravel()[0]))
+    Examples:
+
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.utils.profiling import hard_sync
+    >>> hard_sync(jnp.ones(4) * 2.0)   # returns once the result exists
+    """
+    jax.block_until_ready(out)
+    for leaf in jax.tree_util.tree_leaves(out):
+        if getattr(leaf, "size", 0):
+            import jax.numpy as jnp
+
+            float(jnp.real(leaf.ravel()[0]))
+            return
+
+
+_sync = hard_sync
 
 
 def benchmark(fn, *args, iters: int = 10, samples_per_call: int = 0,
@@ -79,7 +95,8 @@ def benchmark(fn, *args, iters: int = 10, samples_per_call: int = 0,
     """Time a jitted callable (compiles + warms up first, then `iters`
     timed calls with a single hard device sync — see `_sync`). When
     `samples_per_call` and `min_bytes_per_sample` are given, also reports
-    throughput as a fraction of the HBM speed-of-light bound.
+    throughput as a fraction of the HBM speed-of-light bound. Not in the
+    reference.
 
     Examples:
 
@@ -108,7 +125,7 @@ def benchmark(fn, *args, iters: int = 10, samples_per_call: int = 0,
 
 def trace(path: str):
     """Context manager writing a jax.profiler trace (view with XProf /
-    Perfetto): `with trace('/tmp/trace'): step(x)`.
+    Perfetto): `with trace('/tmp/trace'): step(x)`. Not in the reference.
 
     Examples:
 

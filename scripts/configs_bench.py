@@ -25,22 +25,15 @@ import numpy as np
 
 
 def timed(fn, *args, reps=5, steps=2):
-    def barrier(out):
-        # scalar fetch: block_until_ready can return early through the
-        # tunnel (intermittent — ROOFLINE.md §7.2 note)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(jnp.real(leaf.ravel()[0]))
+    from nx_signal_tpu.utils.profiling import hard_sync
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    barrier(out)
+    hard_sync(fn(*args))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
             out = fn(*args)
-        jax.block_until_ready(out)
-        barrier(out)
+        hard_sync(out)
         times.append((time.perf_counter() - t0) / steps)
     return sorted(times)[len(times) // 2]
 

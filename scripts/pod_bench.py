@@ -144,12 +144,12 @@ def main():
     from nx_signal_tpu.utils.metrics import ThroughputMeter, log_event
 
     total_samples = channels * length
+    from nx_signal_tpu.utils.profiling import hard_sync
+
     step_j = jax.jit(step)
-    out = step_j(x)
-    jax.block_until_ready(out)  # compile + warm up
-    # scalar fetch: block_until_ready can return early through the axon
+    # hard_sync: block_until_ready can return early through the axon
     # tunnel (intermittent — ROOFLINE.md §7.2 note); harmless on real pods
-    float(jnp.real(jax.tree_util.tree_leaves(out)[0].ravel()[0]))
+    hard_sync(step_j(x))  # compile + warm up
 
     meter = ThroughputMeter(n_devices=n_dev)
     times = []
@@ -157,8 +157,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(args.steps):
             out = step_j(x)
-        jax.block_until_ready(out)
-        float(jnp.real(jax.tree_util.tree_leaves(out)[0].ravel()[0]))
+        hard_sync(out)
         rep_dt = (time.perf_counter() - t0) / args.steps
         times.append(rep_dt)
         meter.update(total_samples * args.steps, rep_dt * args.steps)
