@@ -93,7 +93,7 @@ _sync = hard_sync
 def benchmark(fn, *args, iters: int = 10, samples_per_call: int = 0,
               min_bytes_per_sample: float = 0.0) -> BenchResult:
     """Time a jitted callable (compiles + warms up first, then `iters`
-    timed calls with a single hard device sync — see `_sync`). When
+    timed calls with a single hard device sync — see `hard_sync`). When
     `samples_per_call` and `min_bytes_per_sample` are given, also reports
     throughput as a fraction of the HBM speed-of-light bound. Not in the
     reference.
