@@ -418,18 +418,29 @@ int64_t raw_read(void* h, float* out, int64_t frames) {
   if (want == 0) return 0;
   const uint64_t frame_bytes =
       static_cast<uint64_t>(r->elem_bytes) * r->channels;
-  auto* raw = static_cast<uint8_t*>(std::malloc(want * frame_bytes));
+  // Decode through a bounded scratch buffer (read_raw() requests whole
+  // files; a request-sized transient would double peak RSS on multi-GB
+  // SDR captures).
+  const uint64_t kChunkFrames = 1 << 20;
+  const uint64_t chunk = std::min<uint64_t>(want, kChunkFrames);
+  auto* raw = static_cast<uint8_t*>(std::malloc(chunk * frame_bytes));
   if (!raw) return -1;
-  const uint64_t got = std::fread(raw, frame_bytes, want, r->file);
-  for (uint64_t f = 0; f < got; ++f) {
-    const uint8_t* p = raw + f * frame_bytes;
-    for (uint32_t c = 0; c < r->channels; ++c)
-      out[static_cast<uint64_t>(c) * frames + f] =
-          raw_decode_one(r->dtype, p + c * r->elem_bytes);
+  uint64_t done = 0;
+  while (done < want) {
+    const uint64_t ask = std::min<uint64_t>(chunk, want - done);
+    const uint64_t got = std::fread(raw, frame_bytes, ask, r->file);
+    for (uint64_t f = 0; f < got; ++f) {
+      const uint8_t* p = raw + f * frame_bytes;
+      for (uint32_t c = 0; c < r->channels; ++c)
+        out[static_cast<uint64_t>(c) * frames + done + f] =
+            raw_decode_one(r->dtype, p + c * r->elem_bytes);
+    }
+    done += got;
+    if (got < ask) break;  // EOF / short read
   }
   std::free(raw);
-  r->frames_read += got;
-  return static_cast<int64_t>(got);
+  r->frames_read += done;
+  return static_cast<int64_t>(done);
 }
 
 int64_t raw_seek(void* h, int64_t frame) {

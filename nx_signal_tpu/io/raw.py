@@ -66,6 +66,7 @@ class RawStreamReader:
         code, np_dtype, scale, offset = _dtype_spec(dtype)
         if channels < 1:
             raise ValueError(f"channels must be >= 1, got {channels}")
+        self._closed = False
         self._lib = _load()
         self._path = os.fspath(path)
         self.dtype = dtype
@@ -84,6 +85,8 @@ class RawStreamReader:
 
     def read(self, frames: int) -> np.ndarray:
         """Read up to `frames` frames; (channels, n) float32, n==0 at EOF."""
+        if self._closed:
+            raise ValueError("I/O operation on closed reader")
         if self._h is not None:
             out = np.empty((self.channels, frames), dtype=np.float32)
             got = self._lib.raw_read(
@@ -100,6 +103,8 @@ class RawStreamReader:
         return ((planar.astype(np.float32) - offset) / scale).copy()
 
     def seek(self, frame: int):
+        if self._closed:
+            raise ValueError("I/O operation on closed reader")
         if self._h is not None:
             if self._lib.raw_seek(self._h, frame) < 0:
                 raise ValueError(f"seek out of range: {frame}")
@@ -111,6 +116,7 @@ class RawStreamReader:
             self._file.seek(frame * elem * self.channels)
 
     def close(self):
+        self._closed = True
         if self._h is not None:
             self._lib.raw_close(self._h)
             self._h = None

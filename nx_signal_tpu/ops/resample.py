@@ -274,6 +274,12 @@ def pfb_analyze(x, n_channels: int, *, taps_per_channel: int = 8, window=("kaise
       K = m*taps_per_channel keeps the contraction MXU-sized), 'einsum'
       for complex input.
 
+    Dtype note: the MXU strategies ('matmul', 'factored') compute in
+    float32 (stacked-real weight layout). 'auto' therefore routes float64
+    input to 'einsum', which preserves the promoted dtype; requesting an
+    MXU strategy explicitly on float64 input downcasts to f32 and emits a
+    UserWarning.
+
     Silicon (v5e, one process, scripts/pfb_bench_r4.py, ROOFLINE.md
     §7.2): 64-band BASELINE config einsum 82-84 ms -> factored 38.8
     (2.1x, matmul 40.5-42.4); 1024-band einsum 45.6 -> factored
@@ -328,6 +334,14 @@ def pfb_analyze(x, n_channels: int, *, taps_per_channel: int = 8, window=("kaise
         raise ValueError(
             f"strategy={strategy!r} requires real input (the stacked-real "
             "MXU weight layout); use 'einsum' for complex signals")
+    if strategy in ("matmul", "factored") and dtype == jnp.float64:
+        import warnings
+
+        warnings.warn(
+            f"pfb_analyze strategy={strategy!r} computes in float32 "
+            "(MXU stacked-real weights); float64 input is downcast. Use "
+            "strategy='einsum' (or 'auto') to keep f64 accuracy.",
+            UserWarning, stacklevel=2)
 
     window_length = m * taps_per_channel
     if x.shape[-1] < window_length:

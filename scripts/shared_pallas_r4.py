@@ -25,6 +25,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
+from nx_signal_tpu.utils.profiling import hard_sync
 import numpy as np
 
 RATE, FRAME, HOP, NFFT, NUM_TAPS, SECONDS = 48000, 512, 128, 512, 255, 10
@@ -32,13 +33,13 @@ RATE, FRAME, HOP, NFFT, NUM_TAPS, SECONDS = 48000, 512, 128, 512, 255, 10
 
 def timed(fn, x, reps=5, steps=2):
     out = fn(x)
-    jax.block_until_ready(out)
+    hard_sync(out)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
             out = fn(x)
-        jax.block_until_ready(out)
+        hard_sync(out)
         times.append((time.perf_counter() - t0) / steps)
     return sorted(times)[len(times) // 2]
 
@@ -72,7 +73,7 @@ def main():
             x, taps, window, stride=HOP, n_fft=NFFT, onesided=True,
             output="power", precision="high", kernel="xla"))
         ref_out = ref(x)
-        jax.block_until_ready(ref_out)
+        hard_sync(ref_out)
         report("conv", ch, n, timed(ref, x))
 
         for dma in ("pipeline", "window"):
@@ -80,7 +81,7 @@ def main():
                 x, taps, stride=HOP, n_fft=NFFT, window_coeffs=coeffs,
                 precision="high", dma=dma))
             out = fn(x)
-            jax.block_until_ready(out)
+            hard_sync(out)
             err = float(jnp.max(jnp.abs(out - ref_out))
                         / jnp.max(jnp.abs(ref_out)))
             report(f"shared_{dma}", ch, n, timed(fn, x), err)

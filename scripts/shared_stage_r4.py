@@ -26,6 +26,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
+from nx_signal_tpu.utils.profiling import hard_sync
 import numpy as np
 
 RATE, FRAME, HOP, NFFT, NUM_TAPS, SECONDS = 48000, 512, 128, 512, 255, 10
@@ -33,13 +34,13 @@ RATE, FRAME, HOP, NFFT, NUM_TAPS, SECONDS = 48000, 512, 128, 512, 255, 10
 
 def timed(fn, x, reps=5, steps=2):
     out = fn(x)
-    jax.block_until_ready(out)
+    hard_sync(out)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
             out = fn(x)
-        jax.block_until_ready(out)
+        hard_sync(out)
         times.append((time.perf_counter() - t0) / steps)
     return sorted(times)[len(times) // 2]
 
@@ -64,7 +65,7 @@ def main():
             x, taps, window, stride=HOP, n_fft=NFFT, onesided=True,
             output="power", precision="high", kernel="xla"))
         ref_out = ref(x)
-        jax.block_until_ready(ref_out)
+        hard_sync(ref_out)
         print(json.dumps({"config": "conv", "ch": ch,
                           "ms": round(timed(ref, x) * 1e3, 2)}), flush=True)
 
@@ -77,7 +78,7 @@ def main():
                              window_coeffs=coeffs, precision="high",
                              dma="window", combine=c, stages=s))
             out = fn(x)
-            jax.block_until_ready(out)
+            hard_sync(out)
             rec = {"config": f"shared_{combine}_{stages}", "ch": ch,
                    "ms": round(timed(fn, x) * 1e3, 2)}
             if stages == "full":

@@ -16,6 +16,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
+from nx_signal_tpu.utils.profiling import hard_sync
 import numpy as np
 
 RATE, FRAME, HOP, NFFT, NUM_TAPS, SECONDS, CH = 48000, 512, 128, 512, 255, 10, 512
@@ -23,13 +24,13 @@ RATE, FRAME, HOP, NFFT, NUM_TAPS, SECONDS, CH = 48000, 512, 128, 512, 255, 10, 5
 
 def timed(fn, x, reps=5, steps=2):
     out = fn(x)
-    jax.block_until_ready(out)
+    hard_sync(out)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
             out = fn(x)
-        jax.block_until_ready(out)
+        hard_sync(out)
         times.append((time.perf_counter() - t0) / steps)
     return sorted(times)[len(times) // 2]
 
@@ -52,7 +53,7 @@ def main():
     ref = jax.jit(lambda x: fir_framed_dft(
         x, taps, window, stride=HOP, n_fft=NFFT, onesided=True,
         output="power", precision="high", kernel="xla"))
-    jax.block_until_ready(ref(x))
+    hard_sync(ref(x))
     print(json.dumps({"config": "conv", "ms": round(timed(ref, x) * 1e3, 2)}),
           flush=True)
 
@@ -64,7 +65,7 @@ def main():
                              window_coeffs=coeffs, precision="high",
                              dma="window", combine="sliding", stages=s,
                              tile_m=t))
-            jax.block_until_ready(fn(x))
+            hard_sync(fn(x))
             print(json.dumps({"config": f"shared_tm{tm}_{stages}",
                               "ms": round(timed(fn, x) * 1e3, 2)}),
                   flush=True)

@@ -243,13 +243,23 @@ class TestPrefetchingWavReader:
 
 class TestRawStream:
     """Headerless raw/IQ stream IO (io/raw.py) — the SDR ingest path
-    (BASELINE config 5's wideband capture format)."""
+    (BASELINE config 5's wideband capture format). The `raw_mode`
+    fixture runs the chunked/seek/closed tests on BOTH the native C++
+    path and the numpy fallback (same edge semantics required)."""
+
+    @pytest.fixture(params=["native", "fallback"])
+    def raw_mode(self, request, monkeypatch):
+        if request.param == "fallback":
+            import nx_signal_tpu.io.raw as raw_mod
+
+            monkeypatch.setattr(raw_mod, "_load", lambda: None)
+        return request.param
 
     @pytest.mark.parametrize("dtype,atol", [
         ("f32", 0.0), ("i16", 1 / 32768), ("i8", 1 / 128),
         ("u8", 1 / 128), ("i32", 1e-7),
     ])
-    def test_roundtrip_all_dtypes(self, dtype, atol, tmp_path):
+    def test_roundtrip_all_dtypes(self, dtype, atol, tmp_path, raw_mode):
         from nx_signal_tpu.io.raw import read_raw, write_raw
 
         rng = np.random.default_rng(0)
@@ -260,7 +270,7 @@ class TestRawStream:
         assert y.shape == x.shape and y.dtype == np.float32
         np.testing.assert_allclose(y, x, atol=atol + 1e-7)
 
-    def test_chunked_reads_and_seek(self, tmp_path):
+    def test_chunked_reads_and_seek(self, tmp_path, raw_mode):
         from nx_signal_tpu.io.raw import RawStreamReader, write_raw
 
         x = np.linspace(-0.9, 0.9, 2000, dtype=np.float32)[None]
@@ -271,8 +281,27 @@ class TestRawStream:
             b1 = r.read(500)
             r.seek(1500)
             b2 = r.read(1000)   # truncated at EOF
+            r.seek(r.num_frames)          # seek TO EOF is legal…
+            assert r.read(10).shape == (1, 0)
+            with pytest.raises(ValueError, match="seek"):
+                r.seek(r.num_frames + 1)  # …one past is not, both paths
+            with pytest.raises(ValueError, match="seek"):
+                r.seek(-1)
         assert b1.shape == (1, 500) and b2.shape == (1, 500)
         np.testing.assert_allclose(b2, x[:, 1500:], atol=1e-4)
+
+    def test_closed_reader_raises(self, tmp_path, raw_mode):
+        from nx_signal_tpu.io.raw import RawStreamReader, write_raw
+
+        p = str(tmp_path / "cap.f32")
+        write_raw(p, np.zeros((1, 16), np.float32), dtype="f32")
+        r = RawStreamReader(p, dtype="f32", channels=1)
+        r.close()
+        with pytest.raises(ValueError, match="closed"):
+            r.read(4)
+        with pytest.raises(ValueError, match="closed"):
+            r.seek(0)
+        r.close()   # idempotent
 
     def test_iq_roundtrip(self, tmp_path):
         from nx_signal_tpu.io.raw import read_iq, write_iq
@@ -286,7 +315,7 @@ class TestRawStream:
         assert z2.dtype == np.complex64
         np.testing.assert_allclose(z2, z, atol=1e-4)
 
-    def test_prefetching_reader_blocks(self, tmp_path):
+    def test_prefetching_reader_blocks(self, tmp_path, raw_mode):
         from nx_signal_tpu.io.raw import PrefetchingRawReader, write_raw
 
         rng = np.random.default_rng(2)
