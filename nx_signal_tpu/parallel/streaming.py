@@ -19,7 +19,8 @@ from nx_signal_tpu.ops.convolution import fir_convolve_1d, _float_cast
 from nx_signal_tpu.spectral.framing import _ola_fold, as_windowed
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
-__all__ = ["StreamingFIR", "StreamingSTFT", "StreamingISTFT", "StreamingIIR"]
+__all__ = ["StreamingFIR", "StreamingSTFT", "StreamingISTFT", "StreamingIIR",
+           "StreamingPFB", "StreamingResamplePoly"]
 
 
 @dataclass(frozen=True)
@@ -181,6 +182,192 @@ class StreamingISTFT:
         reps = -(-m * self.hop // self.hop)
         env_full = jnp.tile(env, reps)[: m * self.hop]
         return acc[..., m * self.hop :], emitted / env_full
+
+
+@dataclass(frozen=True)
+class StreamingPFB:
+    """Streaming critically-sampled polyphase channelizer — `pfb_analyze`
+    on an unbounded stream (the BASELINE config-5 front end consuming a
+    live capture). The carry is the last (taps_per_channel-1)*n_channels
+    input samples, zero-initialized, so the stream behaves like the batch
+    signal PREPENDED with that many zeros: concatenating per-chunk outputs
+    equals `pfb_analyze(concat([zeros((tpc-1)*m), stream]))`, and dropping
+    the first `lead_frames` (= taps_per_channel-1) output frames gives
+    `pfb_analyze(stream)` exactly (bit-for-bit on TPU, where the MXU
+    reduction order is fixed; to f32 GEMM accuracy on CPU). Chunk lengths
+    must be multiples of n_channels and static per jit-compilation; the
+    state is a plain array pytree, serializable with `io/checkpoint.py`
+    for resume of long streaming jobs. Not in the reference (it has no
+    streaming layer — SURVEY.md §5 checkpoint row).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.resample import pfb_analyze
+    >>> from nx_signal_tpu.parallel.streaming import StreamingPFB
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=512),
+    ...                 jnp.float32)
+    >>> pfb = StreamingPFB(8, taps_per_channel=4)
+    >>> state = pfb.init_state()
+    >>> state, z1 = pfb.process(state, x[:256])
+    >>> state, z2 = pfb.process(state, x[256:])
+    >>> z = jnp.concatenate([z1, z2], axis=-2)[pfb.lead_frames:]
+    >>> ref = pfb_analyze(x, 8, taps_per_channel=4)
+    >>> z.shape, bool(jnp.abs(z - ref).max() < 1e-5)
+    ((61, 8), True)
+    """
+
+    n_channels: int
+    taps_per_channel: int = 8
+    window: tuple = ("kaiser", 5.0)
+    taps: object = None
+    shift: bool = False
+    strategy: str = "auto"
+    precision: str = "highest"
+
+    @property
+    def lead_frames(self) -> int:
+        """Zero-lead-in output frames to drop for batch alignment."""
+        return self.taps_per_channel - 1
+
+    def init_state(self, batch_shape=(), dtype=DEFAULT_FLOAT):
+        carry = (self.taps_per_channel - 1) * self.n_channels
+        return jnp.zeros((*batch_shape, carry), dtype=dtype)
+
+    def process(self, state, chunk):
+        from nx_signal_tpu.ops.resample import pfb_analyze
+
+        m = self.n_channels
+        chunk = _float_cast(jnp.asarray(chunk))
+        if chunk.shape[-1] % m != 0 or chunk.shape[-1] < m:
+            raise ValueError(
+                f"chunk length ({chunk.shape[-1]}) must be a non-zero "
+                f"multiple of n_channels ({m}) so frame counts stay static"
+            )
+        ext = jnp.concatenate([state.astype(chunk.dtype), chunk], axis=-1)
+        out = pfb_analyze(
+            ext, m, taps_per_channel=self.taps_per_channel,
+            window=self.window, taps=self.taps, shift=self.shift,
+            strategy=self.strategy, precision=self.precision)
+        carry = (self.taps_per_channel - 1) * m
+        new_state = ext[..., -carry:] if carry else state
+        return new_state, out
+
+
+@dataclass(frozen=True)
+class StreamingResamplePoly:
+    """Streaming rational-rate polyphase resampler — `resample_poly`
+    (scipy semantics, gcd-reduced up/down, group-delay-aligned output
+    grid) on an unbounded stream. Per chunk of C input samples (C a
+    multiple of the reduced `down`) it emits exactly C*up/down output
+    samples; the carry holds the last `taps-1 + Z` input samples, where
+    the Z-sample zero lead (a multiple of `down`, covering the centered
+    filter's group-delay lookahead) makes every chunk's outputs depend
+    only on already-received input. Alignment: concatenating the per-call
+    outputs and dropping the first `lead_out` (= Z*up/down) samples gives
+    `resample_poly(stream)` sample-for-sample (bitwise on TPU; f32 GEMM
+    accuracy on CPU); to drain the filter tail at end-of-stream, feed
+    zero chunks until `lead_out + ceil(n_in*up/down)` total outputs have
+    been collected. State is a plain array pytree (checkpoint/resume).
+    Not in the reference (no streaming layer — SURVEY.md §5).
+
+    Mirrors ops/resample.py:upfirdn's polyphase evaluation: the per-call
+    phase pattern ((n_offset + l)*down) % up is chunk-invariant because
+    C*up = (C*up/down)*down ≡ 0 (mod up) — the same SPMD-uniformity
+    argument as parallel/sharded.py:sharded_upfirdn, with the chunk index
+    in place of the device index.
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.ops.resample import resample_poly
+    >>> from nx_signal_tpu.parallel.streaming import StreamingResamplePoly
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=600),
+    ...                 jnp.float32)
+    >>> sr = StreamingResamplePoly(2, 3)
+    >>> state = sr.init_state()
+    >>> outs = []
+    >>> for k in range(4):   # 2 data chunks + 2 zero flush chunks
+    ...     chunk = x[300 * k:300 * (k + 1)] if k < 2 else jnp.zeros(300)
+    ...     state, y = sr.process(state, chunk)
+    ...     outs.append(y)
+    >>> y = jnp.concatenate(outs)[sr.lead_out:]
+    >>> ref = resample_poly(x, 2, 3)
+    >>> bool(jnp.abs(y[:ref.shape[0]] - ref).max() < 1e-5)
+    True
+    """
+
+    up: int
+    down: int
+    window: tuple = ("kaiser", 5.0)
+    taps: object = None
+
+    def __post_init__(self):
+        from nx_signal_tpu.ops.resample import (_phase_bank,
+                                                _resample_poly_design)
+
+        if self.up < 1 or self.down < 1:
+            raise ValueError(
+                f"up and down must be >= 1, got: up={self.up}, "
+                f"down={self.down}")
+        if int(self.up) == int(self.down):
+            object.__setattr__(self, "_identity", True)
+            object.__setattr__(self, "_z", 0)
+            object.__setattr__(self, "_n_z", 0)
+            return
+        up, down, h, npr = _resample_poly_design(
+            self.up, self.down, self.window, self.taps)
+        bank, t_taps = _phase_bank(h, up)
+        # Zero lead Z: a multiple of `down` covering the group-delay
+        # lookahead (the last output of a chunk reads up to
+        # ~npr*down/up samples past the chunk end) with a one-period
+        # safety margin for the floor jitter.
+        z0 = (npr * down) // up + down + up
+        z = -(-z0 // down) * down
+        object.__setattr__(self, "_identity", False)
+        object.__setattr__(self, "_up", up)
+        object.__setattr__(self, "_down", down)
+        object.__setattr__(self, "_bank", bank)
+        object.__setattr__(self, "_t_taps", t_taps)
+        object.__setattr__(self, "_npr", npr)
+        object.__setattr__(self, "_z", z)
+        object.__setattr__(self, "_n_z", z * up // down)
+
+    @property
+    def lead_out(self) -> int:
+        """Warm-up output samples to drop for batch alignment."""
+        return self._n_z
+
+    def init_state(self, batch_shape=(), dtype=DEFAULT_FLOAT):
+        carry = 0 if self._identity else self._t_taps - 1 + self._z
+        return jnp.zeros((*batch_shape, carry), dtype=dtype)
+
+    def process(self, state, chunk):
+        from nx_signal_tpu.ops.resample import (_upfirdn_dtype,
+                                                _upfirdn_phase_outputs)
+
+        chunk = _float_cast(jnp.asarray(chunk))
+        if self._identity:
+            return state, chunk
+        up, down = self._up, self._down
+        if chunk.shape[-1] % down != 0 or chunk.shape[-1] < down:
+            raise ValueError(
+                f"chunk length ({chunk.shape[-1]}) must be a non-zero "
+                f"multiple of the reduced down factor ({down}) so output "
+                "counts stay static"
+            )
+        n_c = chunk.shape[-1] * up // down
+        bank = jnp.asarray(self._bank)
+        dtype = _upfirdn_dtype(bank, chunk)
+        ext = jnp.concatenate(
+            [state.astype(dtype), chunk.astype(dtype)], axis=-1)
+        out = _upfirdn_phase_outputs(
+            ext, bank.astype(dtype), up, down, n_offset=self._npr,
+            n_count=n_c)
+        new_state = ext[..., -(self._t_taps - 1 + self._z):]
+        return new_state, out
 
 
 @dataclass(frozen=True)

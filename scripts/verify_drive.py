@@ -438,3 +438,33 @@ with _PR19(_pp19, dtype="i16", channels=2, block_frames=1024) as _pf19:
     _blocks19 = [b for b in _pf19]
 np.testing.assert_allclose(np.concatenate(_blocks19, axis=1), _x19, atol=1e-4)
 print("19. raw/IQ stream IO (native, all dtypes, prefetch) OK")
+
+# 20. round-5 streaming channelizer + resampler: chunked == offline after
+# the documented lead, zero-chunk flush drains the resampler tail
+from nx_signal_tpu.ops.resample import resample_poly as _rp20
+from nx_signal_tpu.parallel.streaming import (StreamingPFB as _SPFB20,
+                                              StreamingResamplePoly as _SRP20)
+_x20 = np.random.default_rng(20).normal(size=4096).astype(np.float32)
+_pfb20 = _SPFB20(32, taps_per_channel=4)
+_st20 = _pfb20.init_state()
+_zs20 = []
+for _i20 in range(0, 4096, 1024):
+    _st20, _z20 = _pfb20.process(_st20, jnp.asarray(_x20[_i20:_i20 + 1024]))
+    _zs20.append(np.asarray(_z20))
+_got20 = np.concatenate(_zs20, axis=0)[_pfb20.lead_frames:]
+_ref20 = np.asarray(_pfb18(_x20, 32, taps_per_channel=4))
+assert _got20.shape == _ref20.shape
+np.testing.assert_allclose(_got20, _ref20, atol=2e-5)
+_sr20 = _SRP20(1, 3)
+_st20b = _sr20.init_state()
+_ys20 = []
+for _i20 in range(0, 4096 - 4096 % 300, 300):
+    _st20b, _y20 = _sr20.process(_st20b, jnp.asarray(_x20[_i20:_i20 + 300]))
+    _ys20.append(np.asarray(_y20))
+_ref20b = np.asarray(_rp20(jnp.asarray(_x20[:3900]), 1, 3))
+while sum(_o.shape[-1] for _o in _ys20) < _sr20.lead_out + _ref20b.shape[0]:
+    _st20b, _y20 = _sr20.process(_st20b, jnp.zeros(300, np.float32))
+    _ys20.append(np.asarray(_y20))
+_got20b = np.concatenate(_ys20)[_sr20.lead_out:][:_ref20b.shape[0]]
+np.testing.assert_allclose(_got20b, _ref20b, atol=2e-5)
+print("20. streaming PFB + resample_poly (chunked == offline, flush) OK")
