@@ -132,6 +132,28 @@ def main():
     gemm_tfs = 2.0 * gemm_rows * ext * 2 * BINS / gemm_dt / 1e12
     del fa, fw, g
 
+    # Two-point within-process chain ladder (round-5 bench self-control):
+    # the 256ch point runs the IDENTICAL chain at 1/3 the per-step work,
+    # so (a) ladder_768_over_256 is a window-stable internal ratio (both
+    # points share the process and therefore the window), and (b)
+    # chain256_vs_gemm compares two computations of MATCHED per-dispatch
+    # magnitude (the 256ch chain and the 256ch-equivalent GEMM probe) —
+    # the amortization mismatch that broke r04's chain_vs_gemm
+    # (ROOFLINE.md §7.4: 768ch chain vs 256ch-eq probe read 0.84 -> 1.27
+    # across windows because latency fractions differed).
+    x256 = x[:256]
+    hard_sync(step(x256))   # separate jit specialization, same code
+    times256 = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            out = step(x256)
+        hard_sync(out)
+        times256.append((time.perf_counter() - t0) / STEPS)
+    dt256 = sorted(times256)[len(times256) // 2]
+    n256 = 256 * SECONDS * RATE
+    chain256_tfs = 6152.0 * (n256 / dt256) / 1e12
+
     hard_sync(step(x))  # compile + warm up
 
     # median of 5 timed batches: the remote-tunnel runtime has large
@@ -150,8 +172,6 @@ def main():
     msamples_per_s = n / dt / 1e6
     sol, bound = chain_speed_of_light()
     sol_ms = sol / 1e6
-    # chain MXU rate vs the probe's rate on the SAME GEMM family — the
-    # window-invariant health metric
     chain_tfs = 6152.0 * (n / dt) / 1e12
     print(
         json.dumps(
@@ -161,15 +181,20 @@ def main():
                 "unit": "Msamples/s/chip",
                 "vs_baseline": round(msamples_per_s / sol_ms, 4),
                 "gemm_probe_tfs": round(gemm_tfs, 1),
-                "chain_vs_gemm": round(chain_tfs / gemm_tfs, 3),
+                "chain256_msps": round(n256 / dt256 / 1e6, 1),
+                "chain256_vs_gemm": round(chain256_tfs / gemm_tfs, 3),
+                "ladder_768_over_256": round(
+                    (n / dt) / (n256 / dt256), 3),
             }
         )
     )
     print(
         f"chain: {CHANNELS}ch x {SECONDS}s @ {RATE} Hz, {dt * 1e3:.2f} ms/step, "
         f"SoL({bound}-bound) ~ {sol_ms:.0f} Msamples/s (ROOFLINE.md); "
-        f"gemm probe {gemm_dt * 1e3:.2f} ms = {gemm_tfs:.1f} TF/s, "
-        f"chain/gemm {chain_tfs / gemm_tfs:.2f}",
+        f"gemm probe {gemm_dt * 1e3:.2f} ms = {gemm_tfs:.1f} TF/s; "
+        f"256ch {dt256 * 1e3:.2f} ms, chain256/gemm "
+        f"{chain256_tfs / gemm_tfs:.2f}, ladder768/256 "
+        f"{(n / dt) / (n256 / dt256):.2f}",
         file=sys.stderr,
     )
 

@@ -76,7 +76,8 @@ def _check_divisible(name, value, divisor):
         raise ValueError(f"{name} ({value}) must be divisible by {divisor}")
 
 
-def sharded_convolve_same(x, taps, *, mesh, method="direct"):
+def sharded_convolve_same(x, taps, *, mesh, method="direct",
+                          halo="ppermute"):
     """'same'-mode FIR application, sharded over channels and time blocks.
 
     Overlap-save style: each device fetches (K-1)-sample halos — the left
@@ -88,7 +89,13 @@ def sharded_convolve_same(x, taps, *, mesh, method="direct"):
     determinism: method='direct' (Toeplitz-matmul MXU path, fastest) is
     bitwise identical on TPU; method='conv' (lax.conv) is bitwise identical
     everywhere but ~25x slower on TPU; method='fft' matches to FFT accuracy.
-    
+
+    `halo` selects the exchange mechanism: 'ppermute' (default, XLA
+    collective) or 'pallas_dma' (kernels/pallas_halo.py — each device
+    DMAs its halo directly into the neighbour's buffer with
+    `make_async_remote_copy`; bitwise-equal to 'ppermute', currently
+    interpret-mode-verified pending pod hardware).
+
     Examples:
 
     >>> import numpy as np
@@ -126,15 +133,25 @@ def sharded_convolve_same(x, taps, *, mesh, method="direct"):
             "use fewer blocks or a shorter filter"
         )
     kernel2d = taps[None, :]
+    if halo not in ("ppermute", "pallas_dma"):
+        raise ValueError(
+            f"halo must be 'ppermute' or 'pallas_dma', got {halo!r}")
 
     def local(x_blk):
-        parts = []
-        if pad_left:
-            parts.append(_shift_from_left(x_blk[:, -pad_left:], n_block))
-        parts.append(x_blk)
-        if pad_right:
-            parts.append(_shift_from_right(x_blk[:, :pad_right], n_block))
-        ext = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+        if halo == "pallas_dma":
+            from nx_signal_tpu.kernels.pallas_halo import halo_extend_dma
+
+            ext = halo_extend_dma(x_blk, pad_left, pad_right,
+                                  axis_name=BLOCK_AXIS, n_dev=n_block)
+        else:
+            parts = []
+            if pad_left:
+                parts.append(_shift_from_left(x_blk[:, -pad_left:], n_block))
+            parts.append(x_blk)
+            if pad_right:
+                parts.append(_shift_from_right(x_blk[:, :pad_right], n_block))
+            ext = (jnp.concatenate(parts, axis=-1)
+                   if len(parts) > 1 else parts[0])
         if method == "direct":
             # origin: every device's ext starts pad_left samples before a
             # multiple of the (grid-aligned) block boundary, so the Toeplitz

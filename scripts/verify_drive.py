@@ -468,3 +468,14 @@ while sum(_o.shape[-1] for _o in _ys20) < _sr20.lead_out + _ref20b.shape[0]:
 _got20b = np.concatenate(_ys20)[_sr20.lead_out:][:_ref20b.shape[0]]
 np.testing.assert_allclose(_got20b, _ref20b, atol=2e-5)
 print("20. streaming PFB + resample_poly (chunked == offline, flush) OK")
+
+# 21. round-5 Pallas async remote-copy DMA halo: bitwise vs the ppermute
+# halo on the 8-device CPU mesh (Mosaic TPU interpret mode)
+from nx_signal_tpu.parallel.sharded import sharded_convolve_same as _scs21
+_x21 = np.random.default_rng(21).normal(size=(4, 2048)).astype(np.float32)
+_t21 = np.random.default_rng(22).normal(size=63).astype(np.float32)
+_a21 = np.asarray(_scs21(_x21, _t21, mesh=mesh, method="conv"))
+_b21 = np.asarray(_scs21(_x21, _t21, mesh=mesh, method="conv",
+                         halo="pallas_dma"))
+assert (_a21 == _b21).all(), "pallas_dma halo != ppermute halo"
+print("21. Pallas remote-DMA halo bitwise vs ppermute OK")

@@ -47,6 +47,7 @@ DOCTEST_MODULES = [
     "nx_signal_tpu.spectral.spectrogram",
     "nx_signal_tpu.kernels.dft",
     "nx_signal_tpu.kernels.pallas_dft",
+    "nx_signal_tpu.kernels.pallas_halo",
     "nx_signal_tpu.parallel.mesh",
     "nx_signal_tpu.parallel.sharded",
     "nx_signal_tpu.parallel.estimation",

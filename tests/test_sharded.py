@@ -98,6 +98,49 @@ class TestShardedFIR:
         rel_close(got, expected, tol=1e-6)
 
 
+class TestPallasDmaHalo:
+    """kernels/pallas_halo.py: the async remote-copy DMA halo exchange,
+    run through the Mosaic TPU interpret mode on the CPU mesh (the only
+    off-pod way to model the remote DMAs). Must be BITWISE equal to the
+    ppermute halo — both feed the identical local kernel."""
+
+    @pytest.mark.parametrize("mesh_shape,length,k", [
+        ((1, 8), 4096, 255), ((2, 4), 4096, 64), ((8, 1), 1000, 31),
+    ])
+    def test_bitwise_vs_ppermute_halo(self, mesh_shape, length, k, rng):
+        mesh = make_dsp_mesh(*mesh_shape)
+        x = rng.normal(size=(8, length)).astype(np.float32)
+        taps = rng.normal(size=k).astype(np.float32)
+        a = sharded_convolve_same(x, taps, mesh=mesh, method="conv")
+        b = sharded_convolve_same(x, taps, mesh=mesh, method="conv",
+                                  halo="pallas_dma")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_bitwise_vs_single_device(self, rng):
+        from nx_signal_tpu.ops.convolution import _direct_convolve
+
+        mesh = make_dsp_mesh(1, 8)
+        x = rng.normal(size=(4, 2048)).astype(np.float32)
+        taps = rng.normal(size=63).astype(np.float32)
+        got = sharded_convolve_same(x, taps, mesh=mesh, method="conv",
+                                    halo="pallas_dma")
+        expected = _direct_convolve(x, taps[None, :], "same",
+                                    use_matmul=False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+    def test_even_filter_and_validation(self, rng):
+        # even K: asymmetric halos (pad_left = K/2, pad_right = K/2 - 1)
+        mesh = make_dsp_mesh(2, 4)
+        x = rng.normal(size=(2, 1024)).astype(np.float32)
+        taps = rng.normal(size=32).astype(np.float32)
+        a = sharded_convolve_same(x, taps, mesh=mesh, method="conv")
+        b = sharded_convolve_same(x, taps, mesh=mesh, method="conv",
+                                  halo="pallas_dma")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        with pytest.raises(ValueError, match="halo must be"):
+            sharded_convolve_same(x, taps, mesh=mesh, halo="bogus")
+
+
 class TestShardedSTFT:
     @pytest.mark.parametrize("length,wl,overlap", [
         (16000, 512, 384),   # flagship: 1 s @ 16 kHz, hop 128 (auto-pad path)
