@@ -535,13 +535,14 @@ def sharded_sosfilt(sos, x, *, mesh):
     >>> from nx_signal_tpu.parallel.mesh import make_dsp_mesh
     >>> mesh = make_dsp_mesh(2, 4)   # needs 8 devices, e.g.
     >>> # XLA_FLAGS=--xla_force_host_platform_device_count=8 on CPU
-    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4096)), jnp.float32)
+    >>> x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 1024)), jnp.float32)
     >>> from nx_signal_tpu.parallel.sharded import sharded_sosfilt
     >>> from nx_signal_tpu.ops.iir_design import butter
-    >>> sos = butter(4, 0.2, output='sos')
+    >>> sos = butter(2, 0.2, output='sos')   # 1 biquad: keeps the doctest
+    >>> # compile small (tests cover deep cascades)
     >>> y = sharded_sosfilt(jnp.asarray(sos, jnp.float32), x, mesh=mesh)
     >>> y.shape   # causal IIR across block boundaries (state chain)
-    (4, 4096)
+    (4, 1024)
     """
     import numpy as np
 

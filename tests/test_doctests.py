@@ -9,8 +9,6 @@ import os
 import subprocess
 import sys
 
-import pytest
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNNER = os.path.join(REPO, "tests", "doctest_runner.py")
 
@@ -31,17 +29,10 @@ def _run(*extra):
 
 
 def test_docstring_examples():
-    # --fast skips the two compile-heavy modules (~200 s of shard_map
-    # builds); the registry meta-test still enforces that EVERY export
-    # carries an example, and test_docstring_examples_full executes the
-    # heavy ones in the slow tier
-    attempted = _run("--fast")
-    # floor tracks the measured count (~1160 fast lines, 2026-08-21) with
-    # slack for refactors — below this, whole modules went missing
-    assert attempted >= 950, f"only {attempted} doctest lines ran"
-
-
-@pytest.mark.slow
-def test_docstring_examples_full():
+    # the fast gate executes 100% of examples (round-5: the former
+    # HEAVY_MODULES skip is gone — the worst offender, sharded_sosfilt's
+    # deep-cascade example, was trimmed 43 s -> 16 s instead)
     attempted = _run()
+    # floor tracks the measured count (~1330 lines, 2026-08-21) with
+    # slack for refactors — below this, whole modules went missing
     assert attempted >= 1100, f"only {attempted} doctest lines ran"

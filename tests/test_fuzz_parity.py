@@ -3,6 +3,7 @@ the dimensions the curated cases sample sparsely (rate ratios, hop/frame
 combinations, orders, tap counts). Deterministic (fixed seeds) so
 failures reproduce; budgeted to stay fast-tier."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.signal as sps
@@ -101,3 +102,109 @@ def test_pfb_random_vs_einsum(seed):
     scale = max(1e-30, np.abs(ref).max())
     np.testing.assert_allclose(got, ref, atol=2e-6 * scale,
                                err_msg=f"m={m} tpc={tpc} n={n}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_convolution_random_modes(seed):
+    from nx_signal_tpu.ops.convolution import convolve
+
+    rng = np.random.default_rng(600 + seed)
+    n = int(rng.integers(8, 2000))
+    k = int(rng.integers(1, min(n, 200)))
+    mode = str(rng.choice(["full", "same", "valid"]))
+    method = str(rng.choice(["direct", "fft"]))
+    cplx = bool(rng.integers(0, 2))
+    x = rng.normal(size=n)
+    h = rng.normal(size=k)
+    if cplx:
+        x = x + 1j * rng.normal(size=n)
+        h = h + 1j * rng.normal(size=k)
+    got = np.asarray(convolve(x, h, mode=mode, method=method))
+    want = sps.convolve(x, h, mode=mode)
+    assert got.shape == want.shape, (n, k, mode, method, cplx)
+    scale = max(1.0, np.abs(want).max())
+    np.testing.assert_allclose(got, want, atol=1e-4 * scale,
+                               err_msg=f"n={n} k={k} {mode}/{method}")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_short_time_fft_random_geometry(seed):
+    from nx_signal_tpu.spectral.short_time_fft import ShortTimeFFT
+
+    rng = np.random.default_rng(700 + seed)
+    wl = int(rng.choice([32, 48, 64, 100, 128]))
+    hop = int(rng.integers(1, wl))
+    mfft = wl + int(rng.integers(0, wl))
+    fft_mode = str(rng.choice(["onesided", "twosided", "centered"]))
+    n = int(rng.integers(wl + 1, 2000))
+    w = rng.normal(size=wl) ** 2 + 0.1
+    x = rng.normal(size=n)
+    ours = ShortTimeFFT(w, hop=hop, fs=100.0, mfft=mfft, fft_mode=fft_mode)
+    ref = sps.ShortTimeFFT(w, hop=hop, fs=100.0, mfft=mfft,
+                           fft_mode=fft_mode)
+    za = np.asarray(ours.stft(x))
+    zb = ref.stft(x)
+    assert za.shape == zb.shape, (wl, hop, mfft, fft_mode, n)
+    scale = max(1.0, np.abs(zb).max())
+    np.testing.assert_allclose(za, zb, atol=1e-4 * scale,
+                               err_msg=f"wl={wl} hop={hop} mfft={mfft} "
+                                       f"{fft_mode} n={n}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_find_peaks_random_conditions(seed):
+    from nx_signal_tpu.ops.find_peaks import find_peaks
+
+    rng = np.random.default_rng(800 + seed)
+    n = int(rng.integers(32, 1500))
+    x = np.cumsum(rng.normal(size=n))  # random walk: plateaus unlikely,
+    # rich peak structure
+    kwargs, skwargs = {}, {}
+    if rng.integers(0, 2):
+        h = float(rng.uniform(np.min(x), np.max(x)))
+        kwargs["height"] = skwargs["height"] = h
+    if rng.integers(0, 2):
+        d = int(rng.integers(1, 50))
+        kwargs["distance"] = skwargs["distance"] = d
+    if rng.integers(0, 2):
+        p = float(rng.uniform(0.1, 3.0))
+        kwargs["prominence"] = skwargs["prominence"] = p
+    if rng.integers(0, 2):
+        wmin = float(rng.uniform(1.0, 10.0))
+        kwargs["width"] = skwargs["width"] = wmin
+    got = find_peaks(jnp.asarray(x, jnp.float64), **kwargs)
+    idx = np.asarray(got.indices)[: int(got.valid_count)]
+    want, props = sps.find_peaks(x, **skwargs)
+    np.testing.assert_array_equal(idx, want,
+                                  err_msg=f"n={n} kwargs={kwargs}")
+    if "prominence" in kwargs and len(want):
+        np.testing.assert_allclose(
+            np.asarray(got.properties["prominences"])[: len(want)],
+            props["prominences"], atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_sharded_geometry_random(seed):
+    """Random mesh shape x signal length: the sharded FIR conv path must
+    stay BITWISE equal to single-device (lax.conv per-sample dots are
+    shape-independent even on CPU)."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from nx_signal_tpu.ops.convolution import _direct_convolve
+    from nx_signal_tpu.parallel.mesh import make_dsp_mesh
+    from nx_signal_tpu.parallel.sharded import sharded_convolve_same
+
+    rng = np.random.default_rng(900 + seed)
+    c, b = [(1, 8), (2, 4), (4, 2), (8, 1)][int(rng.integers(0, 4))]
+    mesh = make_dsp_mesh(c, b)
+    length = int(rng.integers(600, 5000))
+    k = int(rng.integers(3, min(120, length // b)))
+    channels = c * int(rng.integers(1, 3))
+    x = rng.normal(size=(channels, length)).astype(np.float32)
+    taps = rng.normal(size=k).astype(np.float32)
+    got = sharded_convolve_same(x, taps, mesh=mesh, method="conv")
+    want = _direct_convolve(x, taps[None, :], "same", use_matmul=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                  err_msg=f"mesh=({c},{b}) n={length} k={k}")
