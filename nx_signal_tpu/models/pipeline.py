@@ -19,7 +19,8 @@ from nx_signal_tpu.spectral.mel import mel_filters
 from nx_signal_tpu.spectral.stft import stft
 from nx_signal_tpu.utils.dtypes import DEFAULT_FLOAT
 
-__all__ = ["SpectrogramPipeline", "LogMelFrontend", "FIRFilterChain", "stft_fir_chain", "WidebandReceiver"]
+__all__ = ["SpectrogramPipeline", "LogMelFrontend", "FIRFilterChain",
+           "stft_fir_chain", "WidebandReceiver", "channelize_power_stream"]
 
 
 @dataclass(frozen=True)
@@ -195,3 +196,106 @@ class WidebandReceiver:
             overlap_length=self.frame_length - self.hop,
         )
         return jnp.abs(z) ** 2
+
+
+def channelize_power_stream(blocks, n_channels: int, *,
+                            taps_per_channel: int = 8,
+                            window=("kaiser", 5.0), taps=None,
+                            strategy: str = "auto", precision="highest",
+                            drop_tail: bool = False):
+    """Consume an iterator of (channels, block_frames) float32 blocks —
+    e.g. `io.raw.PrefetchingRawReader` decoding a live SDR capture — 
+    through a `StreamingPFB` channelizer, accumulating per-band power ON
+    DEVICE (the complex spectra are never transferred back). This is the
+    BASELINE config-5 pipeline composed end-to-end: native ingest ->
+    streaming channelizer -> band power. Returns
+    (power (channels, n_channels) float32, frames_accumulated int).
+
+    Blocks are staged through a host FIFO and processed in FIXED-length
+    chunks (the first block's length rounded down to a multiple of
+    n_channels), so the jitted step compiles exactly once regardless of
+    ragged final blocks; a shorter multiple-of-m tail costs one extra
+    compile unless `drop_tail=True` (a bench-mode concession for
+    remote-compile backends where each new shape is expensive). The
+    accumulated power equals `pfb_analyze` of the zero-prepended stream
+    summed over frames — the `StreamingPFB.lead_frames` warm-up frames
+    are included (their windows taper into the zero lead, the standard
+    streaming-channelizer transient). Not in the reference (no IO or
+    streaming layer — SURVEY.md §2/§5).
+
+    Examples:
+
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.models.pipeline import channelize_power_stream
+    >>> from nx_signal_tpu.ops.resample import pfb_analyze
+    >>> x = np.random.default_rng(0).normal(size=(1, 4096)).astype(np.float32)
+    >>> blocks = [x[:, :1536], x[:, 1536:3072], x[:, 3072:]]  # ragged tail
+    >>> power, frames = channelize_power_stream(blocks, 16,
+    ...                                         taps_per_channel=4)
+    >>> ref = pfb_analyze(jnp.asarray(np.pad(x, [(0, 0), (48, 0)])), 16,
+    ...                   taps_per_channel=4)
+    >>> ref_p = jnp.sum(ref.real**2 + ref.imag**2, axis=-2)
+    >>> power.shape, frames, bool(jnp.abs(power - ref_p).max() <
+    ...                           1e-4 * float(ref_p.max()))
+    ((1, 16), 256, True)
+    """
+    import jax
+
+    import numpy as np
+
+    from nx_signal_tpu.parallel.streaming import StreamingPFB
+
+    m = n_channels
+    pfb = StreamingPFB(m, taps_per_channel=taps_per_channel, window=window,
+                       taps=taps, strategy=strategy, precision=precision)
+
+    def step(state, acc, chunk):
+        state, z = pfb.process(state, chunk)
+        p = jnp.sum(jnp.real(z) ** 2 + jnp.imag(z) ** 2, axis=-2)
+        return state, acc + p
+
+    step = jax.jit(step)
+    it = iter(blocks)
+    try:
+        first = np.asarray(next(it))
+    except StopIteration:
+        raise ValueError("empty block stream") from None
+    if first.ndim != 2:
+        raise ValueError(
+            f"blocks must be (channels, frames), got shape {first.shape}")
+    n_streams = first.shape[0]
+    chunk_len = (first.shape[1] // m) * m
+    if chunk_len == 0:
+        raise ValueError(
+            f"block length ({first.shape[1]}) is shorter than one "
+            f"n_channels ({m}) stride")
+    state = pfb.init_state(batch_shape=(n_streams,))
+    acc = jnp.zeros((n_streams, m), DEFAULT_FLOAT)
+    frames = 0
+    fifo = [first]
+    buffered = first.shape[1]
+
+    def drain(fifo, buffered):
+        nonlocal state, acc, frames
+        while buffered >= chunk_len:
+            buf = np.concatenate(fifo, axis=1) if len(fifo) > 1 else fifo[0]
+            head, rest = buf[:, :chunk_len], buf[:, chunk_len:]
+            state, acc = step(state, acc, jnp.asarray(head))
+            frames += chunk_len // m
+            fifo = [rest] if rest.shape[1] else []
+            buffered = rest.shape[1]
+        return fifo, buffered
+
+    fifo, buffered = drain(fifo, buffered)
+    for block in it:
+        block = np.asarray(block)
+        fifo.append(block)
+        buffered += block.shape[1]
+        fifo, buffered = drain(fifo, buffered)
+    tail_len = (buffered // m) * m
+    if tail_len and not drop_tail:
+        buf = np.concatenate(fifo, axis=1) if len(fifo) > 1 else fifo[0]
+        state, acc = step(state, acc, jnp.asarray(buf[:, :tail_len]))
+        frames += tail_len // m
+    return acc, frames

@@ -479,3 +479,20 @@ _b21 = np.asarray(_scs21(_x21, _t21, mesh=mesh, method="conv",
                          halo="pallas_dma"))
 assert (_a21 == _b21).all(), "pallas_dma halo != ppermute halo"
 print("21. Pallas remote-DMA halo bitwise vs ppermute OK")
+
+# 22. round-5 config-5 ingest pipeline: PrefetchingRawReader ->
+# StreamingPFB -> on-device band power == offline PFB power
+from nx_signal_tpu.models.pipeline import channelize_power_stream as _cps22
+_x22 = np.random.default_rng(23).uniform(-0.9, 0.9, (1, 20000)).astype(np.float32)
+_p22 = _os.path.join(tempfile.mkdtemp(), "cap22.i16")
+_wr19(_p22, _x22, dtype="i16")
+with _PR19(_p22, dtype="i16", channels=1, block_frames=4096) as _pf22:
+    _pow22, _fr22 = _cps22(_pf22, 64, taps_per_channel=8)
+assert _fr22 == 20000 // 64
+_dec22 = np.round(np.clip(_x22 * 32768, -32768, 32767)) / 32768
+_full22 = np.pad(_dec22.astype(np.float32), [(0, 0), (448, 0)])[:, :448 + 312 * 64]
+_ref22 = np.asarray(_pfb18(jnp.asarray(_full22), 64, taps_per_channel=8))
+_refp22 = (_ref22.real**2 + _ref22.imag**2).sum(axis=-2)
+np.testing.assert_allclose(np.asarray(_pow22), _refp22, rtol=1e-4,
+                           atol=1e-4 * _refp22.max())
+print("22. config-5 ingest pipeline (raw decode -> StreamingPFB -> power) OK")

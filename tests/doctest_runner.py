@@ -54,6 +54,7 @@ DOCTEST_MODULES = [
     "nx_signal_tpu.parallel.multihost",
     "nx_signal_tpu.parallel.failure",
     "nx_signal_tpu.parallel.streaming",
+    "nx_signal_tpu.models.pipeline",
     "nx_signal_tpu.io.wav",
     "nx_signal_tpu.io.raw",
     "nx_signal_tpu.io.checkpoint",
