@@ -132,28 +132,6 @@ def main():
     gemm_tfs = 2.0 * gemm_rows * ext * 2 * BINS / gemm_dt / 1e12
     del fa, fw, g
 
-    # Two-point within-process chain ladder (round-5 bench self-control):
-    # the 256ch point runs the IDENTICAL chain at 1/3 the per-step work,
-    # so (a) ladder_768_over_256 is a window-stable internal ratio (both
-    # points share the process and therefore the window), and (b)
-    # chain256_vs_gemm compares two computations of MATCHED per-dispatch
-    # magnitude (the 256ch chain and the 256ch-equivalent GEMM probe) —
-    # the amortization mismatch that broke r04's chain_vs_gemm
-    # (ROOFLINE.md §7.4: 768ch chain vs 256ch-eq probe read 0.84 -> 1.27
-    # across windows because latency fractions differed).
-    x256 = x[:256]
-    hard_sync(step(x256))   # separate jit specialization, same code
-    times256 = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(STEPS):
-            out = step(x256)
-        hard_sync(out)
-        times256.append((time.perf_counter() - t0) / STEPS)
-    dt256 = sorted(times256)[len(times256) // 2]
-    n256 = 256 * SECONDS * RATE
-    chain256_tfs = 6152.0 * (n256 / dt256) / 1e12
-
     hard_sync(step(x))  # compile + warm up
 
     # median of 5 timed batches: the remote-tunnel runtime has large
@@ -168,6 +146,32 @@ def main():
         hard_sync(out)
         times.append((time.perf_counter() - t0) / STEPS)
     dt = sorted(times)[len(times) // 2]
+
+    # Two-point within-process chain ladder (round-5 bench self-control):
+    # the 256ch point runs the IDENTICAL chain at 1/3 the per-step work,
+    # so (a) ladder_768_over_256 is a window-stable internal ratio (both
+    # points share the process and therefore the window), and (b)
+    # chain256_vs_gemm compares two computations of MATCHED per-dispatch
+    # magnitude (the 256ch chain and the 256ch-equivalent GEMM probe) —
+    # the amortization mismatch that broke r04's chain_vs_gemm
+    # (ROOFLINE.md §7.4: 768ch chain vs 256ch-eq probe read 0.84 -> 1.27
+    # across windows because latency fractions differed). Runs AFTER the
+    # 768ch headline and frees the 768ch buffers first: the first ritual
+    # run OOM'd with the 256ch buffers live under the 768ch ~12 GB peak.
+    x256 = jnp.array(x[:256])
+    del x, out
+    hard_sync(step(x256))   # separate jit specialization, same code
+    times256 = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            out256 = step(x256)
+        hard_sync(out256)
+        times256.append((time.perf_counter() - t0) / STEPS)
+    dt256 = sorted(times256)[len(times256) // 2]
+    del x256, out256
+    n256 = 256 * SECONDS * RATE
+    chain256_tfs = 6152.0 * (n256 / dt256) / 1e12
 
     msamples_per_s = n / dt / 1e6
     sol, bound = chain_speed_of_light()
