@@ -1,6 +1,7 @@
 """Resampling tests: scipy.signal.upfirdn / resample_poly are the oracle;
 the PFB channelizer is validated by tone-isolation SNR."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.signal as sps
@@ -123,6 +124,20 @@ class TestPFB:
         n_frames = (4096 - 64 * 8) // 64 + 1
         assert y.shape == (n_frames, 64)
         assert np.iscomplexobj(np.asarray(y))
+
+    def test_f64_explicit_mxu_strategy_warns(self, rng):
+        # 'auto' keeps f64 on the dtype-preserving einsum path; an
+        # explicit MXU strategy downcasts to f32 and must say so
+        import warnings
+
+        x = rng.normal(size=2048).astype(np.float64)
+        with pytest.warns(UserWarning, match="computes in float32"):
+            pfb_analyze(jnp.asarray(x), 16, taps_per_channel=4,
+                        strategy="matmul")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")   # 'auto' must NOT warn
+            y = pfb_analyze(jnp.asarray(x), 16, taps_per_channel=4)
+        assert np.asarray(y).dtype == np.complex128
 
     def test_custom_prototype(self, rng):
         x = rng.normal(size=1024).astype(np.float32)
