@@ -226,6 +226,27 @@ class StreamingPFB:
     strategy: str = "auto"
     precision: str = "highest"
 
+    def __post_init__(self):
+        # design the prototype ONCE (host-side f64 firwin is ~ms per call
+        # — noticeable when process() runs un-jitted per chunk) and
+        # normalize taps_per_channel to a caller-provided prototype
+        from nx_signal_tpu.ops.filters import firwin
+
+        m = self.n_channels
+        if self.taps is None:
+            proto = firwin(m * self.taps_per_channel, [1.0 / m],
+                           window=self.window)
+            object.__setattr__(self, "taps", proto)
+        else:
+            proto = jnp.asarray(self.taps)
+            if proto.shape[0] % m != 0:
+                raise ValueError(
+                    f"prototype length ({proto.shape[0]}) must be a "
+                    f"multiple of n_channels ({m})")
+            object.__setattr__(self, "taps", proto)
+            object.__setattr__(self, "taps_per_channel",
+                               proto.shape[0] // m)
+
     @property
     def lead_frames(self) -> int:
         """Zero-lead-in output frames to drop for batch alignment."""
