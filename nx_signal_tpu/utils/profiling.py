@@ -9,7 +9,7 @@ from dataclasses import dataclass
 import jax
 
 __all__ = ["benchmark", "BenchResult", "device_hbm_bandwidth", "hard_sync",
-           "trace"]
+           "trace", "timed_median", "slope_rate"]
 
 _HBM_BYTES_PER_S = {
     "v5 lite": 819e9, "v5e": 819e9, "v5litepod": 819e9,
@@ -121,6 +121,57 @@ def benchmark(fn, *args, iters: int = 10, samples_per_call: int = 0,
         sol = device_hbm_bandwidth() / min_bytes_per_sample
         frac = sps / sol
     return BenchResult(dt, sps, frac)
+
+
+def timed_median(fn, *args, steps: int = 8, reps: int = 5) -> float:
+    """Median per-step seconds of `fn(*args)` with PIPELINED dispatch:
+    each rep issues `steps` back-to-back calls before one `hard_sync`.
+    On remote-attached backends consecutive same-shape dispatches overlap
+    in the queue, hiding most of the fixed per-dispatch latency (measured
+    59.9 -> 8.5 ms/step in the worst tunnel window, ROOFLINE.md §8.1) —
+    the canonical timing for marginal/slope measurements. `fn` should
+    already be jitted (the warm-up call compiles it). Not in the
+    reference.
+
+    Examples:
+
+    >>> import jax
+    >>> import jax.numpy as jnp
+    >>> from nx_signal_tpu.utils.profiling import timed_median
+    >>> dt = timed_median(jax.jit(lambda x: x * 2.0), jnp.ones(256),
+    ...                   steps=2, reps=2)
+    >>> dt > 0.0
+    True
+    """
+    out = fn(*args)
+    hard_sync(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = fn(*args)
+        hard_sync(out)
+        times.append((time.perf_counter() - t0) / steps)
+    return sorted(times)[len(times) // 2]
+
+
+def slope_rate(work_delta: float, dt_small: float, dt_large: float) -> float:
+    """Differential (marginal) rate between two problem sizes measured in
+    ONE process: work_delta / (dt_large - dt_small). Cancels fixed
+    per-dispatch cost exactly, which dominates absolute readings on
+    remote-attached backends (ROOFLINE.md §8.1: the method self-validated
+    at 97.5% of HBM peak on an elementwise probe in a window whose
+    absolute readings were 12x off). The marginal work must exceed the
+    timing jitter — size the large case at >= 2x the small one. Not in
+    the reference.
+
+    Examples:
+
+    >>> from nx_signal_tpu.utils.profiling import slope_rate
+    >>> slope_rate(8e9, 0.010, 0.020)   # 8 GB extra moved in 10 ms more
+    800000000000.0
+    """
+    return work_delta / max(dt_large - dt_small, 1e-12)
 
 
 def trace(path: str):
