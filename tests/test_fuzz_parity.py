@@ -208,3 +208,62 @@ def test_sharded_geometry_random(seed):
     want = _direct_convolve(x, taps[None, :], "same", use_matmul=False)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
                                   err_msg=f"mesh=({c},{b}) n={length} k={k}")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_streaming_random_chunking(seed):
+    """Random chunk partitions through StreamingPFB / StreamingResamplePoly
+    must reproduce the offline ops regardless of where the block
+    boundaries fall."""
+    from nx_signal_tpu.ops.resample import pfb_analyze, resample_poly
+    from nx_signal_tpu.parallel.streaming import (StreamingPFB,
+                                                  StreamingResamplePoly)
+
+    rng = np.random.default_rng(1000 + seed)
+    if rng.integers(0, 2):
+        m = int(rng.choice([8, 16, 32, 64]))
+        tpc = int(rng.integers(2, 8))
+        n_chunks = int(rng.integers(2, 6))
+        chunks = [int(rng.integers(1, 6)) * m for _ in range(n_chunks)]
+        while sum(chunks) < m * tpc:   # offline oracle needs >= one window
+            chunks.append(int(rng.integers(1, 6)) * m)
+        x = rng.normal(size=sum(chunks)).astype(np.float32)
+        pfb = StreamingPFB(m, taps_per_channel=tpc)
+        state = pfb.init_state()
+        outs, i = [], 0
+        for c in chunks:
+            state, z = pfb.process(state, jnp.asarray(x[i:i + c]))
+            outs.append(np.asarray(z))
+            i += c
+        got = np.concatenate(outs, axis=0)[pfb.lead_frames:]
+        ref = np.asarray(pfb_analyze(jnp.asarray(x), m,
+                                     taps_per_channel=tpc))
+        assert got.shape == ref.shape, (m, tpc, chunks)
+        scale = max(1e-30, np.abs(ref).max())
+        np.testing.assert_allclose(got, ref, atol=2e-5 * scale,
+                                   err_msg=f"m={m} tpc={tpc} {chunks}")
+    else:
+        up = int(rng.integers(1, 8))
+        down = int(rng.integers(1, 8))
+        if up == down:
+            up += 1
+        sr = StreamingResamplePoly(up, down)
+        d = sr._down if not sr._identity else down
+        chunk = int(rng.integers(1, 20)) * d
+        n = int(rng.integers(4, 12)) * chunk
+        x = rng.normal(size=n).astype(np.float32)
+        state = sr.init_state()
+        outs = []
+        for i in range(0, n, chunk):
+            state, y = sr.process(state, jnp.asarray(x[i:i + chunk]))
+            outs.append(np.asarray(y))
+        ref = np.asarray(resample_poly(jnp.asarray(x), up, down))
+        need = sr.lead_out + ref.shape[0]
+        while sum(o.shape[-1] for o in outs) < need:
+            state, y = sr.process(state, jnp.zeros(chunk, np.float32))
+            outs.append(np.asarray(y))
+        got = np.concatenate(outs)[sr.lead_out:need]
+        scale = max(1.0, np.abs(ref).max())
+        np.testing.assert_allclose(got, ref, atol=2e-5 * scale,
+                                   err_msg=f"up={up} down={down} "
+                                           f"chunk={chunk} n={n}")
