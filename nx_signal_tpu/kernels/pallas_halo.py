@@ -144,6 +144,7 @@ def halo_extend_dma(x_blk, pad_left: int, pad_right: int, *, axis_name,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(collective_id=0),
+        # no collective_id: the kernel uses no barrier semaphore, and real
+        # Mosaic rejects a collective_id without one (silicon check r05)
         interpret=interpret,
     )(idx, x_blk)
