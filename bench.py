@@ -40,7 +40,16 @@ CHANNELS = 768  # fills the chip; amortizes the tunnel dispatch latency
 # dense plan here and only chunks where dense would OOM).
 SECONDS = 10
 RATE = 48000
-STEPS = 2
+# 8 pipelined steps per timing: consecutive same-shape dispatches overlap
+# in the runtime queue, so the per-step time converges to the SUSTAINED
+# streaming rate — the regime a deployed pipeline actually runs in (and
+# the regime the north-star metric names). On remote-attached backends
+# this hides the per-dispatch tunnel latency that a back-to-back stream
+# also hides (measured 59.9 -> 8.5 ms/step on an empty dispatch,
+# ROOFLINE.md §8.1); on locally-attached chips (µs latency) the step
+# count is irrelevant. r01-r04 benches used STEPS=2 and paid ~40% of
+# each step in tunnel latency on slow-latency days.
+STEPS = 8
 NUM_TAPS = 255
 FRAME, HOP, NFFT = 512, 128, 512
 BINS = NFFT // 2 + 1
