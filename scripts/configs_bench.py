@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args, reps=5, steps=2):
+def timed(fn, *args, reps=5, steps=8):   # pipelined (ROOFLINE §8.8)
     from nx_signal_tpu.utils.profiling import hard_sync
 
     hard_sync(fn(*args))

@@ -42,7 +42,7 @@ def parse_args():
     p.add_argument("--channels-per-chip", type=int, default=64)
     p.add_argument("--seconds", type=float, default=10.0)
     p.add_argument("--rate", type=int, default=48000)
-    p.add_argument("--steps", type=int, default=2)
+    p.add_argument("--steps", type=int, default=8)  # pipelined (ROOFLINE §8.8)
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--single-chip-msps", type=float, default=None,
                    help="single-chip Msamples/s baseline for the "
