@@ -40,11 +40,11 @@ def assert_all_close(actual, expected, atol=1e-4, rtol=1e-4, err_msg=""):
 
 
 # ---------------------------------------------------------------- test tiers
-# Fast tier: `pytest -m "not slow"` (1560 tests as of r05; ~22 min —
+# Fast tier: `pytest -m "not slow"` (1567 tests as of r05; ~18-22 min —
 # the doctest subprocess now executes 100% of examples, ~4 min) — run
 # before every commit.
-# Full suite: 1724 tests, 57 min full-green on the 2-vCPU image (timed
-# 2026-08-21, round 5).
+# Full suite: 1731 tests, 50 min full-green on the 2-vCPU image (timed
+# 2026-08-21, end of round 5).
 # Modules listed here are auto-marked slow (8-virtual-device shard_map
 # compiles dominate their runtime); individual tests can also opt in with
 # @pytest.mark.slow.
